@@ -1,0 +1,66 @@
+package graft
+
+import graft.core.{LdigModel, Normalize, Synth}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** CLI detection/eval entry — the reference's `ldig.py -m MODEL testfile`
+  * surface (SURVEY.md §3.1, A7/E1): per-line `prob  pred  [gold]  text`,
+  * then a per-language precision/recall table when gold labels exist.
+  *
+  * Usage:
+  *   runMain graft.Detect --selftest            # train on synth, eval held-out
+  *   runMain graft.Detect -m DIR file.tsv       # load model, detect/eval file
+  *   runMain graft.Detect --train DIR           # train on synth corpus, save
+  */
+object Detect {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--selftest" :: Nil =>
+      val (train, test) = Synth.split(Synth.corpus(perLang = 96))
+      val model = LdigModel.buildAndTrain(train)
+      eval(model, test, verbose = false)
+    case "--train" :: dir :: Nil =>
+      val model = LdigModel.buildAndTrain(Synth.corpus(perLang = 96))
+      model.save(Paths.get(dir))
+      println(s"saved model: ${model.labels.length} labels, " +
+        s"${model.featureKeys.length} features -> $dir")
+    case "-m" :: dir :: file :: Nil =>
+      val model = LdigModel.load(Paths.get(dir))
+      val lines = Files.readAllLines(Paths.get(file)).asScala.toSeq
+      val parsed = lines.flatMap(Normalize.parseLine)
+      eval(model, parsed, verbose = true)
+    case _ =>
+      System.err.println("usage: Detect --selftest | --train DIR | -m DIR FILE")
+      sys.exit(2)
+  }
+
+  private def eval(model: LdigModel, samples: Seq[(String, String)],
+                   verbose: Boolean): Unit = {
+    var correct = 0
+    var labeled = 0
+    val perLang = scala.collection.mutable.Map.empty[String, (Int, Int, Int)] // gold-count, pred-count, hit
+    samples.foreach { case (gold, text) =>
+      val (pred, prob) = model.detect(text)
+      if (verbose) println(f"$prob%.4f\t$pred\t$gold\t$text")
+      if (gold.nonEmpty) {
+        labeled += 1
+        val (g, p, h) = perLang.getOrElse(gold, (0, 0, 0))
+        perLang(gold) = (g + 1, p, if (pred == gold) h + 1 else h)
+        val (g2, p2, h2) = perLang.getOrElse(pred, (0, 0, 0))
+        if (pred != gold) perLang(pred) = (g2, p2 + 1, h2)
+        else perLang(gold) = (perLang(gold)._1, perLang(gold)._2 + 1, perLang(gold)._3)
+        if (pred == gold) correct += 1
+      }
+    }
+    if (labeled > 0) {
+      println(f"%nlang  gold  precision  recall")
+      perLang.toSeq.sortBy(_._1).foreach { case (l, (g, p, h)) =>
+        val prec = if (p > 0) h.toDouble / p else 0.0
+        val rec = if (g > 0) h.toDouble / g else 0.0
+        println(f"$l%-4s  $g%4d  $prec%9.4f  $rec%6.4f")
+      }
+      println(f"%naccuracy: ${correct.toDouble / labeled}%.4f ($correct/$labeled)")
+    }
+  }
+}

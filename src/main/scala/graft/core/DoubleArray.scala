@@ -1,0 +1,199 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Double-array trie over unicode strings, with the per-position
+  * common-prefix walk that yields the infinity-gram feature counts.
+  *
+  * Re-expresses the structure the reference keeps in `doublearray.npz`
+  * (reference: shuyo/ldig `ldig.py / da.py · class DoubleArray` — SURVEY.md
+  * §2 C3–C5; mount empty this round, reconstructed from the published
+  * double-array design, Aoe 1989).
+  *
+  * Layout: three int arrays. For node `n` and char code `c`,
+  * `next = base(n) + c`; the transition is valid iff `check(next) == n`.
+  * `value(n) >= 0` marks an accepting node carrying that feature id.
+  * Char codes are dense (1..V) via `charCode`, so the arrays stay compact
+  * regardless of the unicode range in the keys.
+  *
+  * The whole structure is immutable after build: safe to
+  * `sparkContext.broadcast` once and share across executor threads
+  * (SURVEY §4.1 — decode per partition, not per row).
+  */
+final class DoubleArray private (
+    private val base: Array[Int],
+    private val check: Array[Int],
+    private val value: Array[Int],
+    private val charCode: Array[Int], // Char -> dense code (0 = unmapped)
+    val numKeys: Int) extends Serializable {
+
+  @inline private def code(ch: Char): Int =
+    if (ch < charCode.length) charCode(ch) else 0
+
+  /** Feature id of exactly `key`, or -1. */
+  def lookup(key: CharSequence): Int = {
+    var n = 0
+    var i = 0
+    while (i < key.length) {
+      val c = code(key.charAt(i))
+      if (c == 0) return -1
+      val nx = base(n) + c
+      if (nx >= check.length || check(nx) != n) return -1
+      n = nx
+      i += 1
+    }
+    value(n)
+  }
+
+  /** Walk from `start`, invoking `f(featureId)` at every accepting node
+    * passed; stops at the first failed transition. Returns match length. */
+  @inline def commonPrefixWalk(s: CharSequence, start: Int)(f: Int => Unit): Int = {
+    var n = 0
+    var i = start
+    while (i < s.length) {
+      val c = code(s.charAt(i))
+      if (c == 0) return i - start
+      val nx = base(n) + c
+      if (nx >= check.length || check(nx) != n) return i - start
+      n = nx
+      if (value(n) >= 0) f(value(n))
+      i += 1
+    }
+    i - start
+  }
+
+  /** Sparse feature-count map of `text`: the trie is walked from every start
+    * offset, counting every accepting node on the way — the reference's
+    * `extract_features`. Caller wraps the text in \u0001 sentinels
+    * (see LdigModel.extractFeatures). */
+  def extractFeatures(text: CharSequence): mutable.LongMap[Int] = {
+    val counts = new mutable.LongMap[Int](64)
+    var i = 0
+    while (i < text.length) {
+      commonPrefixWalk(text, i) { fid =>
+        val k = fid.toLong
+        counts.put(k, counts.getOrElse(k, 0) + 1)
+      }
+      i += 1
+    }
+    counts
+  }
+
+  def arraySize: Int = base.length
+}
+
+object DoubleArray {
+
+  /** Build from keys; feature id = index of the key in `keys` AFTER the
+    * canonical lexicographic sort (the reference sorts feature keys before
+    * the build — SURVEY §2 E5). Duplicate keys are rejected. */
+  def build(keys: Array[String]): DoubleArray = {
+    val sorted = keys.sorted
+    var i = 1
+    while (i < sorted.length) {
+      require(sorted(i) != sorted(i - 1), s"duplicate key: ${sorted(i)}")
+      i += 1
+    }
+    buildSorted(sorted)
+  }
+
+  /** Build from an already lexicographically sorted, distinct key array. */
+  def buildSorted(sorted: Array[String]): DoubleArray = {
+    // dense char coding
+    var maxChar = 0
+    sorted.foreach { k =>
+      var j = 0
+      while (j < k.length) { if (k.charAt(j) > maxChar) maxChar = k.charAt(j); j += 1 }
+    }
+    val charCode = new Array[Int](maxChar + 1)
+    var nextCode = 1
+    sorted.foreach { k =>
+      var j = 0
+      while (j < k.length) {
+        val ch = k.charAt(j)
+        if (charCode(ch) == 0) { charCode(ch) = nextCode; nextCode += 1 }
+        j += 1
+      }
+    }
+    val V = nextCode // codes are 1..V-1
+
+    var cap = math.max(1024, sorted.length * 4 + V + 2)
+    var base = new Array[Int](cap)
+    var check = Array.fill(cap)(-1)
+    var value = Array.fill(cap)(-1)
+    check(0) = 0 // root occupies slot 0
+
+    def ensure(n: Int): Unit = if (n >= cap) {
+      val nc = math.max(n + 1, cap * 2)
+      base = java.util.Arrays.copyOf(base, nc)
+      val oc = check; check = Array.fill(nc)(-1); System.arraycopy(oc, 0, check, 0, cap)
+      val ov = value; value = Array.fill(nc)(-1); System.arraycopy(ov, 0, value, 0, cap)
+      cap = nc
+    }
+
+    var searchStart = 1 // first-fit scan hint
+
+    // recursive insertion over the sorted range; keys sharing text[0,depth)
+    def insert(lo: Int, hi: Int, depth: Int, parent: Int): Unit = {
+      var terminalId = -1
+      var start = lo
+      if (sorted(lo).length == depth) { terminalId = lo; start = lo + 1 }
+      if (terminalId >= 0) value(parent) = terminalId
+      if (start > hi) return
+
+      // child groups by next char
+      val childLo = mutable.ArrayBuffer.empty[Int]
+      val childHi = mutable.ArrayBuffer.empty[Int]
+      val childC = mutable.ArrayBuffer.empty[Int]
+      var i = start
+      while (i <= hi) {
+        val c = charCode(sorted(i).charAt(depth))
+        var j = i
+        while (j + 1 <= hi && charCode(sorted(j + 1).charAt(depth)) == c) j += 1
+        childLo += i; childHi += j; childC += c
+        i = j + 1
+      }
+
+      // find a base b so that all b+c slots are free
+      var b = math.max(1, searchStart - childC.head)
+      var found = false
+      while (!found) {
+        found = true
+        var k = 0
+        while (k < childC.length && found) {
+          val pos = b + childC(k)
+          ensure(pos)
+          if (check(pos) != -1) found = false
+          k += 1
+        }
+        if (!found) b += 1
+      }
+      base(parent) = b
+      var k = 0
+      while (k < childC.length) {
+        val pos = b + childC(k)
+        check(pos) = parent
+        k += 1
+      }
+      // advance the scan hint past a fully dense prefix (cheap heuristic)
+      while (searchStart < cap && check(searchStart) != -1) searchStart += 1
+
+      k = 0
+      while (k < childC.length) {
+        insert(childLo(k), childHi(k), depth + 1, b + childC(k))
+        k += 1
+      }
+    }
+
+    if (sorted.nonEmpty) insert(0, sorted.length - 1, 0, 0)
+
+    // shrink to used size
+    var used = cap - 1
+    while (used > 0 && check(used) == -1) used -= 1
+    new DoubleArray(
+      java.util.Arrays.copyOf(base, used + 1),
+      java.util.Arrays.copyOf(check, used + 1),
+      java.util.Arrays.copyOf(value, used + 1),
+      charCode, sorted.length)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+/** The full infinity-gram language-ID model: label set, double-array trie
+  * over maximal-substring features, and the M×K logistic-regression weight
+  * matrix. One immutable object, built or loaded on the driver and
+  * broadcast once (SURVEY.md §1.1 "Model" row).
+  *
+  * Persisted layout mirrors the reference's artifact set (shuyo/ldig
+  * `labels.json` / `features` / `parameters.npy` — SURVEY §2 A2/A3) in
+  * dependency-free form: `labels.json`, `features.txt` (one key per line,
+  * trie order), `weights.bin` (big-endian float64, row-major M×K).
+  */
+final class LdigModel(
+    val labels: Array[String],
+    val featureKeys: Array[String], // sorted; id = index
+    val trie: DoubleArray,
+    val weights: Array[Double]) extends Serializable {
+
+  require(weights.length == featureKeys.length * labels.length,
+    s"weights ${weights.length} != ${featureKeys.length} x ${labels.length}")
+
+  @transient private lazy val labelIndex: Map[String, Int] = labels.zipWithIndex.toMap
+
+  def numClasses: Int = labels.length
+
+  /** Feature events of a *normalized* text, ascending feature id (float
+    * reproducibility — SURVEY §7.4.2). Text is wrapped in U+0001 sentinels
+    * like the reference's extract_features. */
+  def featurize(normalized: String): Array[(Int, Int)] = {
+    val wrapped = "\u0001" + normalized + "\u0001"
+    val counts = trie.extractFeatures(wrapped)
+    val arr = new Array[(Int, Int)](counts.size)
+    var i = 0
+    counts.foreach { case (k, v) => arr(i) = (k.toInt, v); i += 1 }
+    java.util.Arrays.sort(arr, (a: (Int, Int), b: (Int, Int)) => Integer.compare(a._1, b._1))
+    arr
+  }
+
+  /** Probability vector over `labels` for a *raw* text. */
+  def probabilities(raw: String): Array[Double] = {
+    val norm = Normalize(raw)
+    Lr.predict(featurize(norm), weights, numClasses)
+  }
+
+  /** (predicted label, its probability). Ties break to the lower index —
+    * deterministic. */
+  def detect(raw: String): (String, Double) = {
+    val y = probabilities(raw)
+    var best = 0
+    var k = 1
+    while (k < y.length) { if (y(k) > y(best)) best = k; k += 1 }
+    (labels(best), y(best))
+  }
+
+  def labelId(label: String): Int = labelIndex.getOrElse(label, -1)
+
+  def save(dir: Path): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("labels.json"),
+      labels.map(l => "\"" + l + "\"").mkString("[", ",", "]")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("features.txt"),
+      featureKeys.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.allocate(weights.length * 8)
+    weights.foreach(bb.putDouble)
+    Files.write(dir.resolve("weights.bin"), bb.array())
+  }
+}
+
+object LdigModel {
+
+  def load(dir: Path): LdigModel = {
+    val labelsJson = new String(Files.readAllBytes(dir.resolve("labels.json")), StandardCharsets.UTF_8)
+    val labels = labelsJson.trim.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val keys = new String(Files.readAllBytes(dir.resolve("features.txt")), StandardCharsets.UTF_8)
+      .split("\n", -1).filter(_.nonEmpty)
+    val bytes = Files.readAllBytes(dir.resolve("weights.bin"))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val w = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < w.length) { w(i) = bb.getDouble(); i += 1 }
+    new LdigModel(labels, keys, DoubleArray.buildSorted(keys), w)
+  }
+
+  final case class BuildConfig(
+      minCount: Int = 2,      // --ff feature-frequency cutoff (C2)
+      maxSubstLen: Int = 24,
+      train: Lr.TrainConfig => Lr.TrainConfig = identity)
+
+  /** Full `--init` + `--learning` pipeline on a labeled corpus
+    * (label, rawText): normalize → maximal substrings (C1) → frequency
+    * cutoff (C2) → trie (C3) → featurize → sequential SGD+L1 (D3/D4) →
+    * shrink (D5) → rebuilt trie. Deterministic for a fixed corpus+config. */
+  def buildAndTrain(corpus: Seq[(String, String)], cfg: BuildConfig = BuildConfig()): LdigModel = {
+    val labels = corpus.map(_._1).distinct.sorted.toArray
+    val labelIdx = labels.zipWithIndex.toMap
+    val normalized = corpus.map { case (l, t) => (labelIdx(l), Normalize(t)) }
+      .filter(_._2.length >= 2) // B10 length filter
+
+    // C1/C2: features = maximal substrings over the sentinel-wrapped corpus.
+    // Wrap each doc so substrings touching text edges see the sentinel —
+    // matches featurize()'s wrapping at scoring time.
+    val feats = MaxSubst.extract(
+        normalized.iterator.map(t => "\u0001" + t._2 + "\u0001"),
+        minCount = cfg.minCount, maxLen = cfg.maxSubstLen)
+      .map(_.substr).distinct.sorted
+    require(feats.nonEmpty, "no features extracted — corpus too small?")
+    val trie0 = DoubleArray.buildSorted(feats)
+
+    val m0 = new LdigModel(labels, feats, trie0, new Array[Double](feats.length * labels.length))
+    val examples = normalized.map { case (li, norm) =>
+      Lr.Example(li, m0.featurize(norm))
+    }.toIndexedSeq
+
+    val tcfg = cfg.train(Lr.TrainConfig(numFeatures = feats.length, numClasses = labels.length))
+    val w = Lr.train(examples, tcfg)
+
+    // D5: shrink zero features, rebuild trie on kept keys
+    val (keptIds, keptW) = Lr.shrink(w, labels.length)
+    if (keptIds.length == feats.length || keptIds.isEmpty) new LdigModel(labels, feats, trie0, w)
+    else {
+      val keptKeys = keptIds.map(feats)
+      new LdigModel(labels, keptKeys, DoubleArray.buildSorted(keptKeys), keptW)
+    }
+  }
+}

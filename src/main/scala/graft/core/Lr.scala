@@ -1,0 +1,141 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Multiclass logistic regression over infinity-gram feature counts —
+  * scoring (D1/D2), sequential SGD with cumulative-L1 regularization
+  * (D3/D4, after Tsuruoka, Tsujii & Ananiadou, ACL 2009, the published
+  * basis of the reference's learner), and model shrink (D5).
+  *
+  * Reference: shuyo/ldig `ldig.py · predict / learn / shrink` (SURVEY.md
+  * §2 D; mount empty this round). The trainer is deliberately
+  * **driver-local and sequential**: SGD is visit-order dependent, and the
+  * reference-match requirement (BASELINE.json:6) forbids distributing it
+  * (SURVEY §3.2). Spark's job is scoring at scale, not training.
+  *
+  * Weights: row-major `Array[Double]` of size M*K (feature-major), matching
+  * the reference's `parameters.npy` M×K layout. Summation is done in
+  * ascending feature-id order for float reproducibility (SURVEY §7.4.2).
+  */
+object Lr {
+
+  /** Numerically stable softmax of `z` in place. */
+  def softmaxInPlace(z: Array[Double]): Array[Double] = {
+    var max = z(0)
+    var k = 1
+    while (k < z.length) { if (z(k) > max) max = z(k); k += 1 }
+    var sum = 0.0
+    k = 0
+    while (k < z.length) { z(k) = math.exp(z(k) - max); sum += z(k); k += 1 }
+    k = 0
+    while (k < z.length) { z(k) /= sum; k += 1 }
+    z
+  }
+
+  /** y = softmax( sum_f count_f * W[f,·] ), feature ids visited ascending. */
+  def predict(events: Array[(Int, Int)], w: Array[Double], numClasses: Int): Array[Double] = {
+    val z = new Array[Double](numClasses)
+    var i = 0
+    while (i < events.length) {
+      val (fid, cnt) = events(i)
+      val off = fid * numClasses
+      var k = 0
+      while (k < numClasses) { z(k) += cnt * w(off + k); k += 1 }
+      i += 1
+    }
+    softmaxInPlace(z)
+  }
+
+  final case class Example(label: Int, events: Array[(Int, Int)])
+
+  final case class TrainConfig(
+      numFeatures: Int,
+      numClasses: Int,
+      eta0: Double = 0.1,
+      etaDecay: Double = 0.95,   // per-epoch multiplicative decay
+      reg: Double = 0.001,       // L1 strength (per-update increment base)
+      epochs: Int = 20,
+      seed: Long = 42L,
+      shuffle: Boolean = true)
+
+  /** Sequential SGD + cumulative-L1 (lazy clipped shrinkage). Deterministic
+    * for a fixed config (seeded shuffle, fixed iteration order). */
+  def train(examples: IndexedSeq[Example], cfg: TrainConfig): Array[Double] = {
+    val K = cfg.numClasses
+    val w = new Array[Double](cfg.numFeatures * K)
+    // cumulative-L1 bookkeeping (Tsuruoka et al. 2009)
+    val q = new Array[Double](cfg.numFeatures * K) // total penalty applied to w_i
+    var u = 0.0                                    // total penalty available
+    val rnd = new scala.util.Random(cfg.seed)
+    val order = Array.tabulate(examples.length)(identity)
+
+    var eta = cfg.eta0
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      if (cfg.shuffle) {
+        // Fisher-Yates with the seeded RNG — deterministic across JVMs
+        var i = order.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = order(i); order(i) = order(j); order(j) = t
+          i -= 1
+        }
+      }
+      var idx = 0
+      while (idx < order.length) {
+        val ex = examples(order(idx))
+        val y = predict(ex.events, w, K)
+        u += eta * cfg.reg
+        var i = 0
+        while (i < ex.events.length) {
+          val (fid, cnt) = ex.events(i)
+          val off = fid * K
+          var k = 0
+          while (k < K) {
+            val g = cnt * ((if (k == ex.label) 1.0 else 0.0) - y(k))
+            val j = off + k
+            w(j) += eta * g
+            // lazy clipped L1: pull toward 0 by at most the outstanding
+            // cumulative penalty, never crossing 0
+            val z0 = w(j)
+            if (z0 > 0) w(j) = math.max(0.0, z0 - (u + q(j)))
+            else if (z0 < 0) w(j) = math.min(0.0, z0 + (u - q(j)))
+            q(j) += w(j) - z0
+            k += 1
+          }
+          i += 1
+        }
+        idx += 1
+      }
+      eta *= cfg.etaDecay
+      epoch += 1
+    }
+    w
+  }
+
+  /** D5 shrink: drop all-zero-weight features; returns (keptFeatureIds
+    * ascending, compacted weights). Callers rebuild the trie on the kept
+    * keys — feature ids shift to the new dense range. */
+  def shrink(w: Array[Double], numClasses: Int): (Array[Int], Array[Double]) = {
+    val m = w.length / numClasses
+    val kept = mutable.ArrayBuffer.empty[Int]
+    var f = 0
+    while (f < m) {
+      var nonZero = false
+      var k = 0
+      while (k < numClasses && !nonZero) {
+        if (w(f * numClasses + k) != 0.0) nonZero = true
+        k += 1
+      }
+      if (nonZero) kept += f
+      f += 1
+    }
+    val out = new Array[Double](kept.length * numClasses)
+    var i = 0
+    while (i < kept.length) {
+      System.arraycopy(w, kept(i) * numClasses, out, i * numClasses, numClasses)
+      i += 1
+    }
+    (kept.toArray, out)
+  }
+}

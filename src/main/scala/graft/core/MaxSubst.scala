@@ -1,0 +1,193 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Maximal-substring extraction — the "infinity-gram" feature miner.
+  *
+  * Re-expresses the reference's `maxsubst.py` (shuyo/ldig; SURVEY.md §2 C1;
+  * mount empty this round) from its published basis: Okanohara & Tsujii,
+  * "Text Categorization with All Substring Features", SDM 2009 — enumerate
+  * the substrings that are both right-branching (internal suffix-tree nodes
+  * = LCP intervals) and left-diverse (occurrences preceded by >=2 distinct
+  * chars), via suffix array + LCP array.
+  *
+  * Documents are joined with a U+0001 sentinel so substrings never cross
+  * document boundaries; candidates containing the sentinel (or the final
+  * U+0000 terminator) are dropped.
+  *
+  * Complexity: SA by prefix doubling O(n log^2 n), LCP by Kasai O(n),
+  * interval enumeration O(n) — fine for the driver-local training corpus
+  * (SURVEY §3.3). At 100 TB this runs per-shard with a
+  * `groupBy(substr).sum` merge (SURVEY §2 C1 note); the trie build that
+  * consumes the output is driver-side either way.
+  */
+object MaxSubst {
+
+  final val Sentinel = '\u0001'
+  final val Terminator = '\u0000'
+
+  final case class Feature(substr: String, count: Int)
+
+  /** Suffix array by prefix doubling (rank pairs + stable sort). */
+  def suffixArray(s: CharSequence): Array[Int] = {
+    val n = s.length
+    val sa = Array.tabulate(n)(identity)
+    if (n <= 1) return sa
+    var rank = new Array[Int](n)
+    var tmp = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = s.charAt(i).toInt; i += 1 }
+    object ord extends Ordering[Int] {
+      var kk = 1
+      def compare(a: Int, b: Int): Int = {
+        if (rank(a) != rank(b)) return Integer.compare(rank(a), rank(b))
+        val ra = if (a + kk < n) rank(a + kk) else -1
+        val rb = if (b + kk < n) rank(b + kk) else -1
+        Integer.compare(ra, rb)
+      }
+    }
+    var k = 1
+    while (k < n) {
+      ord.kk = k
+      scala.util.Sorting.stableSort(sa, (a: Int, b: Int) => ord.compare(a, b) < 0)
+      tmp(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        tmp(sa(i)) = tmp(sa(i - 1)) + (if (ord.compare(sa(i - 1), sa(i)) < 0) 1 else 0)
+        i += 1
+      }
+      val sw = rank; rank = tmp; tmp = sw
+      if (rank(sa(n - 1)) == n - 1) k = n // all ranks distinct: done
+      else k <<= 1
+    }
+    sa
+  }
+
+  /** Kasai LCP: lcp(i) = longest common prefix of suffixes sa(i-1), sa(i). */
+  def lcpArray(s: CharSequence, sa: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(sa(i)) = i; i += 1 }
+    val lcp = new Array[Int](n) // lcp(0) = 0
+    var h = 0
+    i = 0
+    while (i < n) {
+      if (rank(i) > 0) {
+        val j = sa(rank(i) - 1)
+        while (i + h < n && j + h < n && s.charAt(i + h) == s.charAt(j + h)) h += 1
+        lcp(rank(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    lcp
+  }
+
+  /** All maximal substrings across `docs` with occurrence counts, subject to
+    * `minCount` and `maxLen`. Deterministic, sorted by substring. */
+  def extract(docs: IterableOnce[String],
+              minCount: Int = 2,
+              maxLen: Int = 64): Array[Feature] = {
+    val sb = new StringBuilder
+    docs.iterator.foreach { d => sb.append(Sentinel).append(d) }
+    sb.append(Sentinel).append(Terminator)
+    val s = sb.toString
+    val n = s.length
+    if (n < 3) return Array.empty
+
+    val sa = suffixArray(s)
+    val lcp = lcpArray(s, sa)
+
+    // Left-diversity via BWT run ids: interval [lb,rb] is left-diverse iff
+    // the run id changes inside it. A suffix starting at offset 0 has no
+    // preceding char — treat it as always unequal to its neighbors.
+    val runId = new Array[Int](n)
+    runId(0) = 0
+    var i = 1
+    while (i < n) {
+      val eq = sa(i) != 0 && sa(i - 1) != 0 &&
+        s.charAt(sa(i) - 1) == s.charAt(sa(i - 1) - 1)
+      runId(i) = runId(i - 1) + (if (eq) 0 else 1)
+      i += 1
+    }
+
+    val out = mutable.ArrayBuffer.empty[Feature]
+
+    def emit(depth: Int, lb: Int, rb: Int): Unit = {
+      if (depth <= 0 || depth > maxLen) return
+      if (rb - lb + 1 < minCount) return
+      if (runId(lb) == runId(rb)) return // not left-diverse
+      val start = sa(lb)
+      val end = start + depth
+      var p = start
+      while (p < end) {
+        val c = s.charAt(p)
+        if (c == Sentinel || c == Terminator) return
+        p += 1
+      }
+      out += Feature(s.substring(start, end), rb - lb + 1)
+    }
+
+    // LCP-interval enumeration (Abouelhoda et al. stack algorithm).
+    val depthSt = new mutable.ArrayBuffer[Int](64)
+    val leftSt = new mutable.ArrayBuffer[Int](64)
+    depthSt += 0; leftSt += 0
+    i = 1
+    while (i < n) {
+      var lb = i - 1
+      while (lcp(i) < depthSt(depthSt.length - 1)) {
+        val d = depthSt.remove(depthSt.length - 1)
+        val l = leftSt.remove(leftSt.length - 1)
+        emit(d, l, i - 1)
+        lb = l
+      }
+      if (lcp(i) > depthSt(depthSt.length - 1)) {
+        depthSt += lcp(i); leftSt += lb
+      }
+      i += 1
+    }
+    while (depthSt.nonEmpty) {
+      val d = depthSt.remove(depthSt.length - 1)
+      val l = leftSt.remove(leftSt.length - 1)
+      emit(d, l, n - 1)
+    }
+
+    out.sortInPlaceBy(_.substr)
+    out.toArray
+  }
+
+  /** Brute-force oracle for tests: maximality by definition — every one-char
+    * left/right extension is strictly rarer. O(n^3)-ish; tiny inputs only. */
+  def bruteForce(docs: Seq[String], minCount: Int = 2,
+                 maxLen: Int = 64): Array[Feature] = {
+    val s = docs.mkString(Sentinel.toString, Sentinel.toString,
+      Sentinel.toString) + Terminator
+    def occurrences(sub: String): Seq[Int] = {
+      val b = mutable.ArrayBuffer.empty[Int]
+      var i = s.indexOf(sub)
+      while (i >= 0) { b += i; i = s.indexOf(sub, i + 1) }
+      b.toSeq
+    }
+    val cands = (for {
+      i <- s.indices
+      len <- 1 to math.min(maxLen, s.length - i)
+      sub = s.substring(i, i + len)
+      if !sub.contains(Sentinel) && !sub.contains(Terminator)
+    } yield sub).distinct
+    val res = cands.flatMap { sub =>
+      val pos = occurrences(sub)
+      if (pos.size < minCount) None
+      else {
+        // position 0 is a sentinel so every occurrence has a preceding char;
+        // the text ends with the terminator so every occurrence has a
+        // following char.
+        val left = pos.map(p => s.charAt(p - 1)).distinct
+        val right = pos.map(p => s.charAt(p + sub.length)).distinct
+        if (left.size >= 2 && right.size >= 2) Some(Feature(sub, pos.size))
+        else None
+      }
+    }
+    res.sortBy(_.substr).toArray
+  }
+}

@@ -1,0 +1,162 @@
+package graft.core
+
+import java.util.regex.Pattern
+
+/** Text normalization for the infinity-gram language detector.
+  *
+  * Re-expresses the normalization pipeline of shuyo/ldig (reference:
+  * `ldig.py · normalize_text / normalize_twitter` — see SURVEY.md §2 B1–B10;
+  * the reference mount was empty this round, so the rule set below is the
+  * frozen public-knowledge reconstruction and is the normative spec for this
+  * engine's goldens).
+  *
+  * The whole chain is ONE deterministic pure function (`Normalize.apply`)
+  * applied in a fixed order — never scattered across `regexp_replace` calls —
+  * because downstream sha256 / F1 invariants depend on byte-exact output
+  * (SURVEY §7.4 item 1).
+  *
+  * Order: B1 entity decode → B2 twitter-noise strip → B7 diacritic
+  * recomposition (NFC) → B3 Latin range filter → B6 case fold w/ Turkish I →
+  * B4 digit fold → B5 repeat collapse → B8 whitespace squeeze + trim.
+  */
+object Normalize {
+
+  // ---- B1: HTML entity decode --------------------------------------------
+  private val namedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "hellip" -> "\u2026", "mdash" -> "\u2014",
+    "ndash" -> "\u2013", "lsquo" -> "\u2018", "rsquo" -> "\u2019",
+    "ldquo" -> "\u201c", "rdquo" -> "\u201d", "eacute" -> "\u00e9",
+    "egrave" -> "\u00e8", "agrave" -> "\u00e0", "ccedil" -> "\u00e7",
+    "uuml" -> "\u00fc", "ouml" -> "\u00f6", "auml" -> "\u00e4",
+    "szlig" -> "\u00df", "ntilde" -> "\u00f1", "aring" -> "\u00e5",
+    "oslash" -> "\u00f8", "aelig" -> "\u00e6"
+  )
+  private val reEntity =
+    Pattern.compile("&(?:#(\\d+)|#x([0-9a-fA-F]+)|([A-Za-z]+));")
+
+  def decodeEntities(s: String): String = {
+    val m = reEntity.matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val rep: String =
+        if (m.group(1) != null) {
+          val cp = try m.group(1).toInt catch { case _: Exception => -1 }
+          if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+            new String(Character.toChars(cp))
+          else m.group(0)
+        } else if (m.group(2) != null) {
+          val cp = try Integer.parseInt(m.group(2), 16) catch { case _: Exception => -1 }
+          if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+            new String(Character.toChars(cp))
+          else m.group(0)
+        } else namedEntities.getOrElse(m.group(3), m.group(0))
+      sb.append(rep)
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  // ---- B2: Twitter/web noise strip ---------------------------------------
+  // URLs, @mentions, bare "RT" markers -> space; '#' marker dropped, word kept.
+  private val reUrl2    = Pattern.compile("https?://\\S+")
+  private val reMention = Pattern.compile("[@\uFF20][A-Za-z0-9_]+:?")
+  private val reRt      = Pattern.compile("(?:\\A|(?<=\\s))RT(?::|\\b)")
+  private val reHashMark = Pattern.compile("[#\uFF03](?=\\w)")
+
+  def stripNoise(s: String): String = {
+    var t = reUrl2.matcher(s).replaceAll(" ")
+    t = reMention.matcher(t).replaceAll(" ")
+    t = reRt.matcher(t).replaceAll(" ")
+    t = reHashMark.matcher(t).replaceAll("")
+    t
+  }
+
+  // ---- B7: diacritic recomposition (Vietnamese et al.) --------------------
+  // base letter + combining mark (U+0300–U+036F) -> precomposed codepoint.
+  // Deterministic: java.text.Normalizer NFC (Unicode-stable algorithm).
+  def recompose(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  // ---- B3: Latin range filter ---------------------------------------------
+  // Chars outside [space-~ ¡-ɏ ̀-ͯ Ḁ-ỿ] -> space (reference keeps Latin,
+  // Latin-1 Supplement, Latin Extended-A/B, IPA up to U+024F, combining
+  // diacritics, Latin Extended Additional).
+  @inline private def inLatinRange(c: Char): Boolean =
+    (c >= ' ' && c <= '~') ||
+    (c >= '\u00a1' && c <= '\u024f') ||
+    (c >= '\u0300' && c <= '\u036f') ||
+    (c >= '\u1e00' && c <= '\u1eff')
+
+  def rangeFilter(s: String): String = {
+    val a = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) { a(i) = if (inLatinRange(s.charAt(i))) s.charAt(i) else ' '; i += 1 }
+    new String(a)
+  }
+
+  // ---- B6: case fold with Turkish-I handling ------------------------------
+  // JVM trap: "İ".toLowerCase(ROOT) == "i\u0307" (adds a combining dot) and a
+  // Turkish default locale would map I->ı globally. We fold char-by-char:
+  //   'İ' (U+0130) -> 'i' always;
+  //   'I'          -> 'ı' when the text shows Turkish alphabet evidence
+  //                   (ğĞıİşŞ present), else 'i';
+  //   everything else -> Character.toLowerCase (locale-independent).
+  private val turkishEvidence = Set('\u011f', '\u011e', '\u0131', '\u0130', '\u015f', '\u015e')
+
+  def foldCase(s: String): String = {
+    var turkish = false
+    var i = 0
+    while (i < s.length && !turkish) { if (turkishEvidence(s.charAt(i))) turkish = true; i += 1 }
+    val a = new Array[Char](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      a(i) =
+        if (c == '\u0130') 'i'
+        else if (c == 'I') { if (turkish) '\u0131' else 'i' }
+        else Character.toLowerCase(c)
+      i += 1
+    }
+    new String(a)
+  }
+
+  // ---- B4: digit fold ------------------------------------------------------
+  private val reDigits = Pattern.compile("[0-9]+")
+  def foldDigits(s: String): String = reDigits.matcher(s).replaceAll("0")
+
+  // ---- B5: long-repeat collapse -------------------------------------------
+  // 3+ repeats of a Latin letter -> 2; 2+ repeats of a non-letter symbol -> 1.
+  private val reLatinCont  = Pattern.compile("([a-z\u00e0-\u024f\u1e00-\u1eff])\\1{2,}")
+  private val reSymbolCont = Pattern.compile("([^a-z\u00e0-\u024f\u1e00-\u1eff])\\1{1,}")
+  def collapseRepeats(s: String): String = {
+    val t = reLatinCont.matcher(s).replaceAll("$1$1")
+    reSymbolCont.matcher(t).replaceAll("$1")
+  }
+
+  // ---- B8: whitespace squeeze + trim --------------------------------------
+  private val reSpaces = Pattern.compile("\\s+")
+  def squeeze(s: String): String = reSpaces.matcher(s).replaceAll(" ").trim
+
+  // ---- fused chain ---------------------------------------------------------
+  def apply(raw: String): String = {
+    if (raw == null) return ""
+    squeeze(collapseRepeats(foldDigits(foldCase(rangeFilter(recompose(stripNoise(decodeEntities(raw))))))))
+  }
+
+  // ---- B9: label/text line split ------------------------------------------
+  private val reLabeled = Pattern.compile("\\A([-A-Za-z/]+)\\t(.+)\\z", Pattern.DOTALL)
+
+  /** `label \t text` -> Some((label, text)); bare text -> Some(("", text)). */
+  def parseLine(line: String): Option[(String, String)] = {
+    if (line == null || line.isEmpty) return None
+    val m = reLabeled.matcher(line)
+    if (m.matches()) Some((m.group(1), m.group(2)))
+    else if (line.contains('\t')) None // malformed labeled line
+    else Some(("", line))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Brute-force-oracle tests for the trie, the maximal-substring miner and
+  * the LR trainer (SURVEY.md §5.2 Unit/Property rows). */
+class CoreSpec extends AnyFunSuite {
+
+  // ---------------- DoubleArray ----------------
+
+  test("trie lookup: every key maps to its sorted index, non-keys -1") {
+    val keys = Array("a", "ab", "abc", "b", "ba", "bc", "côté", "ô")
+    val da = DoubleArray.build(keys)
+    val sorted = keys.sorted
+    sorted.zipWithIndex.foreach { case (k, i) => assert(da.lookup(k) == i, k) }
+    Array("", "c", "abd", "aba", "côt", "côtés").foreach { k =>
+      assert(da.lookup(k) == (if (sorted.contains(k)) sorted.indexOf(k) else -1), k)
+    }
+  }
+
+  test("trie extractFeatures == naive scan (seeded property)") {
+    val rnd = new Random(11)
+    (0 until 40).foreach { _ =>
+      val alphabet = "abcd"
+      val keys = (0 until 1 + rnd.nextInt(30)).map { _ =>
+        (0 until 1 + rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct.sorted.toArray
+      val da = DoubleArray.buildSorted(keys)
+      val text = (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = da.extractFeatures(text)
+      // naive: count occurrences of each key as substring
+      keys.zipWithIndex.foreach { case (k, fid) =>
+        var cnt = 0
+        var i = text.indexOf(k)
+        while (i >= 0) { cnt += 1; i = text.indexOf(k, i + 1) }
+        assert(got.getOrElse(fid.toLong, 0) == cnt, s"key=$k text=$text")
+      }
+      assert(got.values.sum == keys.zipWithIndex.map { case (k, _) =>
+        var cnt = 0; var i = text.indexOf(k)
+        while (i >= 0) { cnt += 1; i = text.indexOf(k, i + 1) }
+        cnt
+      }.sum)
+    }
+  }
+
+  test("trie handles larger random key sets") {
+    val rnd = new Random(13)
+    val keys = (0 until 2000).map { _ =>
+      (0 until 1 + rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct.sorted.toArray
+    val da = DoubleArray.buildSorted(keys)
+    keys.zipWithIndex.foreach { case (k, i) => assert(da.lookup(k) == i) }
+    assert(da.lookup("zzzzzzzzzzzzzz") == -1)
+  }
+
+  // ---------------- MaxSubst ----------------
+
+  test("maximal substrings == brute force (seeded property)") {
+    val rnd = new Random(17)
+    (0 until 30).foreach { trial =>
+      val alphabet = "abc"
+      val docs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        (0 until 1 + rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val fast = MaxSubst.extract(docs, minCount = 2, maxLen = 32).toSeq
+      val slow = MaxSubst.bruteForce(docs, minCount = 2, maxLen = 32).toSeq
+      assert(fast == slow, s"trial=$trial docs=$docs")
+    }
+  }
+
+  test("maximal substrings on a known example") {
+    // "abab" has maximal substrings: "ab" occurs twice (left chars:
+    // sentinel + 'b' -> diverse; right: 'a' + sentinel -> diverse).
+    val fs = MaxSubst.extract(Seq("abab"), minCount = 2)
+    assert(fs.exists(f => f.substr == "ab" && f.count == 2))
+  }
+
+  // ---------------- Lr ----------------
+
+  test("softmax is stable and normalized") {
+    val y = Lr.softmaxInPlace(Array(1000.0, 1000.0, 999.0))
+    assert(math.abs(y.sum - 1.0) < 1e-12)
+    assert(math.abs(y(0) - y(1)) < 1e-12 && y(0) > y(2))
+  }
+
+  test("trainer separates a trivially separable problem") {
+    // two classes, disjoint features
+    val examples = IndexedSeq(
+      Lr.Example(0, Array((0, 2), (1, 1))),
+      Lr.Example(1, Array((2, 2), (3, 1))),
+      Lr.Example(0, Array((0, 1))),
+      Lr.Example(1, Array((3, 2))))
+    val w = Lr.train(examples, Lr.TrainConfig(numFeatures = 4, numClasses = 2,
+      epochs = 300, etaDecay = 0.995, reg = 1e-4))
+    examples.foreach { ex =>
+      val y = Lr.predict(ex.events, w, 2)
+      assert(y(ex.label) > 0.9, s"label=${ex.label} y=${y.toSeq}")
+    }
+  }
+
+  test("trainer is deterministic") {
+    val examples = IndexedSeq(
+      Lr.Example(0, Array((0, 1), (2, 1))),
+      Lr.Example(1, Array((1, 1), (3, 1))))
+    val cfg = Lr.TrainConfig(numFeatures = 4, numClasses = 2, epochs = 5)
+    assert(Lr.train(examples, cfg).toSeq == Lr.train(examples, cfg).toSeq)
+  }
+
+  test("L1 drives unused feature weights to zero; shrink compacts") {
+    val examples = IndexedSeq(
+      Lr.Example(0, Array((0, 3))),
+      Lr.Example(1, Array((1, 3))))
+    // feature 2/3 never fire -> zero weights -> shrunk away
+    val w = Lr.train(examples, Lr.TrainConfig(numFeatures = 4, numClasses = 2,
+      epochs = 30, reg = 0.01))
+    val (kept, compact) = Lr.shrink(w, 2)
+    assert(kept.sameElements(Array(0, 1)))
+    assert(compact.length == 4)
+  }
+
+  // ---------------- end-to-end model ----------------
+
+  test("model trained on synth corpus achieves >=97% on held-out split") {
+    val all = Synth.corpus(perLang = 96)
+    val (train, testSet) = Synth.split(all)
+    val model = LdigModel.buildAndTrain(train)
+    assert(model.labels.sameElements(Synth.Languages))
+    var ok = 0
+    testSet.foreach { case (gold, raw) =>
+      if (model.detect(raw)._1 == gold) ok += 1
+    }
+    val acc = ok.toDouble / testSet.size
+    info(f"held-out accuracy: $acc%.4f over ${testSet.size} samples")
+    assert(acc >= 0.97, f"accuracy $acc%.4f below target")
+  }
+
+  test("model save/load roundtrip preserves predictions") {
+    val tiny = Synth.corpus(perLang = 24, langs = Array("de", "en", "fr"))
+    val m = LdigModel.buildAndTrain(tiny)
+    val dir = java.nio.file.Files.createTempDirectory("ldigmodel")
+    m.save(dir)
+    val m2 = LdigModel.load(dir)
+    tiny.take(20).foreach { case (_, raw) =>
+      assert(m.detect(raw) == m2.detect(raw))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class NormalizeSpec extends AnyFunSuite {
+
+  test("B1 html entities") {
+    assert(Normalize.decodeEntities("a &amp; b &lt;c&gt;") == "a & b <c>")
+    assert(Normalize.decodeEntities("caf&eacute; &#233; &#xE9;") == "café é é")
+    assert(Normalize.decodeEntities("&bogus; stays") == "&bogus; stays")
+    assert(Normalize.decodeEntities("no entities") == "no entities")
+  }
+
+  test("B2 twitter noise") {
+    assert(Normalize.squeeze(
+      Normalize.stripNoise("RT @user1: hello http://t.co/abc #tag")) ==
+      "hello tag")
+  }
+
+  test("B3 range filter maps non-latin to space") {
+    assert(Normalize.rangeFilter("abc日本語def") == "abc   def")
+    assert(Normalize.rangeFilter("état ồn") == "état ồn") // latin-ext kept
+  }
+
+  test("B4 digit folding") {
+    assert(Normalize.foldDigits("in 2024 we saw 100 things") == "in 0 we saw 0 things")
+  }
+
+  test("B5 repeat collapse") {
+    assert(Normalize.collapseRepeats("coooool") == "cool")
+    assert(Normalize.collapseRepeats("wow!!!") == "wow!")
+    assert(Normalize.collapseRepeats("aa") == "aa") // 2 letters stay
+  }
+
+  test("B6 turkish I") {
+    assert(Normalize.foldCase("Istanbul") == "istanbul") // no turkish evidence
+    assert(Normalize.foldCase("Işık") == "ışık") // evidence: ş
+    assert(Normalize.foldCase("İstanbul") == "istanbul") // İ -> i, no dot residue
+    assert(!Normalize.foldCase("İ").contains('̇'))
+  }
+
+  test("B7 recompose combining marks") {
+    assert(Normalize.recompose("é") == "é")
+  }
+
+  test("B8 squeeze") {
+    assert(Normalize.squeeze("  a \t b\n\nc  ") == "a b c")
+  }
+
+  test("B9 line parse") {
+    assert(Normalize.parseLine("de\tIch habe einen Traum") ==
+      Some(("de", "Ich habe einen Traum")))
+    assert(Normalize.parseLine("bare text line") == Some(("", "bare text line")))
+    assert(Normalize.parseLine("") == None)
+  }
+
+  test("full chain golden") {
+    assert(Normalize("RT @bob: Cooooool &amp; 2024 http://x.io/a  Voilà!!") ==
+      "cool & 0 voilà!")
+  }
+
+  test("second application never grows the text (seeded property)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(60)).map(_ => (32 + rnd.nextInt(600)).toChar).mkString
+      val once = Normalize(s)
+      assert(Normalize(once).length <= once.length)
+    }
+  }
+
+  test("determinism") {
+    val samples = Synth.corpus(perLang = 8).map(_._2)
+    samples.foreach { s => assert(Normalize(s) == Normalize(s)) }
+  }
+}
