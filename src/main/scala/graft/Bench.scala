@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry (driver-run per round → BENCH_r{N}.json, and run
+  * manually at SPARK_GRAFT_CPUS=8 vs 32 for the N→4N scaling-efficiency
+  * evidence — BASELINE.md "Measured").
+  *
+  * Headline queries: the flagship pipeline (score+decide over the FileRow
+  * view), detection, the dedup family, ANN top-k and two relational aggs.
+  * Reported metric: total wall seconds; `queries` maps each headline to
+  * seconds; `rows_per_sec` is pipeline throughput (decided rows / sec).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // force model build + JVM warmup outside the timed region
+    val bundleFeatures = graft.operators.ScoreStage.defaultBundle.ldig.featureKeys.length
+    System.err.println(s"[bench] model ready ($bundleFeatures features); sf=$sfDir cpus=$cpus")
+
+    val headline = Seq(
+      "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_minhash_dedup",
+      "q_simhash_dedup", "q_ngram_jaccard", "q_ann_topk", "q_doc_stats",
+      "q1_agg", "q3_join")
+
+    var pipelineRows = 0L
+    var pipelineSec = 0.0
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (name == "q_pipeline") { pipelineRows = n; pipelineSec = sec }
+      System.err.println(f"[bench] $name%-16s ${sec}%8.2fs  rows=$n")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val rps = if (pipelineSec > 0) pipelineRows / pipelineSec else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows_per_sec":${f"$rps%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

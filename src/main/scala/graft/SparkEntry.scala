@@ -1,13 +1,268 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Synth
+import graft.functions.Scrub
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (see SURVEY.md §2 for the operator inventory).
+  *
+  * Every operator family has a `queries` entry; every SQL-expressible one
+  * also has a DuckDB oracle in `oracleSql` with IDENTICAL column names
+  * (the driver sorts columns by name before hashing). Model-backed
+  * queries (trie scoring, trained classifiers, hashed signatures) are not
+  * SQL-expressible and get the driver's rows-only check (per the
+  * SparkEntry contract).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The frozen documents→FileRow mapping (FIXTURES.md §3 stand-in): the
+    * pipeline's input table shape over driver-provided data. */
+  def fileRowsFromDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("r"), (col("doc_id") % 50).cast("string")).as("repo"),
+      concat(lit("docs/"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+      md5(col("doc_id").cast("string")).as("commit"),
+      col("lang").as("lang"),
+      col("text").as("content"))
+
+  /** Flagship: full score+decide pipeline on sf0.001 (driver smoke). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.scoreAndDecide(spark,
+      fileRowsFromDocs(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (E1/E4/E5/E6, oracle-checked) ----
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "q3_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q_top_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+    "q_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+    "q_events_window" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    }),
+
+    // ---- text analysis (oracle-checked) ----
+    "q_doc_stats" -> ((s, dir) => {
+      val base = docs(s, dir)
+      TextAnalysis.qualityColumns(col("text"))
+        .foldLeft(base.select(col("doc_id"), col("text")))((d, nc) =>
+          d.withColumn(nc._1, nc._2))
+        .drop("text")
+    }),
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir).groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          sum(TextAnalysis.subwordCount(col("text"))).as("total_subwords"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q_lang_dist" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))),
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 5, minJaccard = 0.5)),
+    "q_scrub" -> ((s, dir) => {
+      val scrubUdf = udf((t: String) => Scrub(t).scrubbed)
+      docs(s, dir).select(col("doc_id"),
+        scrubUdf(col("text")).as("content_scrubbed"))
+        .withColumn("content_sha256", sha2(col("content_scrubbed"), 256))
+    }),
+
+    // ---- model-backed (rows-only check: not SQL-expressible) ----
+    "q_ldig_detect" -> ((s, dir) => {
+      val bundle = ScoreStage.defaultBundle
+      val bc = s.sparkContext.broadcast(bundle)
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = bc.value.ldig
+          it.map { case (id, t) =>
+            val (p, prob) = m.detect(t)
+            (id, p, math.rint(prob * 10000) / 10000)
+          }
+        }.toDF("doc_id", "lang_pred", "lang_prob")
+    }),
+    "q_langid_heuristic" -> ((s, dir) => {
+      val langUdf = udf(TextAnalysis.langIdHeuristic)
+      docs(s, dir).groupBy(col("lang"), langUdf(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_pipeline" -> ((s, dir) => {
+      Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
+        .select(col("repo"), col("path"), col("commit"),
+          col("lang_pred"), round(col("lang_prob"), 4).as("lang_prob"),
+          col("langid_agree"), round(col("ppl"), 2).as("ppl"),
+          col("quality_flags"), col("keep"),
+          col("content_sha256"), col("partition_id"))
+    }),
+    "q_audit" -> ((s, dir) => {
+      val decided = Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
+      Pipeline.auditRows(decided)
+    }),
+    "q_keep_summary" -> ((s, dir) => {
+      Pipeline.langDistribution(
+        Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir)))
+    }),
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+    "q_simhash_dedup" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)),
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.fingerprint(col("text")).as("fingerprint"))),
+    "q_emb_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding",
+        dim = 64, planes = 12, bandsOf = 3, minCosine = 0.45)
+        .withColumn("cosine", round(col("cosine"), 4))),
+    "q_ann_topk" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.where(col("vec_id") < 10)
+      Similarity.bruteForceTopK(all, queries, "vec_id", "embedding", "vec_id", 10)
+        .withColumn("score", round(col("score"), 4))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.where(col("vec_id") < 10)
+      Similarity.lshTopK(all, queries, "vec_id", "embedding", "vec_id",
+        10, dim = 64, planes = 6)
+        .withColumn("score", round(col("score"), 4))
+    }),
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
+        .withColumn("mean_byte", round(col("mean_byte"), 4)))
+  )
+
+  /** DuckDB oracles — column names MUST match the Spark results above. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_top_orders" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY 1
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 / length(text)
+        |    ELSE 0 END, 4) AS alnum_frac,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+        |    ELSE 0 END, 4) AS punct_frac,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text)
+        |    ELSE 0 END, 4) AS upper_frac,
+        |  round(CASE WHEN length(trim(text)) > 0 THEN
+        |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+'))
+        |    ELSE 0 END, 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_lang_dist" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+    "q_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash,
+        |  min(doc_id) AS representative_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |  n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+        |FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5""".stripMargin,
+    "q_scrub" ->
+      s"""SELECT doc_id,
+         |  ${Scrub.oracleSqlExpr("text")} AS content_scrubbed,
+         |  sha256(${Scrub.oracleSqlExpr("text")}) AS content_sha256
+         |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.core.{Lr, Normalize}
+
+/** Hashing-trick char-n-gram linear softmax classifier — the independent
+  * langid cross-check (SURVEY.md §2 H4; design basis: Joulin et al. 2016
+  * "Bag of Tricks for Efficient Text Classification"). Trained from
+  * scratch on the synthetic corpus — no external lid.176.bin exists in
+  * this sandbox (zero egress).
+  *
+  * Features: char n-grams n=2..4 over `<normalized>` (boundary markers),
+  * FNV-1a hashed into `buckets`. Deliberately a different feature family
+  * than the infinity-gram detector so agreement between the two is a real
+  * signal (`langid_agree`).
+  */
+final class FastTextLite private (
+    val labels: Array[String],
+    weights: Array[Double],
+    buckets: Int) extends Serializable {
+
+  def predictWithProb(raw: String): (String, Double) = {
+    val events = FastTextLite.featurize(Normalize(raw), buckets)
+    val y = Lr.predict(events, weights, labels.length)
+    var best = 0
+    var i = 1
+    while (i < y.length) { if (y(i) > y(best)) best = i; i += 1 }
+    (labels(best), y(best))
+  }
+
+  def predict(raw: String): String = predictWithProb(raw)._1
+}
+
+object FastTextLite {
+
+  final val DefaultBuckets = 1 << 16
+
+  /** FNV-1a over chars, folded into [0, buckets). */
+  @inline private def hash(s: String, from: Int, until: Int, buckets: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    math.floorMod(h, buckets)
+  }
+
+  /** Hashed n-gram (2..4) count events over `<text>`, ascending bucket id. */
+  def featurize(normalized: String, buckets: Int = DefaultBuckets): Array[(Int, Int)] = {
+    val s = "<" + normalized + ">"
+    val counts = new scala.collection.mutable.LongMap[Int](128)
+    var n = 2
+    while (n <= 4) {
+      var i = 0
+      while (i + n <= s.length) {
+        val b = hash(s, i, i + n, buckets).toLong
+        counts.put(b, counts.getOrElse(b, 0) + 1)
+        i += 1
+      }
+      n += 1
+    }
+    val arr = new Array[(Int, Int)](counts.size)
+    var j = 0
+    counts.foreach { case (k, v) => arr(j) = (k.toInt, v); j += 1 }
+    java.util.Arrays.sort(arr, (a: (Int, Int), b: (Int, Int)) => Integer.compare(a._1, b._1))
+    arr
+  }
+
+  /** Train on a labeled raw corpus. Deterministic (seeded, sequential). */
+  def train(corpus: Seq[(String, String)],
+            buckets: Int = DefaultBuckets,
+            epochs: Int = 10): FastTextLite = {
+    val labels = corpus.map(_._1).distinct.sorted.toArray
+    val idx = labels.zipWithIndex.toMap
+    val examples = corpus.map { case (l, raw) =>
+      Lr.Example(idx(l), featurize(Normalize(raw), buckets))
+    }.toIndexedSeq
+    val w = Lr.train(examples, Lr.TrainConfig(
+      numFeatures = buckets, numClasses = labels.length,
+      epochs = epochs, reg = 1e-6, eta0 = 0.2))
+    new FastTextLite(labels, w, buckets)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.core.Normalize
+import scala.collection.mutable
+
+/** Per-language character-trigram language model with add-k smoothing —
+  * the perplexity scorer of the quality pipeline (SURVEY.md §2 H5; design
+  * basis: CCNet-style perplexity filtering, Wenzek et al. 2020, with a
+  * char-n-gram LM instead of an external KenLM — no external models exist
+  * in this sandbox).
+  *
+  * Keys are 3 chars packed into a Long (16 bits each); context counts are
+  * 2 chars packed. Immutable after build; broadcast-safe.
+  */
+final class NGramLM private (
+    val langs: Array[String],
+    triCounts: Array[mutable.LongMap[Int]],
+    biCounts: Array[mutable.LongMap[Int]],
+    vocabSize: Int,
+    k: Double) extends Serializable {
+
+  @inline private def tri(a: Char, b: Char, c: Char): Long =
+    (a.toLong << 32) | (b.toLong << 16) | c.toLong
+  @inline private def bi(a: Char, b: Char): Long =
+    (a.toLong << 16) | b.toLong
+
+  @transient private lazy val langIdx: Map[String, Int] = langs.zipWithIndex.toMap
+
+  /** Perplexity of *normalized* text under language `lang`; lower = more
+    * natural. Unknown language or text shorter than 3 chars -> +Inf guard
+    * value 1e9 (deterministic). */
+  def perplexity(normalized: String, lang: String): Double = {
+    val li = langIdx.getOrElse(lang, -1)
+    if (li < 0 || normalized.length < 3) return 1e9
+    val t = triCounts(li)
+    val b = biCounts(li)
+    var logSum = 0.0
+    var n = 0
+    var i = 2
+    while (i < normalized.length) {
+      val c1 = normalized.charAt(i - 2)
+      val c2 = normalized.charAt(i - 1)
+      val c3 = normalized.charAt(i)
+      val num = t.getOrElse(tri(c1, c2, c3), 0) + k
+      val den = b.getOrElse(bi(c1, c2), 0) + k * vocabSize
+      logSum += math.log(num / den)
+      n += 1
+      i += 1
+    }
+    math.exp(-logSum / n)
+  }
+}
+
+object NGramLM {
+
+  /** Train from a labeled raw corpus (label, rawText); text is normalized
+    * with the same chain as detection. Deterministic. */
+  def train(corpus: Seq[(String, String)], k: Double = 0.1): NGramLM = {
+    val langs = corpus.map(_._1).distinct.sorted.toArray
+    val idx = langs.zipWithIndex.toMap
+    val tri = Array.fill(langs.length)(new mutable.LongMap[Int](1024))
+    val bi = Array.fill(langs.length)(new mutable.LongMap[Int](1024))
+    val vocab = mutable.Set.empty[Char]
+    corpus.foreach { case (lang, raw) =>
+      val s = Normalize(raw)
+      val li = idx(lang)
+      var i = 0
+      while (i < s.length) { vocab += s.charAt(i); i += 1 }
+      i = 2
+      while (i < s.length) {
+        val kt = (s.charAt(i - 2).toLong << 32) | (s.charAt(i - 1).toLong << 16) | s.charAt(i).toLong
+        val kb = (s.charAt(i - 2).toLong << 16) | s.charAt(i - 1).toLong
+        tri(li).put(kt, tri(li).getOrElse(kt, 0) + 1)
+        bi(li).put(kb, bi(li).getOrElse(kb, 0) + 1)
+        i += 1
+      }
+    }
+    new NGramLM(langs, tri, bi, math.max(vocab.size, 1), k)
+  }
+}

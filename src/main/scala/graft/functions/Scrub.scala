@@ -1,0 +1,66 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+/** Regex PII + toxicity scrub (SURVEY.md §2 H1/H2; no reference analogue —
+  * design basis is the published BigCode/The-Stack PII pipeline shape:
+  * typed placeholders, fixed rule order).
+  *
+  * EXACTNESS CONTRACT: the pattern list, its order, and the placeholder
+  * strings are FROZEN — `sha256(content_scrubbed)` is the per-row invariant
+  * (BASELINE.json:15), so any change here is a format break. Patterns are
+  * deliberately RE2-compatible (no backreferences / lookaround) so the
+  * DuckDB oracle can replay the chain verbatim (FIXTURES.md §5).
+  */
+object Scrub {
+
+  /** (name, pattern, replacement) applied in this exact order. */
+  val rules: IndexedSeq[(String, Pattern, String)] = IndexedSeq(
+    ("email", Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), "<EMAIL>"),
+    ("aws_key", Pattern.compile("\\bAKIA[0-9A-Z]{16}\\b"), "<KEY>"),
+    ("github_token", Pattern.compile("\\bghp_[A-Za-z0-9]{30,40}\\b"), "<KEY>"),
+    ("secret_assign", Pattern.compile(
+      "(?i)\\b(?:api_key|apikey|secret|token|passwd|password)\\s*[:=]\\s*[A-Za-z0-9/+_-]{8,}"), "<KEY>"),
+    ("ipv4", Pattern.compile("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"), "<IP>"),
+    ("toxic", Pattern.compile(
+      "(?i)\\b(?:fuck|shit|bitch|asshole|bastard|damn|crap)\\b"), "<TOXIC>")
+  )
+
+  /** The same chain as ANSI SQL for the DuckDB oracle (FIXTURES.md §5). */
+  def oracleSqlExpr(col: String): String =
+    rules.foldLeft(col) { case (acc, (_, p, rep)) =>
+      val pat = p.pattern().replace("'", "''")
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+
+  final case class Result(scrubbed: String, piiHits: Int, toxicHits: Int)
+
+  /** Apply the frozen chain; counts hits per category. Pure, deterministic. */
+  def apply(content: String): Result = {
+    if (content == null) return Result("", 0, 0)
+    var s = content
+    var pii = 0
+    var toxic = 0
+    var i = 0
+    while (i < rules.length) {
+      val (name, pat, rep) = rules(i)
+      val m = pat.matcher(s)
+      var hits = 0
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start()).append(rep)
+        last = m.end()
+        hits += 1
+      }
+      if (hits > 0) {
+        sb.append(s, last, s.length)
+        s = sb.toString
+        if (name == "toxic") toxic += hits else pii += hits
+      }
+      i += 1
+    }
+    Result(s, pii, toxic)
+  }
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash and exact n-gram Jaccard. No reference analogue
+  * (shuyo/ldig has no dedup); design basis: published MinHash/LSH
+  * (Broder 1997) and SimHash (Charikar 2002) as used by C4/The-Stack
+  * dedup stages.
+  *
+  * Scale notes (100 TB): every operator is shuffle-bounded by design —
+  * exact dedup shuffles one 32-byte hash per row; MinHash/SimHash shuffle
+  * (bands × rows) small keys and self-join only within buckets; nothing
+  * ever materializes the full pairwise matrix. Candidate pairs are
+  * emitted with `id_a < id_b` so downstream `distinct` stays cheap.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * minimal id as representative and the duplicate count.
+    * Map-side partial agg (HashAggregate) → single shuffle of hashes. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("representative_id"),
+           count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Word shingles of size `k` as one array column (empty-safe). */
+  def wordShingles(textCol: Column, k: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    // slide a window of k tokens; null when fewer than k tokens
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** Deterministic 64-bit hash per shingle (xxhash64, Spark-native). */
+  private def shingleHashes(textCol: Column, k: Int): Column =
+    transform(wordShingles(textCol, k), s => xxhash64(s))
+
+  /** MinHash signature: `numHashes` hash-family members realized as
+    * xxhash64(shingleHash, i) — overflow-free under ANSI mode (Spark 4
+    * default), min over the shingle set. Pure Catalyst `aggregate` —
+    * codegen'd, no UDF. */
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
+    val hashes = shingleHashes(textCol, k)
+    val sig = (0 until numHashes).map { i =>
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, lit(i))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs: signature split into `bands`; docs sharing any
+    * full band land in a bucket; pairs emitted per bucket via a self-join
+    * on (band_id, band_hash). Returns (id_a, id_b) with id_a < id_b,
+    * distinct. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .where(size(split(trim(col(textCol)), "\\s+")) >= shingleK)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val buckets = withSig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "band_id", "band_hash")
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word-token hashes: bit j of the fingerprint is the
+    * sign of the sum over tokens of (+1 if bit j of xxhash64(token) else
+    * -1). Pure Catalyst: per-bit weighted sums via aggregate(). */
+  def simhash(textCol: Column): Column = {
+    val tokHashes = transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(tokHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits; candidates share a band,
+    * then exact Hamming distance <= maxHamming is verified in Catalyst
+    * (bit_count of xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sig", "band_id", "band_val")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ------------------------------------------------------------------
+  // Exact n-gram Jaccard (the oracle-checkable dedup)
+  // ------------------------------------------------------------------
+
+  /** Exact Jaccard over distinct word-k-gram shingles, computed the
+    * relational way (explode → self-join on shingle → |∩| / (|A|+|B|-|∩|)).
+    * SQL-expressible, so the DuckDB oracle replays it verbatim. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleK)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.alias("sa")
+    val b = sh.alias("sb")
+    val inter = a.join(b, col("sa.shingle") === col("sb.shingle") &&
+        col("sa.id") < col("sb.id"))
+      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Embedding near-dup: cosine >= `minCosine` via random-hyperplane LSH
+    * bucketing + in-bucket exact cosine (no full pairwise matrix). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, planes: Int = 12, bandsOf: Int = 6,
+                        minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val signBits = (0 until planes).map { p =>
+      val dot = (0 until dim).map(d =>
+        element_at(col(vecCol), d + 1) * lit(hyper(p)(d))).reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    // planes/bandsOf bands of `bandsOf` sign bits each -> near vectors
+    // share >=1 full band (recall rises with band count, precision with
+    // band width; the exact cosine rerank removes false positives)
+    val sig = signBits.reduce(_ + _)
+    val nBands = math.max(1, planes / bandsOf)
+    val bandCols = (0 until nBands).map(b =>
+      shiftright(col("sig"), b * bandsOf).bitwiseAND(lit((1L << bandsOf) - 1)))
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+      .select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+      .toDF("id", "v", "band_id", "band_val")
+    val a = withB.alias("a")
+    val b = withB.alias("b")
+    val dotAb = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    def norm(c: Column) = sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dotAb / (norm(col("a.v")) * norm(col("b.v")))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+  }
+
+  /** Winnowing-style document fingerprint: min xxhash64 over word 3-gram
+    * shingles — a cheap stable doc identity for fuzzy dedup triage. */
+  def fingerprint(textCol: Column): Column =
+    aggregate(transform(wordShingles(textCol, 3), s => xxhash64(s)),
+      lit(Long.MaxValue), (acc, h) => least(acc, h))
+}

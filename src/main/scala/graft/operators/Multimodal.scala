@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract run as batched
+  * per-partition transforms (the Scala analogue of `mapInPandas`).
+  *
+  * THE DECODE IS A STUB: no image/audio codec ships in this container, so
+  * `fakeDecode` below produces a deterministic stand-in (byte-derived
+  * pseudo dimensions + a mean-byte "feature"). The Spark-side plumbing —
+  * schema, batching, partition flow, column lineage — is real and tested;
+  * swap `fakeDecode` for a JNI/codec call in production.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, mean_byte: Double)
+
+  /** Deterministic stand-in for a codec: dimensions and a scalar feature
+    * derived purely from the bytes. Replace with a real decoder on a
+    * cluster with codec libraries. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0.0)
+    else {
+      val w = 1 + (java.lang.Byte.toUnsignedInt(payload(0)) % 64)
+      val h = 1 + (java.lang.Byte.toUnsignedInt(payload(payload.length - 1)) % 64)
+      var s = 0L
+      var i = 0
+      while (i < payload.length) { s += java.lang.Byte.toUnsignedInt(payload(i)); i += 1 }
+      (w, h, s.toDouble / payload.length)
+    }
+  }
+
+  /** Batched decode over partitions: one closure instantiation per
+    * partition (where a real codec would be initialized once), rows
+    * streamed through it — the mapInPandas shape. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition init point for a real decoder
+      it.map { r =>
+        val (w, h, m) = fakeDecode(r.payload)
+        MediaFeatures(r.media_id, r.kind,
+          if (r.payload == null) 0 else r.payload.length, w, h, m)
+      }
+    }.toDF()
+  }
+
+  /** Build a deterministic media table from the embeddings fixture: the
+    * float vectors serialized big-endian stand in for encoded payloads
+    * (TESTDATA has no binary table; this keeps inputs driver-provided). */
+  def mediaFromEmbeddings(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toBytes = udf { (v: Seq[Float]) =>
+      val bb = java.nio.ByteBuffer.allocate(v.length * 4)
+      v.foreach(bb.putFloat)
+      bb.array()
+    }
+    embeddings.select(
+      col("vec_id").as("media_id"),
+      concat(lit("img/"), (col("label") % 3).cast("string")).as("kind"),
+      toBytes(col("embedding")).as("payload"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.sources.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship keep/drop + scrub pipeline (SURVEY.md §3.4):
+  *
+  * {{{
+  * TableIO.read → resume anti-join (G4)
+  *   → salted repartition by repo-hash (G1)        [shuffle 1]
+  *   → ScoreStage (G3, narrow fused)               [narrow]
+  *   → keep/drop (H6, Catalyst)
+  *   → decided write (A5) + audit append (A6) + lang-dist agg (E9, AQE)
+  * }}}
+  *
+  * Scale design (100 TB / 10^12 files): exactly two shuffles — the salted
+  * repartition and the final aggregation; everything between is narrow, so
+  * N→4N executors scales ~linearly (SURVEY §4.4). Partition identity is
+  * LOGICAL — `pmod(xxhash64(repo, path), P)` — so the row→partition map is
+  * independent of cluster size and the audit table supports idempotent
+  * resume at any parallelism. Mega-repo skew is broken by hashing (repo,
+  * path), not repo alone: one repo with 40% of rows spreads uniformly
+  * while audit lineage stays deterministic.
+  */
+object Pipeline {
+
+  final case class Config(
+      runId: String = "run-0",
+      numLogicalPartitions: Int = 256,
+      inputTable: String = "",
+      decidedTable: String = "",
+      auditTable: String = "")
+
+  /** Deterministic logical partition id (G1/G4). */
+  def partitionId(numPartitions: Int) =
+    pmod(xxhash64(col("repo"), col("path")), lit(numPartitions.toLong)).cast("int")
+
+  /** Score + decide, with lineage column. `input` must have the FileRow
+    * schema. Narrow except the explicit salted repartition. */
+  def scoreAndDecide(spark: SparkSession, input: DataFrame,
+                     cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val withPid = input.withColumn("partition_id", partitionId(cfg.numLogicalPartitions))
+    // shuffle 1: co-locate each logical partition (salted by (repo,path)
+    // hash, so mega-repos spread; AQE may coalesce small outputs)
+    val parts = math.min(cfg.numLogicalPartitions,
+      spark.sparkContext.defaultParallelism * 2)
+    val repartitioned = withPid.repartition(parts, col("partition_id"))
+    val rows = repartitioned.select("repo", "path", "commit", "lang", "content")
+      .as[graft.core.Synth.FileRow]
+    val scored = ScoreStage(spark, rows)
+    // re-derive the lineage column (pure hash — cheaper than dragging it
+    // through the typed stage) and stamp the run
+    scored
+      .withColumn("partition_id", partitionId(cfg.numLogicalPartitions))
+      .withColumn("run_id", lit(cfg.runId))
+  }
+
+  /** Per-partition lineage metrics (A6): one row per logical partition —
+    * the idempotent-resume key is (run_id, partition_id). */
+  def auditRows(decided: DataFrame): DataFrame =
+    decided.groupBy("run_id", "partition_id").agg(
+      count(lit(1)).as("input_rows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_rows"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("dropped_rows"),
+      sum(col("pii_hits") + col("toxic_hits")).as("scrub_hits"),
+      sum(length(col("content"))).as("bytes_in"),
+      lit("ok").as("status"))
+
+  /** E9: AQE-tuned lang-distribution aggregation. */
+  def langDistribution(decided: DataFrame): DataFrame =
+    decided.groupBy("lang_pred", "keep").agg(count(lit(1)).as("n"))
+
+  /** Full run with idempotent resume: partitions already present in the
+    * audit table for this run_id are anti-joined away before scoring
+    * (G4; broadcast-hash — the audit side is tiny). */
+  def run(spark: SparkSession, io: TableIO, cfg: Config): Unit = {
+    val input = io.read(spark, cfg.inputTable)
+    val pending =
+      if (io.exists(spark, cfg.auditTable)) {
+        val done = io.read(spark, cfg.auditTable)
+          .where(col("run_id") === lit(cfg.runId))
+          .select(col("partition_id")).distinct()
+        input
+          .withColumn("partition_id", partitionId(cfg.numLogicalPartitions))
+          .join(broadcast(done), Seq("partition_id"), "left_anti")
+          .drop("partition_id")
+      } else input
+    val decided = scoreAndDecide(spark, pending, cfg).cache()
+    try {
+      io.append(decided, cfg.decidedTable)
+      io.append(auditRows(decided)
+        .withColumn("wall_ms", lit(0L)) // stamped by the caller's timer
+        .withColumn("ts", current_timestamp()), cfg.auditTable)
+    } finally decided.unpersist()
+  }
+}

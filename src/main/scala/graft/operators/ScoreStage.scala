@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.core.{LdigModel, Lr, Normalize, Synth}
+import graft.functions.{FastTextLite, NGramLM, Quality, Scrub}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The fused narrow scoring stage (SURVEY.md §2 G3 / §3.4): one
+  * `mapPartitions` applying normalize → ldig score → fastText cross-check →
+  * perplexity → quality stats → PII/toxicity scrub per row, with every
+  * model decoded ONCE per partition from a single broadcast bundle.
+  *
+  * The keep/drop decision (H6) is deliberately NOT inside the closure: it
+  * is a plain Catalyst boolean over the produced columns, so it stays
+  * explainable, auditable and codegen'd (`sha2` likewise runs as a native
+  * expression, not JVM-side in the closure).
+  */
+object ScoreStage {
+
+  /** Everything the executors need, built deterministically on the driver
+    * (seed 42) and broadcast once. ~a few MB after L1 shrink. */
+  final case class ModelBundle(
+      ldig: LdigModel,
+      fasttext: FastTextLite,
+      lm: NGramLM) extends Serializable
+
+  /** Frozen decision thresholds (H6). */
+  final val MinLangProb = 0.5
+  final val MaxPerplexity = 2000.0
+
+  lazy val defaultBundle: ModelBundle = {
+    val corpus = Synth.corpus(perLang = 96)
+    ModelBundle(
+      LdigModel.buildAndTrain(corpus),
+      FastTextLite.train(corpus),
+      NGramLM.train(corpus))
+  }
+
+  /** Scored row: FileRow ⊕ detection/quality columns (SURVEY §1.2). */
+  final case class Scored(
+      repo: String, path: String, commit: String, lang: String,
+      content: String,
+      lang_pred: String, lang_prob: Double, ft_pred: String,
+      ppl: Double, quality_flags: Array[String],
+      pii_hits: Int, toxic_hits: Int,
+      content_scrubbed: String)
+
+  /** The natural-language view of a code file: comment lines (slash-slash,
+    * hash, dash-dash, block-comment markers) with markers stripped; falls
+    * back to the whole content when no comments exist. The lang-ID never
+    * sees raw code tokens (SURVEY §2 B2 note: B-ops apply to the lang-ID
+    * view only, never to stored content). */
+  def naturalText(content: String): String = {
+    if (content == null || content.isEmpty) return ""
+    val sb = new java.lang.StringBuilder
+    content.split('\n').foreach { line =>
+      val t = line.trim
+      val stripped =
+        if (t.startsWith("//")) t.substring(2)
+        else if (t.startsWith("#") && !t.startsWith("#!")) t.substring(1)
+        else if (t.startsWith("--")) t.substring(2)
+        else if (t.startsWith("/*")) t.substring(2).stripSuffix("*/")
+        else if (t.startsWith("*")) t.substring(1).stripSuffix("*/")
+        else null
+      if (stripped != null && stripped.nonEmpty) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(stripped.trim)
+      }
+    }
+    if (sb.length == 0) content else sb.toString
+  }
+
+  /** Score one row against a decoded bundle. Pure; used by both the batch
+    * and the streaming stage. */
+  def scoreRow(b: ModelBundle)(r: Synth.FileRow): Scored = {
+    val natural = naturalText(r.content)
+    val norm = Normalize(natural)
+    // ldig detection on the normalized natural-language view
+    val (pred, prob) =
+      if (norm.length < 2) ("und", 0.0) // B10 length guard
+      else {
+        val y = Lr.predict(b.ldig.featurize(norm), b.ldig.weights, b.ldig.numClasses)
+        var best = 0
+        var k = 1
+        while (k < y.length) { if (y(k) > y(best)) best = k; k += 1 }
+        (b.ldig.labels(best), y(best))
+      }
+    val ft = if (norm.length < 2) "und" else b.fasttext.predict(natural)
+    val ppl = if (norm.length < 3) 1e9 else b.lm.perplexity(norm, pred)
+    val scrub = Scrub(r.content)
+    val qf0 = Quality.flags(r.content)
+    val qf = if (scrub.toxicHits > 0) qf0 :+ "toxic" else qf0
+    Scored(r.repo, r.path, r.commit, r.lang, r.content,
+      pred, prob, ft, ppl, qf, scrub.piiHits, scrub.toxicHits, scrub.scrubbed)
+  }
+
+  /** Batch stage: Dataset[FileRow] → DataFrame with all scored columns +
+    * `langid_agree`, `keep`, `content_sha256` (Catalyst expressions). */
+  def apply(spark: SparkSession, rows: Dataset[Synth.FileRow],
+            bundle: ModelBundle = defaultBundle): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bundle)
+    val scored = rows.mapPartitions { it =>
+      val b = bc.value // decoded once per partition
+      it.map(scoreRow(b))
+    }
+    withDecision(scored.toDF())
+  }
+
+  /** H6 keep/drop + invariant columns as pure Catalyst expressions. */
+  def withDecision(scored: DataFrame): DataFrame = {
+    val fatal = Quality.FatalFlags.toSeq.sorted.map(lit)
+    scored
+      .withColumn("langid_agree", col("ft_pred") === col("lang_pred"))
+      .withColumn("content_sha256", sha2(col("content_scrubbed"), 256))
+      .withColumn("keep",
+        col("lang_prob") >= lit(MinLangProb) &&
+        col("langid_agree") &&
+        col("ppl") <= lit(MaxPerplexity) &&
+        !arrays_overlap(col("quality_flags"), array(fatal: _*)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Baseline: exact brute-force cosine top-k; scale path:
+  * random-hyperplane LSH bucketing that prunes the candidate set before
+  * the exact rerank.
+  *
+  * Scale notes (100 TB): queries are broadcast (small side); scoring is a
+  * narrow map over the corpus; the ONLY shuffle is the per-query top-k
+  * merge, and a per-partition pre-top-k caps its size at
+  * (#partitions × k × #queries) rows regardless of corpus size. The LSH
+  * variant additionally prunes the scored rows by bucket equality.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Exact cosine top-k for each query vector. `queries` must be small
+    * (broadcast). Two-phase: per-partition local top-k (narrow), then the
+    * global window over the pruned set. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qidCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"))))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("score"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    // phase 1: local top-k inside each scan partition — keeps the shuffle
+    // at (#partitions * queries * k) rows
+    val localPruned = scored
+      .withColumn("p", spark_partition_id())
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("p", "query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("lr") <= k).drop("p", "lr")
+    // phase 2: global top-k per query
+    localPruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Random-hyperplane bucket id (LSH) for a vector column. */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map(d =>
+        element_at(vecCol, d + 1) * lit(hyper(p)(d))).reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k with `tables` independent hyperplane sets
+    * (standard multi-table LSH: recall is governed by the union of table
+    * collisions — one table alone has poor recall on high-dim data).
+    * Scoring happens only within a query's buckets; candidates are
+    * deduped before the exact cosine rerank. Recall trades against
+    * `planes` (bucket size) and `tables` (probe count). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qidCol: String,
+              k: Int, dim: Int, planes: Int = 8, tables: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      posexplode(buckets)).toDF("neighbor_id", "cv", "table_id", "bucket")
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(buckets)).toDF("query_id", "qv", "table_id", "bucket")
+    c.join(broadcast(q), Seq("table_id", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cv", "qv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.core.Normalize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a documents table: token counting,
+  * quality scoring, lightweight stopword-based language ID, and document
+  * fingerprinting. Everything here is pure Catalyst where possible so
+  * filters/projections push down and the DuckDB oracle can replay it
+  * (FIXTURES.md §5); only the n-gram heuristic needs a closure.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, empty-safe (Catalyst; SQL-expressible). */
+  def tokenCount(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0)
+      .otherwise(size(split(trim(textCol), "\\s+")))
+
+  /** BPE-ish subword count: word chunks + digit runs + punctuation singles —
+    * the usual pre-tokenizer regex family (public GPT-2 style), counted via
+    * regexp extraction. SQL-expressible. */
+  def subwordCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-doc quality statistics, all Catalyst (SQL-expressible):
+    * alnum_frac, punct_frac, avg token length, uppercase fraction. */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val len = length(textCol).cast("double")
+    val alnum = length(regexp_replace(textCol, "[^A-Za-z0-9]", "")).cast("double")
+    val punct = length(regexp_replace(textCol, "[^.,;:!?]", "")).cast("double")
+    val upper = length(regexp_replace(textCol, "[^A-Z]", "")).cast("double")
+    Seq(
+      "n_chars_calc" -> length(textCol),
+      "n_tokens" -> tokenCount(textCol),
+      "alnum_frac" -> round(when(len > 0, alnum / len).otherwise(0.0), 4),
+      "punct_frac" -> round(when(len > 0, punct / len).otherwise(0.0), 4),
+      "upper_frac" -> round(when(len > 0, upper / len).otherwise(0.0), 4),
+      "avg_token_len" -> round(when(tokenCount(textCol) > 0,
+        length(regexp_replace(textCol, "\\s+", "")).cast("double") / tokenCount(textCol))
+        .otherwise(0.0), 4))
+  }
+
+  /** Stopword tables for the heuristic language ID — tiny function-word
+    * lists (public common words). */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "mit", "für"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "je", "une", "avec", "pour"),
+    "es" -> Set("el", "la", "los", "y", "es", "no", "una", "con", "para", "que"),
+    "zh" -> Set.empty) // non-Latin: decided by script detection below
+
+  /** Heuristic language ID: CJK script share first, then stopword hit
+    * ratio. Deterministic closure (not SQL-expressible — rows-only check). */
+  val langIdHeuristic: String => String = { text =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      var cjk = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)) cjk += 1
+        i += 1
+      }
+      if (cjk * 10 >= text.length) "zh"
+      else {
+        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (toks.isEmpty) "und"
+        else {
+          val scores = stopwords.map { case (lang, sw) =>
+            lang -> toks.count(sw.contains)
+          }
+          val (best, hits) = scores.maxBy { case (l, h) => (h, l) }
+          if (hits == 0) "und" else best
+        }
+      }
+    }
+  }
+
+  /** documents table + analysis columns (lang-ID heuristic + fingerprint
+    * closures, quality stats in Catalyst). */
+  def analyze(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val langUdf = udf(langIdHeuristic)
+    val base = qualityColumns(col("text")).foldLeft(docs) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    base
+      .withColumn("lang_guess", langUdf(col("text")))
+      .withColumn("fingerprint", Dedup.fingerprint(col("text")))
+  }
+}

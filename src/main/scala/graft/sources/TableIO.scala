@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thin table abstraction (SURVEY.md §2 A4/A5): the production target is an
+  * Iceberg catalog table of source-code repos at 10^12-file scale
+  * (BASELINE.json input_hint), but no Iceberg runtime jar ships in this
+  * sandbox — so the Parquet implementation is the tested local stand-in and
+  * the Iceberg implementation rides behind the same trait, compiled but
+  * exercised only where the runtime is present.
+  *
+  * Keep this thin: no parquet-ism (overwrite semantics, path layout) may
+  * leak into pipeline logic (SURVEY §7.4.5).
+  */
+trait TableIO extends Serializable {
+  def read(spark: SparkSession, table: String): DataFrame
+  def append(df: DataFrame, table: String): Unit
+  def overwrite(df: DataFrame, table: String): Unit
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+/** Local/test implementation: `table` is a filesystem path. */
+object ParquetTableIO extends TableIO {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(table)
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(table)
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}
+
+/** Cluster implementation: `table` is a catalog identifier. Requires the
+  * iceberg-spark-runtime jar on the classpath (absent in this sandbox —
+  * SURVEY §7.1); resolved via the session catalog at runtime. */
+object IcebergTableIO extends TableIO {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("iceberg").load(table)
+  def append(df: DataFrame, table: String): Unit =
+    df.writeTo(table).append()
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.writeTo(table).replace()
+  def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+}

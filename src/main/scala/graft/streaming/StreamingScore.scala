@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.core.Synth
+import graft.operators.ScoreStage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest variant of the scoring stage (SURVEY.md §2 J): the
+  * whole G3 stage is stateless and narrow, so it drops into
+  * `readStream → transform → writeStream` unchanged — same broadcast
+  * bundle, same per-row function, exactly-once via checkpoint + file sink.
+  * No watermarks/stateful ops are needed (the reference is batch-only;
+  * this exists so a Kafka/file-drop ingest can reuse the pipeline).
+  */
+object StreamingScore {
+
+  val fileRowSchema: StructType = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  /** Streaming DataFrame of scored+decided rows from a parquet drop dir. */
+  def fromParquetDir(spark: SparkSession, dir: String,
+                     bundle: ScoreStage.ModelBundle = ScoreStage.defaultBundle): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bundle)
+    val stream = spark.readStream.schema(fileRowSchema).parquet(dir)
+    val scored = stream.as[Synth.FileRow].mapPartitions { it =>
+      val b = bc.value
+      it.map(ScoreStage.scoreRow(b))
+    }
+    ScoreStage.withDecision(scored.toDF())
+  }
+}
