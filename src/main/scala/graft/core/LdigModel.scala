@@ -27,16 +27,17 @@ final class LdigModel(
 
   def numClasses: Int = labels.length
 
-  /** Feature events of a *normalized* text, ascending feature id (float
-    * reproducibility — SURVEY §7.4.2). Text is wrapped in U+0001 sentinels
-    * like the reference's extract_features. */
-  def featurize(normalized: String): Array[(Int, Int)] = {
+  /** Packed feature events (Lr.packEvent) of a *normalized* text, ascending
+    * feature id (float reproducibility — SURVEY §7.4.2). Text is wrapped in
+    * U+0001 sentinels like the reference's extract_features. One long[]
+    * allocation; no boxing. */
+  def featurize(normalized: String): Array[Long] = {
     val wrapped = "\u0001" + normalized + "\u0001"
     val counts = trie.extractFeatures(wrapped)
-    val arr = new Array[(Int, Int)](counts.size)
+    val arr = new Array[Long](counts.size)
     var i = 0
-    counts.foreach { case (k, v) => arr(i) = (k.toInt, v); i += 1 }
-    java.util.Arrays.sort(arr, (a: (Int, Int), b: (Int, Int)) => Integer.compare(a._1, b._1))
+    counts.foreach { case (k, v) => arr(i) = Lr.packEvent(k.toInt, v); i += 1 }
+    java.util.Arrays.sort(arr)
     arr
   }
 

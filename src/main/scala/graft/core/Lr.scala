@@ -32,12 +32,21 @@ object Lr {
     z
   }
 
+  /** Feature events are PACKED: one Long per event, feature id in the high
+    * 32 bits, count in the low 32. Sorting the packed array gives the
+    * ascending-feature-id visit order for free, with zero boxing — the hot
+    * scoring path allocates a single long[] per row. */
+  @inline def packEvent(fid: Int, cnt: Int): Long = (fid.toLong << 32) | (cnt.toLong & 0xFFFFFFFFL)
+  @inline def eventFid(e: Long): Int = (e >>> 32).toInt
+  @inline def eventCnt(e: Long): Int = (e & 0xFFFFFFFFL).toInt
+
   /** y = softmax( sum_f count_f * W[f,·] ), feature ids visited ascending. */
-  def predict(events: Array[(Int, Int)], w: Array[Double], numClasses: Int): Array[Double] = {
+  def predict(events: Array[Long], w: Array[Double], numClasses: Int): Array[Double] = {
     val z = new Array[Double](numClasses)
     var i = 0
     while (i < events.length) {
-      val (fid, cnt) = events(i)
+      val fid = eventFid(events(i))
+      val cnt = eventCnt(events(i))
       val off = fid * numClasses
       var k = 0
       while (k < numClasses) { z(k) += cnt * w(off + k); k += 1 }
@@ -46,7 +55,7 @@ object Lr {
     softmaxInPlace(z)
   }
 
-  final case class Example(label: Int, events: Array[(Int, Int)])
+  final case class Example(label: Int, events: Array[Long])
 
   final case class TrainConfig(
       numFeatures: Int,
@@ -88,7 +97,8 @@ object Lr {
         u += eta * cfg.reg
         var i = 0
         while (i < ex.events.length) {
-          val (fid, cnt) = ex.events(i)
+          val fid = eventFid(ex.events(i))
+          val cnt = eventCnt(ex.events(i))
           val off = fid * K
           var k = 0
           while (k < K) {

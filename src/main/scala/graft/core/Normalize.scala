@@ -125,22 +125,73 @@ object Normalize {
     new String(a)
   }
 
-  // ---- B4: digit fold ------------------------------------------------------
-  private val reDigits = Pattern.compile("[0-9]+")
-  def foldDigits(s: String): String = reDigits.matcher(s).replaceAll("0")
+  // B4/B5/B8 are hand-rolled linear scans, NOT regexes: JDK backreference
+  // patterns ("(c)\1{2,}") exhibit a severe SMP pathology on this class of
+  // input \u2014 32 threads run no faster than 1 (measured: full CPU, all
+  // threads RUNNABLE inside Pattern.match, ~35x more cycles per call under
+  // concurrency; reproduced in pure Java with shared AND per-thread
+  // Patterns AND per-thread string copies). The scans are also faster
+  // single-threaded. Semantics are identical to the frozen regex spec.
 
-  // ---- B5: long-repeat collapse -------------------------------------------
-  // 3+ repeats of a Latin letter -> 2; 2+ repeats of a non-letter symbol -> 1.
-  private val reLatinCont  = Pattern.compile("([a-z\u00e0-\u024f\u1e00-\u1eff])\\1{2,}")
-  private val reSymbolCont = Pattern.compile("([^a-z\u00e0-\u024f\u1e00-\u1eff])\\1{1,}")
-  def collapseRepeats(s: String): String = {
-    val t = reLatinCont.matcher(s).replaceAll("$1$1")
-    reSymbolCont.matcher(t).replaceAll("$1")
+  // ---- B4: digit fold: every [0-9]+ run -> single '0' ----------------------
+  def foldDigits(s: String): String = {
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        sb.append('0')
+        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
-  // ---- B8: whitespace squeeze + trim --------------------------------------
-  private val reSpaces = Pattern.compile("\\s+")
-  def squeeze(s: String): String = reSpaces.matcher(s).replaceAll(" ").trim
+  // ---- B5: long-repeat collapse --------------------------------------------
+  // 3+ repeats of a Latin letter -> 2; 2+ repeats of a non-letter -> 1.
+  @inline private def isLatinLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '\u00e0' && c <= '\u024f') ||
+    (c >= '\u1e00' && c <= '\u1eff')
+
+  def collapseRepeats(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var j = i + 1
+      while (j < n && s.charAt(j) == c) j += 1
+      val run = j - i
+      val keep = if (isLatinLetter(c)) math.min(run, 2) else 1
+      var k = 0
+      while (k < keep) { sb.append(c); k += 1 }
+      i = j
+    }
+    sb.toString
+  }
+
+  // ---- B8: whitespace squeeze + trim ---------------------------------------
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+
+  def squeeze(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   // ---- fused chain ---------------------------------------------------------
   def apply(raw: String): String = {

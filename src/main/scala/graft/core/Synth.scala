@@ -311,9 +311,9 @@ object Synth {
     md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  private def codeBody(lang: String, rnd: Random): String = {
+  private def codeBody(lang: String, rnd: Random, bodyScale: Int = 1): String = {
     val idents = Array("parse", "build", "merge", "scan", "emit", "fold", "index")
-    val n = 3 + rnd.nextInt(8)
+    val n = (3 + rnd.nextInt(8)) * bodyScale
     (0 until n).map { i =>
       val f = idents(rnd.nextInt(idents.length))
       lang match {
@@ -326,8 +326,12 @@ object Synth {
 
   /** Synthetic FileRow table: license headers carry the natural-language
     * signal; ~40% of rows land in 2 mega-repos (skew for G1); PII / toxic /
-    * pathological rows injected at fixed rates. */
-  def fileRows(n: Int, seed: Long = 42L, numRepos: Int = 50): IndexedSeq[FileRow] = {
+    * pathological rows injected at fixed rates. `bodyScale` multiplies the
+    * code-body size (1 = test fixture; bench uses larger bodies to match
+    * real source-file sizes — RNG draw order is identical, so scale only
+    * changes body length, not the row mix). */
+  def fileRows(n: Int, seed: Long = 42L, numRepos: Int = 50,
+               bodyScale: Int = 1): IndexedSeq[FileRow] = {
     val rnd = new Random(seed)
     val rows = mutable.ArrayBuffer.empty[FileRow]
     var i = 0
@@ -344,7 +348,7 @@ object Synth {
       val natural = Languages(rnd.nextInt(Languages.length))
       val bank = phraseBank(natural)
       val header = s"// ${bank(rnd.nextInt(bank.size))}\n// ${bank(rnd.nextInt(bank.size))}"
-      val body = codeBody(lang, rnd)
+      val body = codeBody(lang, rnd, bodyScale)
       val content = rnd.nextInt(20) match {
         case 0 => s"$header\n// ${piiTokens(rnd.nextInt(piiTokens.length))}\n$body"
         case 1 => s"$header\n${toxicTokens(rnd.nextInt(toxicTokens.length))}\n$body"

@@ -46,8 +46,9 @@ object FastTextLite {
     math.floorMod(h, buckets)
   }
 
-  /** Hashed n-gram (2..4) count events over `<text>`, ascending bucket id. */
-  def featurize(normalized: String, buckets: Int = DefaultBuckets): Array[(Int, Int)] = {
+  /** Packed hashed n-gram (2..4) count events over `<text>`, ascending
+    * bucket id (see Lr.packEvent). */
+  def featurize(normalized: String, buckets: Int = DefaultBuckets): Array[Long] = {
     val s = "<" + normalized + ">"
     val counts = new scala.collection.mutable.LongMap[Int](128)
     var n = 2
@@ -60,10 +61,10 @@ object FastTextLite {
       }
       n += 1
     }
-    val arr = new Array[(Int, Int)](counts.size)
+    val arr = new Array[Long](counts.size)
     var j = 0
-    counts.foreach { case (k, v) => arr(j) = (k.toInt, v); j += 1 }
-    java.util.Arrays.sort(arr, (a: (Int, Int), b: (Int, Int)) => Integer.compare(a._1, b._1))
+    counts.foreach { case (k, v) => arr(j) = Lr.packEvent(k.toInt, v); j += 1 }
+    java.util.Arrays.sort(arr)
     arr
   }
 

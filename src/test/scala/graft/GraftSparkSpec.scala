@@ -47,7 +47,7 @@ class GraftSparkSpec extends AnyFunSuite {
       val autogenKept = out.where(array_contains(col("quality_flags"), "autogen") && col("keep")).count()
       assert(binaryKept == 0 && autogenKept == 0)
       // empty rows flagged
-      assert(out.where(col("content") === "" && !array_contains(col("quality_flags"), "empty")).count() == 0)
+      assert(out.where(col("content_len") === 0 && !array_contains(col("quality_flags"), "empty")).count() == 0)
       // a healthy share of clean files is kept
       val keepRate = out.where(col("keep")).count().toDouble / out.count()
       assert(keepRate > 0.3 && keepRate < 0.95, s"keep rate $keepRate")

@@ -86,11 +86,12 @@ class CoreSpec extends AnyFunSuite {
 
   test("trainer separates a trivially separable problem") {
     // two classes, disjoint features
+    def ev(ps: (Int, Int)*): Array[Long] = ps.map { case (f, c) => Lr.packEvent(f, c) }.toArray
     val examples = IndexedSeq(
-      Lr.Example(0, Array((0, 2), (1, 1))),
-      Lr.Example(1, Array((2, 2), (3, 1))),
-      Lr.Example(0, Array((0, 1))),
-      Lr.Example(1, Array((3, 2))))
+      Lr.Example(0, ev((0, 2), (1, 1))),
+      Lr.Example(1, ev((2, 2), (3, 1))),
+      Lr.Example(0, ev((0, 1))),
+      Lr.Example(1, ev((3, 2))))
     val w = Lr.train(examples, Lr.TrainConfig(numFeatures = 4, numClasses = 2,
       epochs = 300, etaDecay = 0.995, reg = 1e-4))
     examples.foreach { ex =>
@@ -101,16 +102,16 @@ class CoreSpec extends AnyFunSuite {
 
   test("trainer is deterministic") {
     val examples = IndexedSeq(
-      Lr.Example(0, Array((0, 1), (2, 1))),
-      Lr.Example(1, Array((1, 1), (3, 1))))
+      Lr.Example(0, Array(Lr.packEvent(0, 1), Lr.packEvent(2, 1))),
+      Lr.Example(1, Array(Lr.packEvent(1, 1), Lr.packEvent(3, 1))))
     val cfg = Lr.TrainConfig(numFeatures = 4, numClasses = 2, epochs = 5)
     assert(Lr.train(examples, cfg).toSeq == Lr.train(examples, cfg).toSeq)
   }
 
   test("L1 drives unused feature weights to zero; shrink compacts") {
     val examples = IndexedSeq(
-      Lr.Example(0, Array((0, 3))),
-      Lr.Example(1, Array((1, 3))))
+      Lr.Example(0, Array(Lr.packEvent(0, 3))),
+      Lr.Example(1, Array(Lr.packEvent(1, 3))))
     // feature 2/3 never fire -> zero weights -> shrunk away
     val w = Lr.train(examples, Lr.TrainConfig(numFeatures = 4, numClasses = 2,
       epochs = 30, reg = 0.01))
