@@ -84,6 +84,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "q_3way_join" -> ((s, dir) => {
+      val r = s.read.parquet(s"$dir/region.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+    "q_brand_revenue" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q_json_events" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"),
+          round(sum("value"), 2).as("total_value"),
+          count(lit(1)).as("n"))),
+    "q_cust_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_total"))
+    }),
+
     // ---- text analysis (oracle-checked) ----
     "q_doc_stats" -> ((s, dir) => {
       val base = docs(s, dir)
@@ -209,6 +254,38 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_3way_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_brand_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q_json_events" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  round(sum(value), 2) AS total_value, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cust_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
     "q_doc_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_calc,

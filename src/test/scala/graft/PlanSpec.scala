@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2): the plans we rely on for the
+  * 100 TB story must actually materialize — pushdown/pruning at the scan,
+  * broadcast joins for small dims, partial aggregation, and exactly the
+  * intended shuffle count in the flagship. Catching a plan regression here
+  * is as important as catching a wrong result. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("small-dim joins broadcast (3-way region/nation/customer)") {
+    val p = plan(SparkEntry.queries("q_3way_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("resume anti-join is a broadcast hash join") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val done = spark.createDataFrame(Seq(Tuple1(1L))).toDF("c_custkey")
+    val p = plan(c.join(broadcast(done), Seq("c_custkey"), "left_anti"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+
+  test("flagship pipeline has exactly one input shuffle before scoring") {
+    val decided = operators.Pipeline.scoreAndDecide(spark,
+      SparkEntry.fileRowsFromDocs(spark, sf))
+    val p = plan(decided)
+    // one Exchange for the salted repartition; the scoring stage itself is
+    // narrow (mapPartitions over the shuffle output)
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("MapPartitions"), p)
+    // the lang-dist agg on top adds the second (AQE-managed) shuffle
+    val agg = operators.Pipeline.langDistribution(decided)
+    val pa = plan(agg)
+    assert(pa.split("Exchange hashpartitioning").length - 1 == 2, pa)
+  }
+
+  test("doc stats are whole-stage-codegen (no UDF barrier)") {
+    val p = plan(SparkEntry.queries("q_doc_stats")(spark, sf))
+    assert(p.contains("*(1)"), p) // '*' prefix = inside WholeStageCodegen
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("minhash bucket join shuffles band keys, not documents") {
+    val df = operators.Dedup.minhashPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = plan(df)
+    // join keys are (band_id, band_hash) — both sides shuffle only id+band
+    assert(p.contains("band_hash"), p)
+  }
+}
