@@ -157,6 +157,38 @@ object SparkEntry {
         .withColumn("content_sha256", sha2(col("content_scrubbed"), 256))
     }),
 
+    "q_distinct_users" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))),
+    "q_sample" -> ((s, dir) =>
+      // E8: seeded sampling — deterministic within Spark (rows-only check)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))),
+    "q_stream_window" -> ((s, dir) => {
+      // J: the same 5-minute windowed aggregation as q_events_window, but
+      // executed through Structured Streaming (file source -> complete-mode
+      // memory sink, drained synchronously). Shares q_events_window's SQL
+      // oracle shape — the streaming path must agree with batch SQL.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = "q_stream_window_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize before the sink is dropped by the next run
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
     // ---- model-backed (rows-only check: not SQL-expressible) ----
     "q_ldig_detect" -> ((s, dir) => {
       val bundle = ScoreStage.defaultBundle
@@ -170,6 +202,19 @@ object SparkEntry {
             (id, p, math.rint(prob * 10000) / 10000)
           }
         }.toDF("doc_id", "lang_pred", "lang_prob")
+    }),
+    "q_eval_confusion" -> ((s, dir) => {
+      // E1: the reference's evaluation aggregation — per-(gold, predicted)
+      // counts over the detector output (model-backed: rows-only check)
+      val bundle = ScoreStage.defaultBundle
+      val bc = s.sparkContext.broadcast(bundle)
+      import s.implicits._
+      docs(s, dir).select(col("lang"), col("text")).as[(String, String)]
+        .mapPartitions { it =>
+          val m = bc.value.ldig
+          it.map { case (gold, t) => (gold, m.detect(t)._1) }
+        }.toDF("lang", "lang_pred")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     }),
     "q_langid_heuristic" -> ((s, dir) => {
       val langUdf = udf(TextAnalysis.langIdHeuristic)
@@ -314,6 +359,14 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_lang_dist" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_exact_dedup" ->
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS representative_id, count(*) AS n_dups
