@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.sources.{IcebergTableIO, ParquetTableIO}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry for the flagship pipeline (north rule: "everything
+  * runs via spark-submit on multi-executor clusters").
+  *
+  * Usage:
+  *   spark-submit --class graft.PipelineMain app.jar \
+  *     --input  <table-or-path> --decided <table-or-path> \
+  *     --audit  <table-or-path> [--run-id r1] [--partitions 256] \
+  *     [--format parquet|iceberg]
+  *
+  * Local mode gets its master/conf from build.sbt / spark-submit; on a
+  * cluster every knob (executors, memory, shuffle) stays in spark-submit
+  * args as usual. Resume is automatic: partitions already recorded in the
+  * audit table for this run id are skipped (Pipeline.run anti-join).
+  */
+object PipelineMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing --$k"); sys.exit(2) })
+
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects spark.master; local runs fall back to local[N]
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val io = opts.getOrElse("format", "parquet") match {
+      case "iceberg" => IcebergTableIO
+      case _ => ParquetTableIO
+    }
+    val cfg = Pipeline.Config(
+      runId = opts.getOrElse("run-id", "run-0"),
+      numLogicalPartitions = opts.getOrElse("partitions", "256").toInt,
+      inputTable = req("input"),
+      decidedTable = req("decided"),
+      auditTable = req("audit"))
+
+    val t0 = System.nanoTime()
+    Pipeline.run(spark, io, cfg)
+    val audit = io.read(spark, cfg.auditTable)
+    val summary = Pipeline.langDistribution(
+      io.read(spark, cfg.decidedTable)).collect()
+    System.err.println(f"[pipeline] done in ${(System.nanoTime() - t0) / 1e9}%.1fs; " +
+      s"audit rows=${audit.count()}; lang distribution:")
+    summary.sortBy(r => -r.getLong(2)).take(20).foreach(r => System.err.println(s"  $r"))
+    spark.stop()
+  }
+}

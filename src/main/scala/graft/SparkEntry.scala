@@ -216,6 +216,24 @@ object SparkEntry {
         }.toDF("lang", "lang_pred")
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     }),
+    "q_feature_debug" -> ((s, dir) => {
+      // the reference's --debug view: per-text fired features + counts,
+      // exploded via the built-in generator (SURVEY §2 I; rows-only)
+      val bundle = ScoreStage.defaultBundle
+      val bc = s.sparkContext.broadcast(bundle)
+      import s.implicits._
+      docs(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = bc.value.ldig
+          it.map { case (id, t) =>
+            val events = m.featurize(graft.core.Normalize(t))
+            (id, events.map(e => m.featureKeys(graft.core.Lr.eventFid(e)) ->
+              graft.core.Lr.eventCnt(e)).toMap)
+          }
+        }.toDF("doc_id", "features")
+        .select(col("doc_id"), explode(col("features")).as(Seq("feature", "cnt")))
+    }),
     "q_langid_heuristic" -> ((s, dir) => {
       val langUdf = udf(TextAnalysis.langIdHeuristic)
       docs(s, dir).groupBy(col("lang"), langUdf(col("text")).as("lang_guess"))

@@ -24,32 +24,81 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Bounded top-k state: at most k (id, score) pairs, worst element
+    * replaced on insert. O(k) per insert — k is small. */
+  final case class TopKBuf(ids: Array[Long], scores: Array[Double], n: Int)
+
+  /** Better-than ordering: higher score wins, ties to the LOWER id —
+    * deterministic across partitionings. */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  private def insertTopK(b: TopKBuf, id: Long, score: Double, k: Int): TopKBuf = {
+    if (b.n < k) {
+      b.ids(b.n) = id; b.scores(b.n) = score
+      TopKBuf(b.ids, b.scores, b.n + 1)
+    } else {
+      // replace the current worst if the newcomer beats it
+      var worst = 0
+      var i = 1
+      while (i < b.n) {
+        if (beats(b.scores(worst), b.ids(worst), b.scores(i), b.ids(i))) worst = i
+        i += 1
+      }
+      if (beats(score, id, b.scores(worst), b.ids(worst))) {
+        b.ids(worst) = id; b.scores(worst) = score
+      }
+      b
+    }
+  }
+
+  /** Typed partial-aggregating top-k: map-side combine shrinks every
+    * partition's contribution to k rows BEFORE the shuffle — the shuffle
+    * carries (#partitions × #queries × k) bounded heaps instead of scored
+    * rows, and no sort ever runs over the full score set. This is the
+    * 100 TB shape; a window-function top-k sorts entire partitions. */
+  class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Double), TopKBuf, Array[(Long, Double)]] {
+    def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+    def reduce(b: TopKBuf, a: (Long, Double)): TopKBuf = insertTopK(b, a._1, a._2, k)
+    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      var b = b1
+      var i = 0
+      while (i < b2.n) { b = insertTopK(b, b2.ids(i), b2.scores(i), k); i += 1 }
+      b
+    }
+    def finish(b: TopKBuf): Array[(Long, Double)] = {
+      val pairs = Array.tabulate(b.n)(i => (b.ids(i), b.scores(i)))
+      pairs.sortWith { case ((i1, s1), (i2, s2)) => beats(s1, i1, s2, i2) }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.Encoders.product[TopKBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Double)]] =
+      org.apache.spark.sql.Encoders.kryo[Array[(Long, Double)]]
+  }
+
   /** Exact cosine top-k for each query vector. `queries` must be small
-    * (broadcast). Two-phase: per-partition local top-k (narrow), then the
-    * global window over the pruned set. */
+    * (broadcast). Scores flow narrowly into the TopKAgg partial
+    * aggregation — single shuffle of bounded k-heaps, no sorts. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, qidCol: String,
                      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"))))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("score"))
       .where(col("query_id") =!= col("neighbor_id"))
-    // phase 1: local top-k inside each scan partition — keeps the shuffle
-    // at (#partitions * queries * k) rows
-    val localPruned = scored
-      .withColumn("p", spark_partition_id())
-      .withColumn("lr", row_number().over(
-        Window.partitionBy("p", "query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .where(col("lr") <= k).drop("p", "lr")
-    // phase 2: global top-k per query
-    localPruned
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    val agg = new TopKAgg(k)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((nid, s), i) => (qid, nid, i + 1, s) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "score")
   }
 
   /** Random-hyperplane bucket id (LSH) for a vector column. */
