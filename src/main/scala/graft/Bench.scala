@@ -30,8 +30,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // force model build + JVM warmup outside the timed region
+    // force model build + JVM/codegen warmup outside the timed region
+    // (the first Spark job in a session pays parquet-footer reads, codegen
+    // compilation and JIT — without this the first-listed query absorbs it)
     val bundleFeatures = graft.operators.ScoreStage.defaultBundle.ldig.featureKeys.length
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    SparkEntry.queries("q_ldig_detect")(spark, sfDir).count()
     System.err.println(s"[bench] model ready ($bundleFeatures features); sf=$sfDir cpus=$cpus")
 
     val headline = Seq(

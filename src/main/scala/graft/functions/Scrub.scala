@@ -14,14 +14,20 @@ import java.util.regex.Pattern
   */
 object Scrub {
 
-  /** (name, pattern, replacement) applied in this exact order. */
+  /** (name, pattern, replacement) applied in this exact order.
+    *
+    * Every repetition is BOUNDED (RFC-ish limits): an unbounded `X+` next
+    * to a required literal backtracks O(run²) on hostile inputs — a 1 MB
+    * letter run made the email rule alone take ~2 minutes per row
+    * (measured; RobustnessSpec holds the line at <10 s for such rows).
+    * Bounds keep the scan linear and stay RE2-compatible for the oracle. */
   val rules: IndexedSeq[(String, Pattern, String)] = IndexedSeq(
     ("email", Pattern.compile(
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), "<EMAIL>"),
+      "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}"), "<EMAIL>"),
     ("aws_key", Pattern.compile("\\bAKIA[0-9A-Z]{16}\\b"), "<KEY>"),
     ("github_token", Pattern.compile("\\bghp_[A-Za-z0-9]{30,40}\\b"), "<KEY>"),
     ("secret_assign", Pattern.compile(
-      "(?i)\\b(?:api_key|apikey|secret|token|passwd|password)\\s*[:=]\\s*[A-Za-z0-9/+_-]{8,}"), "<KEY>"),
+      "(?i)\\b(?:api_key|apikey|secret|token|passwd|password)\\s{0,16}[:=]\\s{0,16}[A-Za-z0-9/+_-]{8,512}"), "<KEY>"),
     ("ipv4", Pattern.compile("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"), "<IP>"),
     ("toxic", Pattern.compile(
       "(?i)\\b(?:fuck|shit|bitch|asshole|bastard|damn|crap)\\b"), "<TOXIC>")
