@@ -281,6 +281,9 @@ object SparkEntry {
     }),
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
+        .withColumn("mean_byte", round(col("mean_byte"), 4))),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_byte", round(col("mean_byte"), 4)))
   )
 

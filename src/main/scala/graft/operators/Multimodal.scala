@@ -50,6 +50,29 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Frame sampling for video-like payloads: treat the byte stream as
+    * fixed-size frames and keep every k-th one — the Spark-side shape of a
+    * temporal downsampler (the frame DECODER itself is the stub; slicing,
+    * schema and lineage are real). Emits one row per kept frame. */
+  final case class Frame(media_id: Long, frame_no: Int, offset: Int,
+                         n_bytes: Int, mean_byte: Double)
+
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val p = if (r.payload == null) Array.emptyByteArray else r.payload
+      val nFrames = p.length / frameBytes
+      (0 until nFrames by every).iterator.map { f =>
+        val off = f * frameBytes
+        var s = 0L
+        var i = off
+        while (i < off + frameBytes) { s += java.lang.Byte.toUnsignedInt(p(i)); i += 1 }
+        Frame(r.media_id, f, off, frameBytes, s.toDouble / frameBytes)
+      }
+    }.toDF()
+  }
+
   /** Build a deterministic media table from the embeddings fixture: the
     * float vectors serialized big-endian stand in for encoded payloads
     * (TESTDATA has no binary table; this keeps inputs driver-provided). */

@@ -76,6 +76,24 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("salted partitioning breaks mega-repo skew (G1)") {
+    import spark.implicits._
+    // synth fileRows put ~40% of rows in repos r0/r1; hashing (repo, path)
+    // must still spread them uniformly over logical partitions
+    val rows = Synth.fileRows(4000).toDF()
+    val counts = rows
+      .withColumn("pid", Pipeline.partitionId(64))
+      .groupBy("pid").count()
+      .select("count").as[Long].collect()
+    assert(counts.length == 64, s"only ${counts.length} partitions hit")
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.max < mean * 2,
+      s"skewed partitions: max=${counts.max} mean=$mean")
+    // sanity: the repo column itself IS skewed (r0 holds ~20%)
+    val byRepo = rows.groupBy("repo").count().select("count").as[Long].collect()
+    assert(byRepo.max > (rows.count() / 10), "fixture lost its mega-repo skew")
+  }
+
   test("idempotent resume: second run adds no rows") {
     val dir = java.nio.file.Files.createTempDirectory("graftrun").toString
     val cfg = Pipeline.Config(runId = "t1",
