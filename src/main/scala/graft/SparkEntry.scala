@@ -151,9 +151,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
     "q_scrub" -> ((s, dir) => {
-      val scrubUdf = udf((t: String) => Scrub(t).scrubbed)
+      // native codegen expression (graft.plans.ScrubText), registered per
+      // session — no ScalaUDF barrier in the plan
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_scrub", exprs => graft.plans.ScrubText(exprs.head), "built-in")
       docs(s, dir).select(col("doc_id"),
-        scrubUdf(col("text")).as("content_scrubbed"))
+        expr("graft_scrub(text)").as("content_scrubbed"))
         .withColumn("content_sha256", sha2(col("content_scrubbed"), 256))
     }),
 

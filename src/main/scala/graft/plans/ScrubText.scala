@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.functions.Scrub
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the frozen PII/toxicity scrub chain
+  * (SURVEY.md §4.3 "revisit if UDF overhead matters" — done here):
+  * unlike a Scala UDF it needs no encoder round-trip, reports
+  * deterministic/null-intolerant semantics to the optimizer, and its
+  * generated code is a direct static call inside the WholeStageCodegen
+  * span rather than a `ScalaUDF` barrier.
+  */
+case class ScrubText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_scrub expects a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_scrub"
+
+  override def nullSafeEval(input: Any): Any =
+    ScrubText.scrub(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ScrubText.scrub($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubText =
+    copy(child = newChild)
+}
+
+object ScrubText {
+  /** Static entry the generated code calls. */
+  def scrub(s: UTF8String): UTF8String =
+    UTF8String.fromString(Scrub(s.toString).scrubbed)
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_scrub"),
+    new ExpressionInfo(classOf[ScrubText].getName, "graft_scrub"),
+    (exprs: Seq[Expression]) => ScrubText(exprs.head))
+}
+
+/** Session extension registering the graft SQL functions — usable as
+  * `spark.sql("SELECT graft_scrub(content) ...")` when the session is
+  * built `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` on spark-submit. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(ScrubText.functionDescriptor)
+  }
+}

@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("q_scrub runs the native expression, no ScalaUDF barrier") {
+    val df = SparkEntry.queries("q_scrub")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("graft_scrub"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("*(1)"), p) // stays inside WholeStageCodegen
+    // interpreted eval == codegen'd result, and SQL registration works
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_scrub", exprs => graft.plans.ScrubText(exprs.head), "built-in")
+    val viaSql = spark.sql(
+      "SELECT graft_scrub('mail a@b.co and ip 10.0.0.1 damn') AS s").collect()(0).getString(0)
+    assert(viaSql == "mail <EMAIL> and ip <IP> <TOXIC>")
+    val interp = graft.plans.ScrubText(
+      org.apache.spark.sql.catalyst.expressions.Literal("mail a@b.co and ip 10.0.0.1 damn"))
+      .eval(null).toString
+    assert(interp == viaSql)
+  }
+
   test("minhash bucket join shuffles band keys, not documents") {
     val df = operators.Dedup.minhashPairs(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
