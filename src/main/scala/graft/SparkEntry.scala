@@ -282,6 +282,13 @@ object SparkEntry {
         10, dim = 64, planes = 6)
         .withColumn("score", round(col("score"), 4))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.where(col("vec_id") < 10)
+      Similarity.ivfTopK(all, queries, "vec_id", "embedding", "vec_id",
+        10, nCentroids = 16, nprobe = 4)
+        .withColumn("score", round(col("score"), 4))
+    }),
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_byte", round(col("mean_byte"), 4))),

@@ -101,6 +101,88 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer is
+    * trained driver-side on a sample, centroids broadcast; every corpus
+    * vector lands in its nearest centroid's bucket, queries probe the
+    * `nprobe` nearest buckets, and the exact cosine rerank runs only
+    * inside probed buckets via the partial-aggregating TopKAgg. Recall is
+    * tunable by `nprobe`; the corpus-side work is one narrow pass. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qidCol: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              sampleSize: Int = 2000, kmeansIters: Int = 10,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // --- driver-side deterministic k-means (seeded sample, fixed iters)
+    val sample: Array[Array[Float]] = corpus
+      .select(col(vecCol)).as[Array[Float]]
+      .limit(sampleSize).collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.tabulate(math.min(nCentroids, sample.length))(
+      i => sample(rnd.nextInt(sample.length)).map(_.toDouble))
+    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (0 until kmeansIters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf((v: Array[Float]) => nearest(v, bcCentroids.value))
+    val probeUdf = udf { (v: Array[Float]) =>
+      val cs = bcCentroids.value
+      cs.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        (d, c)
+      }.sorted.take(nprobe).map(_._2).toArray
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      assignUdf(col(vecCol)).as("bucket"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeUdf(col(vecCol))).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("score"))
+    val agg = new TopKAgg(k)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((nid, s), i) => (qid, nid, i + 1, s) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Random-hyperplane bucket id (LSH) for a vector column. */
   def lshBucket(vecCol: Column, dim: Int, planes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)

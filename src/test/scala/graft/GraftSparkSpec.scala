@@ -179,6 +179,22 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"LSH recall $recall too low even for 4 planes")
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = all.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(all, q, "vec_id", "embedding", "vec_id", 5,
+      nCentroids = 16, nprobe = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 (16 centroids, nprobe 6): $recall%.2f")
+    assert(recall >= 0.4, f"IVF recall $recall too low")
+    // determinism
+    val ivf2 = Similarity.ivfTopK(all, q, "vec_id", "embedding", "vec_id", 5,
+      nCentroids = 16, nprobe = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("multimodal plumbing: schema, determinism, batch shape") {
     val media = Multimodal.mediaFromEmbeddings(spark,
       spark.read.parquet(s"$sf/embeddings.parquet"))
