@@ -39,9 +39,10 @@ object Bench {
     System.err.println(s"[bench] model ready ($bundleFeatures features); sf=$sfDir cpus=$cpus")
 
     val headline = Seq(
-      "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_minhash_dedup",
-      "q_simhash_dedup", "q_ngram_jaccard", "q_ann_topk", "q_doc_stats",
-      "q1_agg", "q3_join")
+      "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
+      "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
+      "q_ann_topk", "q_ann_ivf", "q_doc_stats", "q1_agg", "q3_join",
+      "q_stream_window")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -147,6 +147,9 @@ object SparkEntry {
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))),
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
+    "q_dedup_rows" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
@@ -402,6 +405,12 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS representative_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_rows" ->
+      """SELECT arg_min(doc_id, doc_id) AS doc_id,
+        |  arg_min(lang, doc_id) AS lang,
+        |  arg_min(source, doc_id) AS source,
+        |  arg_min(n_chars, doc_id) AS n_chars
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -26,6 +26,17 @@ object Dedup {
       .agg(min(col(idCol)).as("representative_id"),
            count(lit(1)).as("n_dups"))
 
+  /** Materialized exact dedup: one surviving row per distinct text — the
+    * row with the minimal id (`min_by`, partial-aggregating; single
+    * shuffle keyed on the content hash carrying one candidate row per
+    * (partition, hash)). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
+      .select(cols.map(c => col(s"row.$c")): _*)
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.core.Synth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit specs for the auxiliary models (previously only covered
+  * through the pipeline): fastText-style cross-checker accuracy and
+  * perplexity ordering of the char-trigram LM. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val corpus = Synth.corpus(perLang = 96)
+  private lazy val (train, test) = Synth.split(corpus)
+
+  test("FastTextLite: held-out accuracy >= 0.95 with a disjoint feature family") {
+    val ft = FastTextLite.train(train)
+    var ok = 0
+    test.foreach { case (gold, raw) => if (ft.predict(raw) == gold) ok += 1 }
+    val acc = ok.toDouble / test.size
+    info(f"fastText-lite held-out accuracy: $acc%.4f")
+    assert(acc >= 0.95, f"accuracy $acc%.4f")
+  }
+
+  test("FastTextLite: deterministic across training runs") {
+    val a = FastTextLite.train(train.take(200))
+    val b = FastTextLite.train(train.take(200))
+    test.take(50).foreach { case (_, raw) =>
+      assert(a.predictWithProb(raw) == b.predictWithProb(raw))
+    }
+  }
+
+  test("NGramLM: text has lower perplexity under its own language") {
+    val lm = NGramLM.train(train)
+    var correct = 0
+    var total = 0
+    test.take(200).foreach { case (gold, raw) =>
+      val norm = graft.core.Normalize(raw)
+      if (norm.length >= 3) {
+        total += 1
+        val own = lm.perplexity(norm, gold)
+        val others = Synth.Languages.filter(_ != gold).map(lm.perplexity(norm, _))
+        if (others.forall(_ > own)) correct += 1
+      }
+    }
+    val frac = correct.toDouble / total
+    info(f"ppl-argmin == gold for $frac%.3f of samples")
+    assert(frac >= 0.9, f"$frac%.3f")
+  }
+
+  test("NGramLM: guards on unknown language and tiny text") {
+    val lm = NGramLM.train(train.take(100))
+    assert(lm.perplexity("abc", "zz") == 1e9)
+    assert(lm.perplexity("ab", "de") == 1e9)
+  }
+
+  test("Quality: stats on crafted inputs") {
+    val s = Quality.stats("ab\ncdef\n")
+    assert(s.nLines == 3 && s.maxLineLen == 4) // trailing \n opens an empty line
+    assert(Quality.flags("x" * 2000).contains("long_lines"))
+    assert(Quality.flags("ok line\n" + "y" * 300 + "\nok").contains("long_avg_line") == false)
+    val binary = (0 until 100).map(i => (i % 8).toChar).mkString
+    assert(Quality.flags(binary).contains("binary"))
+  }
+}
