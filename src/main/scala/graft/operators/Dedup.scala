@@ -63,36 +63,54 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** One-pass minhash over pre-hashed shingles. A pure Catalyst version
-    * (numHashes × aggregate()) re-traverses — and worse, re-tokenizes —
-    * the array per permutation: measured 60× slower at sf0.1. One tight
-    * JVM pass is the scale-correct shape; the tokenize+xxhash64 stays
-    * Catalyst so pruning/pushdown still work. */
-  private def minhashSigFromHashes(numHashes: Int): Array[Long] => Array[Long] = {
+  /** One-pass minhash signature straight from tokens: each token is
+    * FNV-hashed once, shingle hashes are a rolling polynomial combine of k
+    * consecutive token hashes (no shingle strings are ever built), and all
+    * `numHashes` permutation minima update in the same pass.
+    *
+    * Two generations of slower shapes are documented here deliberately:
+    * numHashes × Catalyst aggregate() re-tokenized per permutation (60×
+    * slower at sf0.1); building shingle strings via slice+concat_ws before
+    * hashing cost another ~2× in allocation. */
+  private def minhashSigFromTokens(k: Int, numHashes: Int): Array[String] => Array[Long] = {
     val as = Array.tabulate(numHashes)(i => splitmix64(2L * i + 1) | 1L)
     val bs = Array.tabulate(numHashes)(i => splitmix64(2L * i + 2))
-    (hashes: Array[Long]) => {
+    (tokens: Array[String]) => {
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      var j = 0
-      while (j < hashes.length) {
-        val h = hashes(j)
+      if (tokens != null && tokens.length >= k) {
+        val th = new Array[Long](tokens.length)
         var i = 0
-        while (i < numHashes) {
-          val v = h * as(i) + bs(i) // wrapping mult is the hash family
-          if (v < sig(i)) sig(i) = v
+        while (i < tokens.length) {
+          var h = 0xcbf29ce484222325L // FNV-1a 64 over chars
+          val t = tokens(i)
+          var j = 0
+          while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+          th(i) = h
           i += 1
         }
-        j += 1
+        i = 0
+        while (i + k <= tokens.length) {
+          var sh = 0L
+          var j = i
+          while (j < i + k) { sh = sh * 0x9E3779B97F4A7C15L + th(j); j += 1 }
+          var p = 0
+          while (p < numHashes) {
+            val v = sh * as(p) + bs(p)
+            if (v < sig(p)) sig(p) = v
+            p += 1
+          }
+          i += 1
+        }
       }
       sig
     }
   }
 
-  /** MinHash signature column: shingle → xxhash64 (Catalyst) → one-pass
-    * k-permutation min (JVM function). */
+  /** MinHash signature column: tokenize (Catalyst) → one-pass shingle
+    * hashing + k-permutation minima (JVM function). */
   def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
-    val sigUdf = udf(minhashSigFromHashes(numHashes))
-    sigUdf(shingleHashes(textCol, k))
+    val sigUdf = udf(minhashSigFromTokens(k, numHashes))
+    sigUdf(split(trim(textCol), "\\s+"))
   }
 
   /** LSH candidate pairs: signature split into `bands`; docs sharing any
