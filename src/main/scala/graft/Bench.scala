@@ -41,15 +41,34 @@ object Bench {
     val headline = Seq(
       "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
-      "q_ann_topk", "q_ann_ivf", "q_doc_stats", "q1_agg", "q3_join",
+      "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+      "q_doc_stats", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window")
+
+    // Timing via bare count() would let Catalyst prune the final Project
+    // (sha2 + keep never computed); hashing every column of every row
+    // forces the full result. Used for the flagship entries — the
+    // relational queries keep count() for r1 comparability.
+    def forceAll(df: org.apache.spark.sql.DataFrame): Long = {
+      val all = org.apache.spark.sql.functions.struct(df.columns.map(org.apache.spark.sql.functions.col): _*)
+      df.select(org.apache.spark.sql.functions.xxhash64(all).as("h"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          // double sum: immune to ANSI long-overflow; we only need forcing
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("h").cast("double")))
+        .collect()(0).getLong(0)
+    }
+    val forced = Set("q_pipeline")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch {
+      val n = try {
+        val df = fn(spark, sfDir)
+        if (forced(name)) forceAll(df) else df.count()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1L
@@ -77,7 +96,9 @@ object Bench {
       }
       val input = spark.read.parquet(inputPath)
       val t0 = System.nanoTime()
-      val n = graft.operators.Pipeline.scoreAndDecide(spark, input).count()
+      // force the FULL column set incl. sha2(content_scrubbed) — a bare
+      // count() prunes the Project and undercounts the flagship's work
+      val n = forceAll(graft.operators.Pipeline.scoreAndDecide(spark, input))
       val sec = (System.nanoTime() - t0) / 1e9
       pipelineRows = n; pipelineSec = sec
       System.err.println(f"[bench] pipeline_synth ${sec}%8.2fs  rows=$n (${n/sec}%.0f rows/s)")

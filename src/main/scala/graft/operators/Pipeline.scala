@@ -30,7 +30,14 @@ object Pipeline {
       numLogicalPartitions: Int = 256,
       inputTable: String = "",
       decidedTable: String = "",
-      auditTable: String = "")
+      auditTable: String = "",
+      /** Physically co-locate logical partitions before scoring. Scoring
+        * itself is row-wise and needs NO co-location — the shuffle exists
+        * only to keep each logical partition inside one write task (big
+        * output files, task-atomic lineage). Turn it off to run the whole
+        * score path shuffle-free (ScalingBench measures both; the audit
+        * aggregation shuffles tiny rows either way). */
+      physicalRepartition: Boolean = true)
 
   /** Deterministic logical partition id (G1/G4). */
   def partitionId(numPartitions: Int) =
@@ -49,7 +56,9 @@ object Pipeline {
     // last wave half-idle)
     val parts = math.min(cfg.numLogicalPartitions,
       spark.sparkContext.defaultParallelism * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "2").toInt)
-    val repartitioned = withPid.repartition(parts, col("partition_id"))
+    val repartitioned =
+      if (cfg.physicalRepartition) withPid.repartition(parts, col("partition_id"))
+      else withPid
     val rows = repartitioned.select("repo", "path", "commit", "lang", "content")
       .as[graft.core.Synth.FileRow]
     val scored = ScoreStage(spark, rows)
@@ -61,15 +70,37 @@ object Pipeline {
   }
 
   /** Per-partition lineage metrics (A6): one row per logical partition —
-    * the idempotent-resume key is (run_id, partition_id). */
-  def auditRows(decided: DataFrame): DataFrame =
-    decided.groupBy("run_id", "partition_id").agg(
+    * the idempotent-resume key is (run_id, partition_id).
+    *
+    * `status` is failure-aware: any row the scorer had to error-flag
+    * (`score_error` in quality_flags — ScoreStage.scoreRow never throws)
+    * marks the partition `partial_error`. `wall_ms` is the summed per-row
+    * scoring time when the `score_ns` diagnostic column is present — the
+    * per-partition skew signal the north_star asks the audit table to
+    * carry (a salted-but-still-hot partition shows up here directly). */
+  def auditRows(decided: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val hasErr = decided.schema.find(_.name == "quality_flags").map(_.dataType) match {
+      case Some(ArrayType(StringType, _)) =>
+        array_contains(col("quality_flags"), "score_error")
+      case _ => col("quality_flags").contains("score_error")
+    }
+    val base = decided.groupBy("run_id", "partition_id").agg(
       count(lit(1)).as("input_rows"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("kept_rows"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("dropped_rows"),
       sum(col("pii_hits") + col("toxic_hits")).as("scrub_hits"),
       sum(col("content_len").cast("long")).as("bytes_in"),
-      lit("ok").as("status"))
+      when(sum(when(hasErr, 1L).otherwise(0L)) > 0, "partial_error")
+        .otherwise("ok").as("status"),
+      (if (decided.columns.contains("score_ns"))
+         // ceiling, not truncation: a partition that did any scoring work
+         // reports >= 1 ms instead of rounding to a misleading 0
+         ceil(sum(col("score_ns")) / lit(1e6d)).cast("long")
+       else lit(null).cast("long")).as("wall_ms"))
+    if (decided.columns.contains("score_ns")) base
+    else base.drop("wall_ms")
+  }
 
   /** E9: AQE-tuned lang-distribution aggregation. */
   def langDistribution(decided: DataFrame): DataFrame =
@@ -77,7 +108,16 @@ object Pipeline {
 
   /** Full run with idempotent resume: partitions already present in the
     * audit table for this run_id are anti-joined away before scoring
-    * (G4; broadcast-hash — the audit side is tiny). */
+    * (G4; broadcast-hash — the audit side is tiny).
+    *
+    * Crash safety between the two sinks: the decided write is a DYNAMIC
+    * PARTITION OVERWRITE keyed on `partition_id`, and the audit row (the
+    * resume marker) commits strictly AFTER it. A crash between the writes
+    * leaves decided rows without audit rows; the resumed run re-scores
+    * exactly those partitions and the overwrite REPLACES their earlier
+    * rows instead of appending duplicates — so resume is idempotent even
+    * under partial completion (deterministic scoring makes the replacement
+    * byte-identical). */
   def run(spark: SparkSession, io: TableIO, cfg: Config): Unit = {
     val input = io.read(spark, cfg.inputTable)
     val pending =
@@ -92,9 +132,9 @@ object Pipeline {
       } else input
     val decided = scoreAndDecide(spark, pending, cfg).cache()
     try {
-      io.append(decided, cfg.decidedTable)
+      if (decided.limit(1).isEmpty) return // fully resumed: nothing pending
+      io.overwritePartitions(decided.drop("score_ns"), cfg.decidedTable, "partition_id")
       io.append(auditRows(decided)
-        .withColumn("wall_ms", lit(0L)) // stamped by the caller's timer
         .withColumn("ts", current_timestamp()), cfg.auditTable)
     } finally decided.unpersist()
   }

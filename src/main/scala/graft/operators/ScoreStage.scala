@@ -47,7 +47,8 @@ object ScoreStage {
       lang_pred: String, lang_prob: Double, ft_pred: String,
       ppl: Double, quality_flags: Array[String],
       pii_hits: Int, toxic_hits: Int,
-      content_scrubbed: String)
+      content_scrubbed: String,
+      score_ns: Long)
 
   /** The natural-language view of a code file: comment lines (slash-slash,
     * hash, dash-dash, block-comment markers) with markers stripped; falls
@@ -74,29 +75,45 @@ object ScoreStage {
     if (sb.length == 0) content else sb.toString
   }
 
-  /** Score one row against a decoded bundle. Pure; used by both the batch
-    * and the streaming stage. */
+  /** Score one row against a decoded bundle. Used by both the batch and
+    * the streaming stage. Never throws: a scoring failure becomes a row
+    * flagged `score_error` (keep=false via the fatal-flag rule), so one
+    * hostile file can't abort a 10^12-row job — and the audit table's
+    * `status` column surfaces that the partition was only partially clean.
+    * Per-row scoring wall time is accumulated in `score_ns`, the audit
+    * table's skew diagnostic (BASELINE.json north_star: per-partition
+    * lineage + metrics). */
   def scoreRow(b: ModelBundle)(r: Synth.FileRow): Scored = {
-    val natural = naturalText(r.content)
-    val norm = Normalize(natural)
-    // ldig detection on the normalized natural-language view
-    val (pred, prob) =
-      if (norm.length < 2) ("und", 0.0) // B10 length guard
-      else {
-        val y = Lr.predict(b.ldig.featurize(norm), b.ldig.weights, b.ldig.numClasses)
-        var best = 0
-        var k = 1
-        while (k < y.length) { if (y(k) > y(best)) best = k; k += 1 }
-        (b.ldig.labels(best), y(best))
-      }
-    val ft = if (norm.length < 2) "und" else b.fasttext.predict(natural)
-    val ppl = if (norm.length < 3) 1e9 else b.lm.perplexity(norm, pred)
-    val scrub = Scrub(r.content)
-    val qf0 = Quality.flags(r.content)
-    val qf = if (scrub.toxicHits > 0) qf0 :+ "toxic" else qf0
-    Scored(r.repo, r.path, r.commit, r.lang,
-      if (r.content == null) 0 else r.content.length,
-      pred, prob, ft, ppl, qf, scrub.piiHits, scrub.toxicHits, scrub.scrubbed)
+    val t0 = System.nanoTime()
+    try {
+      val natural = naturalText(r.content)
+      val norm = Normalize(natural)
+      // ldig detection on the normalized natural-language view
+      val (pred, prob) =
+        if (norm.length < 2) ("und", 0.0) // B10 length guard
+        else {
+          val y = Lr.predict(b.ldig.featurize(norm), b.ldig.weights, b.ldig.numClasses)
+          var best = 0
+          var k = 1
+          while (k < y.length) { if (y(k) > y(best)) best = k; k += 1 }
+          (b.ldig.labels(best), y(best))
+        }
+      val ft = if (norm.length < 2) "und" else b.fasttext.predict(natural)
+      val ppl = if (norm.length < 3) 1e9 else b.lm.perplexity(norm, pred)
+      val scrub = Scrub(r.content)
+      val qf0 = Quality.flags(r.content)
+      val qf = if (scrub.toxicHits > 0) qf0 :+ "toxic" else qf0
+      Scored(r.repo, r.path, r.commit, r.lang,
+        if (r.content == null) 0 else r.content.length,
+        pred, prob, ft, ppl, qf, scrub.piiHits, scrub.toxicHits, scrub.scrubbed,
+        System.nanoTime() - t0)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Scored(r.repo, r.path, r.commit, r.lang,
+          if (r.content == null) 0 else r.content.length,
+          "und", 0.0, "und", 1e9, Array("score_error"), 0, 0, "",
+          System.nanoTime() - t0)
+    }
   }
 
   /** Batch stage: Dataset[FileRow] → DataFrame with all scored columns +
@@ -112,8 +129,11 @@ object ScoreStage {
     withDecision(scored.toDF())
   }
 
-  /** H6 keep/drop + invariant columns as pure Catalyst expressions. */
-  def withDecision(scored: DataFrame): DataFrame = {
+  /** H6 keep/drop + invariant columns as pure Catalyst expressions.
+    * `flagsArr` is the quality_flags column AS AN ARRAY — callers holding a
+    * comma-joined string (the oracle dump) pass `split(col, ",")`. */
+  def withDecision(scored: DataFrame,
+                   flagsArr: org.apache.spark.sql.Column = col("quality_flags")): DataFrame = {
     val fatal = Quality.FatalFlags.toSeq.sorted.map(lit)
     scored
       .withColumn("langid_agree", col("ft_pred") === col("lang_pred"))
@@ -122,6 +142,6 @@ object ScoreStage {
         col("lang_prob") >= lit(MinLangProb) &&
         col("langid_agree") &&
         col("ppl") <= lit(MaxPerplexity) &&
-        !arrays_overlap(col("quality_flags"), array(fatal: _*)))
+        !arrays_overlap(flagsArr, array(fatal: _*)))
   }
 }

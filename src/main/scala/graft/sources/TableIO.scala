@@ -16,6 +16,13 @@ trait TableIO extends Serializable {
   def read(spark: SparkSession, table: String): DataFrame
   def append(df: DataFrame, table: String): Unit
   def overwrite(df: DataFrame, table: String): Unit
+
+  /** Idempotent partition-level write: REPLACES exactly the table
+    * partitions present in `df` (keyed on `partCol`), leaving every other
+    * partition untouched. This is the crash-safe sink for resumable runs:
+    * re-writing a partition is a no-op-equivalent replace, never an
+    * append-duplicate. */
+  def overwritePartitions(df: DataFrame, table: String, partCol: String): Unit
   def exists(spark: SparkSession, table: String): Boolean
 }
 
@@ -27,6 +34,11 @@ object ParquetTableIO extends TableIO {
     df.write.mode(SaveMode.Append).parquet(table)
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(table)
+  def overwritePartitions(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(table)
   def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,6 +56,11 @@ object IcebergTableIO extends TableIO {
     df.writeTo(table).append()
   def overwrite(df: DataFrame, table: String): Unit =
     df.writeTo(table).replace()
+  def overwritePartitions(df: DataFrame, table: String, partCol: String): Unit =
+    // Iceberg's native dynamic-partition replace — atomic at the snapshot
+    // level, so the crash-safety argument in Pipeline.run is even stronger
+    // than on plain parquet directories.
+    df.writeTo(table).overwritePartitions()
   def exists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 }

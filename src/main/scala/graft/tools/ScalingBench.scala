@@ -70,12 +70,20 @@ object ScalingBench {
       s.stop()
     }
 
-    def timedRun(spark: SparkSession): Double = {
+    // Two pipeline variants measured in the SAME interleaved window:
+    //  - shuffled: the default config (salted physical repartition — the
+    //    only content-bearing shuffle in the flagship);
+    //  - narrow:   physicalRepartition=false — scoring straight off the
+    //    scan, zero wide ops before the final tiny agg. The delta isolates
+    //    shuffle 1's cost; the narrow variant is the honest upper bound of
+    //    the pipeline's own scalability on this box.
+    def timedRun(spark: SparkSession, physicalRepartition: Boolean): Double = {
       val input = spark.read.parquet(inputPath).cache()
       input.count() // materialize cache (untimed)
       // warmup pass (JIT + codegen), then the timed pass
       def job(): Unit = {
-        graft.operators.Pipeline.scoreAndDecide(spark, input)
+        graft.operators.Pipeline.scoreAndDecide(spark, input,
+            graft.operators.Pipeline.Config(physicalRepartition = physicalRepartition))
           .agg(sum(length(col("content_sha256"))), sum(when(col("keep"), 1L).otherwise(0L)))
           .collect()
         ()
@@ -90,26 +98,36 @@ object ScalingBench {
 
     val t32 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val t8 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val n32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val n8 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val c32 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val c8 = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to rounds).foreach { r =>
       val s32 = sessionFor(32)
-      t32 += timedRun(s32); s32.stop()
+      t32 += timedRun(s32, physicalRepartition = true)
+      n32 += timedRun(s32, physicalRepartition = false)
+      s32.stop()
       c32 += cpuBaseline(32)
       val s8 = sessionFor(8)
-      t8 += timedRun(s8); s8.stop()
+      t8 += timedRun(s8, physicalRepartition = true)
+      n8 += timedRun(s8, physicalRepartition = false)
+      s8.stop()
       c8 += cpuBaseline(8)
       System.err.println(f"[scaling] round $r: T32=${t32.last}%.2fs T8=${t8.last}%.2fs " +
+        f"narrow32=${n32.last}%.2fs narrow8=${n8.last}%.2fs " +
         f"cpu32=${c32.last}%.2fs cpu8=${c8.last}%.2fs")
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val (m32, m8) = (median(t32.toSeq), median(t8.toSeq))
+    val (mn32, mn8) = (median(n32.toSeq), median(n8.toSeq))
     val eff = (m8 / m32) / 4.0
+    val effNarrow = (mn8 / mn32) / 4.0
     val ceiling = (median(c8.toSeq) / median(c32.toSeq)) / 4.0
     // min = least hypervisor interference; the cleanest estimate of true
     // capability on this drifting VM (see BASELINE.md methodology note)
     val (b32, b8) = (t32.min, t8.min)
     val effBest = (b8 / b32) / 4.0
+    val effNarrowBest = (n8.min / n32.min) / 4.0
     val ceilBest = (c8.min / c32.min) / 4.0
     println(
       s"""{"metric":"scaling_efficiency","rows":$rows,"body_scale":$bodyScale,""" +
@@ -117,6 +135,8 @@ object ScalingBench {
       f""""rows_per_sec_8":${rows / m8}%.1f,"rows_per_sec_32":${rows / m32}%.1f,""" +
       f""""efficiency":$eff%.3f,"hw_cpu_ceiling":$ceiling%.3f,""" +
       f""""efficiency_vs_ceiling":${eff / ceiling}%.3f,""" +
+      f""""narrow_t8_sec":$mn8%.3f,"narrow_t32_sec":$mn32%.3f,""" +
+      f""""narrow_efficiency":$effNarrow%.3f,"narrow_efficiency_best":$effNarrowBest%.3f,""" +
       f""""t8_best":$b8%.3f,"t32_best":$b32%.3f,"efficiency_best":$effBest%.3f,""" +
       f""""hw_ceiling_best":$ceilBest%.3f}""")
   }

@@ -117,6 +117,57 @@ class GraftSparkSpec extends AnyFunSuite {
       .agg(sum("input_rows"), sum("kept_rows"), sum("dropped_rows")).collect()(0)
     assert(sums.getLong(0) == input.count())
     assert(sums.getLong(0) == sums.getLong(1) + sums.getLong(2))
+    // audit observability contract: real per-partition scoring time and
+    // failure-aware status (all-clean input => every partition 'ok')
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.where(col("wall_ms") <= 0).count() == 0, "wall_ms not stamped")
+    assert(audit.where(col("status") =!= "ok").count() == 0)
+  }
+
+  test("resume survives a crash between decided write and audit commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcrash").toString
+    val input = SparkEntry.fileRowsFromDocs(spark, sf)
+    ParquetTableIO.overwrite(input, s"$dir/input")
+    val cfg = Pipeline.Config(runId = "t-crash", inputTable = s"$dir/input",
+      decidedTable = s"$dir/decided", auditTable = s"$dir/audit")
+    // simulate the crash: decided rows land (dynamic partition overwrite,
+    // exactly as Pipeline.run writes them) but the audit commit never runs
+    val decided = Pipeline.scoreAndDecide(spark, spark.read.parquet(s"$dir/input"), cfg)
+    ParquetTableIO.overwritePartitions(decided.drop("score_ns"), s"$dir/decided", "partition_id")
+    val orphaned = spark.read.parquet(s"$dir/decided").count()
+    assert(orphaned == input.count())
+    // resumed run re-scores everything (no audit rows say otherwise) —
+    // the partition overwrite must REPLACE the orphans, not duplicate them
+    Pipeline.run(spark, ParquetTableIO, cfg)
+    val afterResume = spark.read.parquet(s"$dir/decided").count()
+    assert(afterResume == input.count(),
+      s"crash-resume duplicated rows: $afterResume vs ${input.count()}")
+    assert(spark.read.parquet(s"$dir/audit")
+      .agg(sum("input_rows")).collect()(0).getLong(0) == input.count())
+  }
+
+  test("scoring failures never throw: error rows are flagged and audit goes partial_error") {
+    import spark.implicits._
+    // a broken bundle (null perplexity model) NPEs inside scoring; the
+    // stage must absorb it into a score_error row with keep=false
+    val broken = ScoreStage.defaultBundle.copy(lm = null)
+    val row = Synth.FileRow("r", "p", "c", "en", "// plain english comment text here")
+    val scored = ScoreStage.scoreRow(broken)(row)
+    assert(scored.quality_flags.sameElements(Array("score_error")))
+    val decided = ScoreStage.withDecision(
+        spark.createDataset(Seq(scored)).toDF())
+      .withColumn("run_id", lit("t-err"))
+      .withColumn("partition_id", lit(0))
+    assert(decided.where(col("keep")).count() == 0)
+    val audit = Pipeline.auditRows(decided).collect()
+    assert(audit.length == 1 && audit(0).getAs[String]("status") == "partial_error")
+  }
+
+  test("set operations arithmetic: union = except + except + intersect") {
+    val out = SparkEntry.queries("q_set_ops")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("r_only", "a_only", "both", "union"))
+    assert(out("union") == out("r_only") + out("a_only") + out("both"))
   }
 
   test("exact dedup finds injected duplicates") {
@@ -146,10 +197,61 @@ class GraftSparkSpec extends AnyFunSuite {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 60).map(i => if (i % 30 == 0) "x" else s"w$i").mkString(" ")
     val df = Seq((1L, base), (2L, near), (3L, "totally different words entirely")).toDF("doc_id", "text")
-    val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16).collect()
+    val got = Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 16, blocksPerKey = 1).collect()
     val p12 = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(p12.isDefined, "near-dup not found by simhash")
     assert(got.forall(_.getInt(2) <= 16))
+  }
+
+  test("simhash null/blank text never throws and is excluded from banding") {
+    import spark.implicits._
+    val df = Seq((1L, "plain words here"), (2L, null.asInstanceOf[String]),
+      (3L, "   "), (4L, "plain words here")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L)))
+  }
+
+  test("simhash Manku banding: hamming-5 pair that 4x16 banding misses is found") {
+    import spark.implicits._
+    // flip one bit inside EVERY 16-bit quarter (bits 3, 16, 32, 48, 49):
+    // naive 4-band/16-bit bucketing shares no band and silently misses
+    // this hamming-5 pair; the C(b, m) block-permutation tables must not.
+    val sig = 0x0123456789ABCDEFL
+    val dirty5 = sig ^ ((1L << 3) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 49))
+    val far = ~sig // hamming 64
+    val sigs = Seq((1L, sig), (2L, dirty5), (3L, far)).toDF("id", "sig")
+    val oldStyleBandsShare = (0 until 4).exists { b =>
+      ((sig >>> (b * 16)) & 0xFFFFL) == ((dirty5 >>> (b * 16)) & 0xFFFFL)
+    }
+    assert(!oldStyleBandsShare, "fixture must defeat naive 4x16 banding")
+    val got = Dedup.simhashPairsFromSigs(sigs, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 5)))
+  }
+
+  test("simhash banding guarantee: every pair within maxHamming is found (brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // anchors far apart + planted perturbations at hamming 1..6 of each
+    val anchors = Array.fill(6)(rnd.nextLong())
+    val sigs = anchors.zipWithIndex.flatMap { case (a, i) =>
+      val flips = (1 to 6).map { h =>
+        var s = a
+        rnd.shuffle((0 until 64).toList).take(h).foreach(b => s ^= (1L << b))
+        s
+      }
+      (a +: flips).zipWithIndex.map { case (s, j) => (i * 100L + j, s) }
+    }
+    val k = 6
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= k
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairsFromSigs(sigs.toSeq.toDF("id", "sig"), maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missed: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
   }
 
   test("brute-force ANN: self-similar vectors rank first") {
@@ -193,6 +295,50 @@ class GraftSparkSpec extends AnyFunSuite {
     val ivf2 = Similarity.ivfTopK(all, q, "vec_id", "embedding", "vec_id", 5,
       nCentroids = 16, nprobe = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == ivf2)
+  }
+
+  test("embedding near-dup: recall >= 0.9 vs exact cosine pairs on the fixture") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    // exact oracle computed in-test (500 vectors -> 125k pairs, trivial)
+    val vecs = all.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val minCos = 0.45
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= minCos
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(exact.nonEmpty, "fixture lost its near-pairs")
+    val got = Dedup.embeddingNearDups(all, "vec_id", "embedding",
+        minCosine = minCos, nCentroids = 16, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${(got -- exact).take(3)}")
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"embedding near-dup recall: $recall%.2f (${got.size}/${exact.size})")
+    assert(recall >= 0.9, f"recall $recall%.2f < 0.9")
+    // determinism across runs (seeded sample + fixed k-means iterations)
+    val again = Dedup.embeddingNearDups(all, "vec_id", "embedding",
+        minCosine = minCos, nCentroids = 16, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
+  test("embedding near-dup: planted true near-duplicate found at production threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val noise = (2L until 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = ((0L, base) +: (1L, near) +: noise).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        minCosine = 0.95, nCentroids = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
   }
 
   test("multimodal plumbing: schema, determinism, batch shape") {

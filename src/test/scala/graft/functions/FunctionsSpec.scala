@@ -60,4 +60,12 @@ class FunctionsSpec extends AnyFunSuite {
     val binary = (0 until 100).map(i => (i % 8).toChar).mkString
     assert(Quality.flags(binary).contains("binary"))
   }
+
+  test("Quality: char-run counting is exact for U+0000-leading content") {
+    // the first char must never extend a phantom run (prev starts out of
+    // char range, not at a sentinel char value)
+    assert(Quality.stats("\u0000\u0000ab").maxCharRun == 2)
+    assert(Quality.stats("\u0000ab").maxCharRun == 1)
+    assert(Quality.stats("aaab").maxCharRun == 3)
+  }
 }
