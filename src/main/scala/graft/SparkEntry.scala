@@ -79,6 +79,14 @@ object SparkEntry {
   private def dumpSql: String =
     s"read_parquet('${scoredDumpPath("/root/testdata/sf0.01")}/*.parquet')"
 
+  /** Detection dump for the E1 confusion oracle (same pattern). */
+  def detectDumpPath(dir: String): String =
+    s"/tmp/graft_detect_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  /** Heuristic-langid dump for the q_langid_heuristic oracle. */
+  def langidDumpPath(dir: String): String =
+    s"/tmp/graft_langid_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (E1/E4/E5/E6, oracle-checked) ----
     "q1_agg" -> ((s, dir) => {
@@ -252,15 +260,21 @@ object SparkEntry {
     }),
     "q_eval_confusion" -> ((s, dir) => {
       // E1: the reference's evaluation aggregation — per-(gold, predicted)
-      // counts over the detector output (model-backed: rows-only check)
+      // counts over the detector output. Detections (model-backed, not
+      // SQL-expressible) are dumped once; the AGGREGATION is then replayed
+      // by DuckDB over the dump, hash-checking the relational step.
       val bundle = ScoreStage.defaultBundle
       val bc = s.sparkContext.broadcast(bundle)
       import s.implicits._
-      docs(s, dir).select(col("lang"), col("text")).as[(String, String)]
+      val path = detectDumpPath(dir)
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
         .mapPartitions { it =>
           val m = bc.value.ldig
-          it.map { case (gold, t) => (gold, m.detect(t)._1) }
-        }.toDF("lang", "lang_pred")
+          it.map { case (id, gold, t) => (id, gold, m.detect(t)._1) }
+        }.toDF("doc_id", "lang", "lang_pred")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     }),
     "q_feature_debug" -> ((s, dir) => {
@@ -282,9 +296,14 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("features")).as(Seq("feature", "cnt")))
     }),
     "q_langid_heuristic" -> ((s, dir) => {
+      // guesses (JVM heuristic) dumped once; DuckDB replays the aggregation
       val langUdf = udf(TextAnalysis.langIdHeuristic)
-      docs(s, dir).groupBy(col("lang"), langUdf(col("text")).as("lang_guess"))
-        .agg(count(lit(1)).as("n"))
+      val path = langidDumpPath(dir)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          langUdf(col("text")).as("lang_guess"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
     }),
     // flagship + relational tail: scored columns dumped once, then the
     // decision/summary/audit derivations replayed in DuckDB (hash-checked)
@@ -318,8 +337,10 @@ object SparkEntry {
     "q_simhash_dedup" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
     "q_fingerprint" -> ((s, dir) =>
+      // sha-based variant so DuckDB computes the identical value; the
+      // xxhash64 production variant is spec-covered (see Dedup scaladoc)
       docs(s, dir).select(col("doc_id"),
-        Dedup.fingerprint(col("text")).as("fingerprint"))),
+        Dedup.fingerprintSha(col("text")).as("fingerprint"))),
     "q_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding",
         minCosine = 0.45, nCentroids = 16, nprobe = 3)
@@ -513,6 +534,41 @@ object SparkEntry {
          |                    THEN 1 ELSE 0 END) > 0
          |       THEN 'partial_error' ELSE 'ok' END AS status
          |FROM $dumpSql GROUP BY 1, 2""".stripMargin,
+    "q_eval_confusion" ->
+      s"""SELECT lang, lang_pred, count(*) AS n
+         |FROM read_parquet('${detectDumpPath("/root/testdata/sf0.01")}/*.parquet')
+         |GROUP BY 1, 2""".stripMargin,
+    "q_langid_heuristic" ->
+      s"""SELECT lang, lang_guess, count(*) AS n
+         |FROM read_parquet('${langidDumpPath("/root/testdata/sf0.01")}/*.parquet')
+         |GROUP BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |fp AS (SELECT doc_id, min(sha256(shingle)) AS fingerprint
+        |       FROM sh GROUP BY 1)
+        |SELECT d.doc_id, fp.fingerprint
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e.v, q.qv) AS score
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+        |  round(score, 4) AS score
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_set_ops" ->
       """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
         |     a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),

@@ -312,8 +312,17 @@ object Dedup {
   }
 
   /** Winnowing-style document fingerprint: min xxhash64 over word 3-gram
-    * shingles — a cheap stable doc identity for fuzzy dedup triage. */
+    * shingles — a cheap stable doc identity for fuzzy dedup triage.
+    * Production variant: 8-byte hashes, minimal shuffle width. */
   def fingerprint(textCol: Column): Column =
     aggregate(transform(wordShingles(textCol, 3), s => xxhash64(s)),
       lit(Long.MaxValue), (acc, h) => least(acc, h))
+
+  /** Cross-engine-checkable fingerprint: lexicographic min of sha256 hex
+    * over word 3-gram shingles (null when the text has < 3 tokens). Same
+    * winnowing idea, but DuckDB computes the identical value — used by the
+    * oracle-verified q_fingerprint; prefer [[fingerprint]] at scale (8-byte
+    * keys vs 64-char strings). */
+  def fingerprintSha(textCol: Column): Column =
+    array_min(transform(wordShingles(textCol, 3), s => sha2(s, 256)))
 }

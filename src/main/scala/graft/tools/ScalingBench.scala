@@ -28,11 +28,13 @@ object ScalingBench {
     s
   }
 
-  /** Pure-CPU wall seconds for a fixed work total at `t` threads. */
+  /** Pure-CPU wall seconds for a fixed work total at `t` threads. Sized
+    * to several seconds at 32 threads — sub-second probes were dominated
+    * by scheduler noise and produced "ceilings" the real job beat. */
   private def cpuBaseline(t: Int): Double = {
     val units = 128
     val per = units / t
-    val th = (0 until t).map(_ => new Thread(() => (0 until per).foreach(_ => burn(2000000))))
+    val th = (0 until t).map(_ => new Thread(() => (0 until per).foreach(_ => burn(12000000))))
     val t0 = System.nanoTime()
     th.foreach(_.start()); th.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
