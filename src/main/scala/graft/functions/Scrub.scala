@@ -40,9 +40,91 @@ object Scrub {
       s"regexp_replace($acc, '$pat', '$rep', 'g')"
     }
 
+  // ------------------------------------------------------------------
+  // Anchor-skip acceleration (PURELY an optimization — output is
+  // byte-identical to running the regex chain directly; ScrubSpec
+  // property-checks that on random + adversarial inputs).
+  //
+  // Every rule's matches must contain an "anchor" substring, and a match
+  // can start at most `backoff` chars before its anchor. So instead of
+  // letting the regex engine attempt a match at EVERY position (the email
+  // rule's leading [A-Za-z0-9._%+-]{1,64} matches most text characters,
+  // which made it 46% of per-row cost), we jump: find the next anchor
+  // with an intrinsic indexOf / tight keyword scan, then m.find(anchor -
+  // backoff). Correctness: a match starting at p >= pos has its anchor
+  // inside itself at index >= p >= pos, so the FIRST anchor a >= pos
+  // bounds every later match's start to >= a - backoff; find() from
+  // there returns the true leftmost match. If find() fails, no match
+  // exists anywhere right of pos (find scans to the end).
+  // ------------------------------------------------------------------
+
+  /** Next candidate anchor index >= from, or -1. Over-approximation is
+    * fine (it only triggers a regex attempt); missing an anchor is not. */
+  private type Finder = (String, Int) => Int
+
+  private def literal(lit: String): Finder = (s, from) => s.indexOf(lit, from)
+
+  /** First position >= from where any of `words` matches ASCII-case-
+    * insensitively ((?i) without UNICODE_CASE folds ASCII only, and
+    * regionMatches(true) is a superset of that). Also used by Quality's
+    * autogen detector — same (?i) literal-alternation semantics. */
+  private[functions] def ciWords(words: Array[String]): Finder = {
+    val firsts: Set[Char] = words.map(w => w.charAt(0)).toSet
+    (s, from) => {
+      var i = math.max(from, 0)
+      val n = s.length
+      var found = -1
+      while (found < 0 && i < n) {
+        val c = Character.toLowerCase(s.charAt(i))
+        if (firsts.contains(c)) {
+          var w = 0
+          while (found < 0 && w < words.length) {
+            val word = words(w)
+            if (word.charAt(0) == c && s.regionMatches(true, i, word, 0, word.length))
+              found = i
+            w += 1
+          }
+        }
+        i += 1
+      }
+      found
+    }
+  }
+
+  /** First digit-dot-digit triple at index >= from (ipv4 necessary
+    * condition: the first octet's last digit, the first dot, and the
+    * second octet's first digit). */
+  private val digitDotDigit: Finder = (s, from) => {
+    var i = math.max(from, 1)
+    val n = s.length - 1
+    var found = -1
+    while (found < 0 && i < n) {
+      if (s.charAt(i) == '.' &&
+          s.charAt(i - 1) >= '0' && s.charAt(i - 1) <= '9' &&
+          s.charAt(i + 1) >= '0' && s.charAt(i + 1) <= '9') found = i - 1
+      i += 1
+    }
+    found
+  }
+
+  /** (finder, backoff) per rule, index-aligned with `rules`. Backoffs:
+    * email's local part is {1,64} chars before the '@'; ipv4's match
+    * starts at most 2 digits before the digit-dot-digit anchor; keyword
+    * rules start AT their keyword. */
+  private val anchors: IndexedSeq[(Finder, Int)] = IndexedSeq(
+    (literal("@"), 64),
+    (literal("AKIA"), 0),
+    (literal("ghp_"), 0),
+    (ciWords(Array("api_key", "apikey", "secret", "token", "passwd", "password")), 0),
+    (digitDotDigit, 2),
+    (ciWords(Array("fuck", "shit", "bitch", "asshole", "bastard", "damn", "crap")), 0)
+  )
+
   final case class Result(scrubbed: String, piiHits: Int, toxicHits: Int)
 
-  /** Apply the frozen chain; counts hits per category. Pure, deterministic. */
+  /** Apply the frozen chain; counts hits per category. Pure, deterministic,
+    * byte-identical to the raw regex chain (anchor skipping only avoids
+    * provably matchless regions). */
   def apply(content: String): Result = {
     if (content == null) return Result("", 0, 0)
     var s = content
@@ -51,14 +133,27 @@ object Scrub {
     var i = 0
     while (i < rules.length) {
       val (name, pat, rep) = rules(i)
-      val m = pat.matcher(s)
+      val (finder, backoff) = anchors(i)
       var hits = 0
-      val sb = new java.lang.StringBuilder(s.length)
-      var last = 0
-      while (m.find()) {
-        sb.append(s, last, m.start()).append(rep)
-        last = m.end()
-        hits += 1
+      var sb: java.lang.StringBuilder = null
+      val m = pat.matcher(s)
+      var last = 0 // end of last emitted match (copy watermark)
+      var pos = 0  // no match starts before this
+      var continue = true
+      while (continue) {
+        val a = finder(s, pos)
+        if (a < 0) continue = false
+        else {
+          if (m.find(math.max(pos, a - backoff))) {
+            if (sb == null) sb = new java.lang.StringBuilder(s.length)
+            sb.append(s, last, m.start()).append(rep)
+            last = m.end()
+            // zero-width matches are impossible here (all patterns need
+            // >= 2 chars), so pos strictly advances
+            pos = m.end()
+            hits += 1
+          } else continue = false
+        }
       }
       if (hits > 0) {
         sb.append(s, last, s.length)

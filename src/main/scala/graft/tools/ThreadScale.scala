@@ -237,3 +237,27 @@ object PipeProbe3 {
     spark.stop()
   }
 }
+
+/** Diagnostic: per-rule cost of the scrub chain. */
+object ScrubProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = graft.core.Synth.fileRows(
+      sys.env.getOrElse("ROWS", "20000").toInt,
+      bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt)
+    val texts = rows.map(_.content)
+    // warmup
+    texts.take(2000).foreach(graft.functions.Scrub(_))
+    graft.functions.Scrub.rules.foreach { case (name, pat, rep) =>
+      val t0 = System.nanoTime()
+      var hits = 0
+      texts.foreach { s =>
+        val m = pat.matcher(s)
+        while (m.find()) hits += 1
+      }
+      println(f"$name%-14s ${(System.nanoTime()-t0)/1e9}%6.2fs hits=$hits")
+    }
+    val t0 = System.nanoTime()
+    texts.foreach(graft.functions.Scrub(_))
+    println(f"full chain     ${(System.nanoTime()-t0)/1e9}%6.2fs")
+  }
+}
