@@ -18,8 +18,14 @@ final class FastTextLite private (
     weights: Array[Double],
     buckets: Int) extends Serializable {
 
-  def predictWithProb(raw: String): (String, Double) = {
-    val events = FastTextLite.featurize(Normalize(raw), buckets)
+  def predictWithProb(raw: String): (String, Double) =
+    predictNormalizedWithProb(Normalize(raw))
+
+  /** Entry point for callers that already normalized (the fused scoring
+    * stage computes Normalize once and shares it — normalizing twice per
+    * row showed up in ComponentScale). */
+  def predictNormalizedWithProb(normalized: String): (String, Double) = {
+    val events = FastTextLite.featurize(normalized, buckets)
     val y = Lr.predict(events, weights, labels.length)
     var best = 0
     var i = 1
@@ -28,6 +34,8 @@ final class FastTextLite private (
   }
 
   def predict(raw: String): String = predictWithProb(raw)._1
+  def predictNormalized(normalized: String): String =
+    predictNormalizedWithProb(normalized)._1
 }
 
 object FastTextLite {

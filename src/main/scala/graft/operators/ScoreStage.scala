@@ -98,7 +98,7 @@ object ScoreStage {
           while (k < y.length) { if (y(k) > y(best)) best = k; k += 1 }
           (b.ldig.labels(best), y(best))
         }
-      val ft = if (norm.length < 2) "und" else b.fasttext.predict(natural)
+      val ft = if (norm.length < 2) "und" else b.fasttext.predictNormalized(norm)
       val ppl = if (norm.length < 3) 1e9 else b.lm.perplexity(norm, pred)
       val scrub = Scrub(r.content)
       val qf0 = Quality.flags(r.content)
