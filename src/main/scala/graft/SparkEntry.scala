@@ -332,6 +332,27 @@ object SparkEntry {
         .groupBy("set_op")
         .agg(count(lit(1)).as("n_orders"), sum("l_orderkey").as("sum_keys"))
     }),
+    "q_dist_train" -> ((s, dir) => {
+      // D3 at scale: iterative-parameter-mixing trainer (model-backed,
+      // rows-only — the driver-local reference-match trainer is separate).
+      // Trains on the learnable synthetic corpus AS A DATAFRAME (the
+      // documents fixture's lang labels are label-independent word salad),
+      // then reports agreement with the driver-local model over the
+      // documents table. DistTrainSpec holds the accuracy/determinism line.
+      import s.implicits._
+      val trainDf = graft.core.Synth.corpus(perLang = 64).toDF("lang", "text")
+      val dist = DistTrain.train(s, trainDf,
+        cfg = DistTrain.Config(parts = 4, rounds = 6))
+      val bcDist = s.sparkContext.broadcast(dist)
+      val bcDriver = s.sparkContext.broadcast(ScoreStage.defaultBundle.ldig)
+      docs(s, dir).select(col("text")).as[String]
+        .mapPartitions { it =>
+          val d = bcDist.value
+          val r = bcDriver.value
+          it.map(t => (r.detect(t)._1, d.detect(t)._1))
+        }.toDF("driver_pred", "dist_pred")
+        .groupBy("driver_pred", "dist_pred").agg(count(lit(1)).as("n"))
+    }),
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
     "q_simhash_dedup" -> ((s, dir) =>

@@ -69,9 +69,18 @@ object Lr {
 
   /** Sequential SGD + cumulative-L1 (lazy clipped shrinkage). Deterministic
     * for a fixed config (seeded shuffle, fixed iteration order). */
-  def train(examples: IndexedSeq[Example], cfg: TrainConfig): Array[Double] = {
+  def train(examples: IndexedSeq[Example], cfg: TrainConfig): Array[Double] =
+    trainFrom(new Array[Double](cfg.numFeatures * cfg.numClasses), examples, cfg)
+
+  /** Same pass but starting from `init` (NOT mutated) — the building block
+    * of the distributed iterative-parameter-mixing trainer, where each
+    * partition continues from the previous round's averaged weights. The
+    * cumulative-L1 bookkeeping starts fresh per call (a documented
+    * approximation: the penalty budget is per-pass when mixing). */
+  def trainFrom(init: Array[Double], examples: IndexedSeq[Example],
+                cfg: TrainConfig): Array[Double] = {
     val K = cfg.numClasses
-    val w = new Array[Double](cfg.numFeatures * K)
+    val w = init.clone()
     // cumulative-L1 bookkeeping (Tsuruoka et al. 2009)
     val q = new Array[Double](cfg.numFeatures * K) // total penalty applied to w_i
     var u = 0.0                                    // total penalty available

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.core.{DoubleArray, LdigModel, Lr, MaxSubst, Normalize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out trainer for the infinity-gram detector: iterative parameter
+  * mixing (McDonald, Hall & Mann, NAACL-HLT 2010 "Distributed Training
+  * Strategies for the Structured Perceptron", applied to the logistic
+  * loss): each round, every partition runs the SAME sequential
+  * SGD+cumulative-L1 pass (graft.core.Lr) locally starting from the
+  * broadcast weights, and the driver averages the results weighted by
+  * example count.
+  *
+  * EXPLICITLY NOT reference-bit-matching (SURVEY.md §3.2): SGD is
+  * visit-order dependent, so the reference-match trainer stays
+  * driver-local (LdigModel.buildAndTrain). This one exists for the 10^12
+  * regime where the labeled corpus itself no longer fits one machine.
+  *
+  * Scale shape:
+  *  - feature mining (MaxSubst) runs on a deterministic uniform SAMPLE
+  *    (top-n by xxhash64 — bounded TakeOrdered, partition-layout
+  *    independent), the trie is broadcast once;
+  *  - featurization + each training pass are one narrow mapPartitions
+  *    over the cached example set — zero shuffles per round;
+  *  - only weight vectors travel (P × M×K doubles), merged by
+  *    Dataset.reduce (map-side pairwise combine before the driver). For
+  *    M ~ 10^6 switch `parts` down or merge via treeReduce — noted here,
+  *    not needed at fixture scale.
+  *
+  * Determinism: examples are assigned to `parts` buckets by
+  * xxhash64(text) and sorted within each bucket by the same hash, and
+  * every bucket trains with seed = cfg.seed + bucket — so the result is
+  * identical across parallelism levels and repeated runs.
+  */
+object DistTrain {
+
+  final case class Config(
+      parts: Int = 8,
+      rounds: Int = 8,
+      sampleForFeatures: Int = 4000,
+      minCount: Int = 2,
+      maxSubstLen: Int = 24,
+      eta0: Double = 0.1,
+      etaDecay: Double = 0.9,
+      reg: Double = 0.001,
+      seed: Long = 42L)
+
+  /** Train on a (label, text) DataFrame; columns configurable. */
+  def train(spark: SparkSession, corpus: DataFrame,
+            labelCol: String = "lang", textCol: String = "text",
+            cfg: Config = Config()): LdigModel = {
+    import spark.implicits._
+
+    val base = corpus
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        col(textCol).cast("string").as("text"))
+
+    val labels = base.select("label").distinct().as[String].collect().sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val bcLabelIdx = spark.sparkContext.broadcast(labelIdx)
+
+    // ---- feature mining on a deterministic uniform sample (driver) ----
+    val sampleTexts = base
+      .select(col("text"), xxhash64(col("text"), lit(cfg.seed)).as("h"))
+      .orderBy(col("h")).limit(cfg.sampleForFeatures)
+      .select("text").as[String].collect()
+    val feats = MaxSubst.extract(
+        sampleTexts.iterator.map(t => "\u0001" + Normalize(t) + "\u0001"),
+        minCount = cfg.minCount, maxLen = cfg.maxSubstLen)
+      .map(_.substr).distinct.sorted
+    require(feats.nonEmpty, "no features extracted — corpus too small?")
+    val skeleton = new LdigModel(labels, feats, DoubleArray.buildSorted(feats),
+      new Array[Double](feats.length * labels.length))
+    val bcSkeleton = spark.sparkContext.broadcast(skeleton)
+
+    // ---- featurize once, deterministic bucketing, cache ----
+    val bucketed = base
+      .withColumn("bucket",
+        pmod(xxhash64(col("text"), lit(cfg.seed + 1)), lit(cfg.parts.toLong)).cast("int"))
+      .withColumn("ord", xxhash64(col("text"), lit(cfg.seed + 2)))
+      .repartition(cfg.parts, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("ord"))
+      .select(col("label"), col("text"), col("bucket"))
+      .as[(String, String, Int)]
+      .mapPartitions { it =>
+        val m = bcSkeleton.value
+        val li = bcLabelIdx.value
+        it.flatMap { case (label, text, bucket) =>
+          val norm = Normalize(text)
+          if (norm.length < 2) Iterator.empty // B10
+          else Iterator.single((bucket, li(label), m.featurize(norm)))
+        }
+      }.cache()
+    bucketed.count() // materialize once; every round re-reads the cache
+
+    // ---- iterative parameter mixing ----
+    val K = labels.length
+    val M = feats.length
+    var w = new Array[Double](M * K)
+    var round = 0
+    while (round < cfg.rounds) {
+      val bcW = spark.sparkContext.broadcast(w)
+      val eta = cfg.eta0 * math.pow(cfg.etaDecay, round)
+      val partial = bucketed.mapPartitions { it =>
+        val grouped = it.toArray.groupBy(_._1) // one physical partition per bucket
+        grouped.iterator.map { case (bucket, rows) =>
+          val examples: IndexedSeq[Lr.Example] =
+            rows.map(r => Lr.Example(r._2, r._3)).toIndexedSeq
+          val local = Lr.trainFrom(bcW.value, examples, Lr.TrainConfig(
+            numFeatures = M, numClasses = K, eta0 = eta, etaDecay = 1.0,
+            reg = cfg.reg, epochs = 1, seed = cfg.seed + bucket))
+          val n = examples.length.toLong
+          val scaled = new Array[Double](local.length)
+          var i = 0
+          while (i < local.length) { scaled(i) = local(i) * n; i += 1 }
+          (n, scaled)
+        }
+      }
+      val (total, sum) = partial.reduce { (a, b) =>
+        val out = new Array[Double](a._2.length)
+        var i = 0
+        while (i < out.length) { out(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1 + b._1, out)
+      }
+      bcW.destroy()
+      val next = new Array[Double](sum.length)
+      var i = 0
+      while (i < sum.length) { next(i) = sum(i) / total; i += 1 }
+      w = next
+      round += 1
+    }
+    bucketed.unpersist()
+
+    // D5 shrink + trie rebuild, same as the driver-local path
+    val (keptIds, keptW) = Lr.shrink(w, K)
+    if (keptIds.length == feats.length || keptIds.isEmpty)
+      new LdigModel(labels, feats, skeleton.trie, w)
+    else {
+      val keptKeys = keptIds.map(feats)
+      new LdigModel(labels, keptKeys, DoubleArray.buildSorted(keptKeys), keptW)
+    }
+  }
+}

@@ -163,6 +163,22 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(audit.length == 1 && audit(0).getAs[String]("status") == "partial_error")
   }
 
+  test("distributed trainer: accuracy and determinism (iterative parameter mixing)") {
+    import spark.implicits._
+    val corpus = Synth.corpus(perLang = 64)
+    val (trainSet, heldOut) = corpus.zipWithIndex.partition(_._2 % 5 != 0)
+    val df = trainSet.map(_._1).toDF("lang", "text")
+    val m = DistTrain.train(spark, df, cfg = DistTrain.Config(parts = 4, rounds = 6))
+    val acc = heldOut.map(_._1).count { case (l, t) => m.detect(t)._1 == l }
+      .toDouble / heldOut.size
+    info(f"distributed-trained held-out accuracy: $acc%.4f (${heldOut.size} texts)")
+    assert(acc >= 0.90, f"accuracy $acc%.4f < 0.90")
+    // determinism: identical weights on a second run
+    val m2 = DistTrain.train(spark, df, cfg = DistTrain.Config(parts = 4, rounds = 6))
+    assert(java.util.Arrays.equals(m.weights, m2.weights))
+    assert(m.featureKeys.sameElements(m2.featureKeys))
+  }
+
   test("set operations arithmetic: union = except + except + intersect") {
     val out = SparkEntry.queries("q_set_ops")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
