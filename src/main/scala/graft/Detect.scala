@@ -9,9 +9,11 @@ import scala.jdk.CollectionConverters._
   * then a per-language precision/recall table when gold labels exist.
   *
   * Usage:
-  *   runMain graft.Detect --selftest            # train on synth, eval held-out
-  *   runMain graft.Detect -m DIR file.tsv       # load model, detect/eval file
-  *   runMain graft.Detect --train DIR           # train on synth corpus, save
+  *   runMain graft.Detect --selftest             # train on synth, eval held-out
+  *   runMain graft.Detect -m DIR file.tsv        # load model, detect/eval file
+  *   runMain graft.Detect --train DIR [corpus]   # train (synth or label\ttext file), save
+  *   runMain graft.Detect --features corpus out  # maxsubst.py surface: substr\tcount
+  *   runMain graft.Detect --shrink DIR OUT       # drop zero-weight features, rebuild trie
   */
 object Detect {
 
@@ -20,18 +22,45 @@ object Detect {
       val (train, test) = Synth.split(Synth.corpus(perLang = 96))
       val model = LdigModel.buildAndTrain(train)
       eval(model, test, verbose = false)
-    case "--train" :: dir :: Nil =>
-      val model = LdigModel.buildAndTrain(Synth.corpus(perLang = 96))
+    case "--train" :: dir :: rest if rest.length <= 1 =>
+      val corpus = rest.headOption match {
+        case Some(file) => Files.readAllLines(Paths.get(file)).asScala.toSeq
+          .flatMap(Normalize.parseLine).filter(_._1.nonEmpty)
+        case None => Synth.corpus(perLang = 96)
+      }
+      val model = LdigModel.buildAndTrain(corpus)
       model.save(Paths.get(dir))
       println(s"saved model: ${model.labels.length} labels, " +
         s"${model.featureKeys.length} features -> $dir")
+    case "--features" :: corpusFile :: out :: Nil =>
+      // the reference's standalone maxsubst surface: corpus in, one
+      // "maximal-substring<TAB>count" per line out (normalized, sentinel-
+      // wrapped exactly like training — SURVEY §3.3)
+      val texts = Files.readAllLines(Paths.get(corpusFile)).asScala.toSeq
+        .flatMap(Normalize.parseLine).map(_._2).filter(_.length >= 2)
+      val feats = graft.core.MaxSubst.extract(
+        texts.iterator.map(t => "\u0001" + Normalize(t) + "\u0001"),
+        minCount = 2, maxLen = 24)
+      Files.write(Paths.get(out),
+        feats.sortBy(_.substr).map(f => s"${f.substr}\t${f.count}")
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"wrote ${feats.length} maximal substrings -> $out")
+    case "--shrink" :: dir :: out :: Nil =>
+      val m = LdigModel.load(Paths.get(dir))
+      val (keptIds, keptW) = graft.core.Lr.shrink(m.weights, m.numClasses)
+      val keptKeys = keptIds.map(m.featureKeys)
+      val shrunk = new LdigModel(m.labels, keptKeys,
+        graft.core.DoubleArray.buildSorted(keptKeys), keptW)
+      shrunk.save(Paths.get(out))
+      println(s"shrunk ${m.featureKeys.length} -> ${keptKeys.length} features -> $out")
     case "-m" :: dir :: file :: Nil =>
       val model = LdigModel.load(Paths.get(dir))
       val lines = Files.readAllLines(Paths.get(file)).asScala.toSeq
       val parsed = lines.flatMap(Normalize.parseLine)
       eval(model, parsed, verbose = true)
     case _ =>
-      System.err.println("usage: Detect --selftest | --train DIR | -m DIR FILE")
+      System.err.println("usage: Detect --selftest | --train DIR [corpus] | " +
+        "--features CORPUS OUT | --shrink DIR OUT | -m DIR FILE")
       sys.exit(2)
   }
 
