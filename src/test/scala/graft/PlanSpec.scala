@@ -97,4 +97,18 @@ class PlanSpec extends AnyFunSuite {
     // join keys are (band_id, band_hash) — both sides shuffle only id+band
     assert(p.contains("band_hash"), p)
   }
+
+  test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Seq(
+      operators.Dedup.simhashPairs(docs, "doc_id", "text"),
+      operators.Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.45, nCentroids = 8, nprobe = 2)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
 }
