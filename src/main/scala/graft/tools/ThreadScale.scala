@@ -261,3 +261,27 @@ object ScrubProbe {
     println(f"full chain     ${(System.nanoTime()-t0)/1e9}%6.2fs")
   }
 }
+
+/** One-off: regenerate the end-to-end golden fixture (run consciously
+  * after any INTENTIONAL format change; the golden freezes the
+  * normalize/scrub/decision contracts). */
+object GenGolden {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rows = graft.core.Synth.fileRows(200).toDF().as[graft.core.Synth.FileRow]
+    val out = graft.operators.ScoreStage(spark, rows)
+      .select("path", "lang_pred", "keep", "content_sha256")
+      .collect()
+      .map(r => s"${r.getString(0)}\t${r.getString(1)}\t${r.getBoolean(2)}\t${r.getString(3)}")
+      .sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("src/test/resources/golden_pipeline_200.tsv"),
+      out.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote ${out.length} golden rows")
+    spark.stop()
+  }
+}

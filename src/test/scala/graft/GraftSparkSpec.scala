@@ -369,6 +369,28 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(a.forall(_.getInt(2) == 64 * 4)) // 64 floats payload
   }
 
+  test("end-to-end golden: frozen (path, lang_pred, keep, sha256) fixture") {
+    // SURVEY §5.2 "end-to-end golden": any drift in the frozen
+    // normalize/scrub/quality/decision contracts fails here. Regenerate
+    // CONSCIOUSLY via `runMain graft.tools.GenGolden` only for an
+    // intentional format change (it is a format break: sha256 is the
+    // per-row invariant).
+    import spark.implicits._
+    val rows = Synth.fileRows(200).toDF().as[Synth.FileRow]
+    val got = ScoreStage(spark, rows)
+      .select("path", "lang_pred", "keep", "content_sha256")
+      .collect()
+      .map(r => s"${r.getString(0)}\t${r.getString(1)}\t${r.getBoolean(2)}\t${r.getString(3)}")
+      .sorted
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_pipeline_200.tsv"), "UTF-8")
+      .getLines().toArray
+    assert(got.length == golden.length)
+    got.zip(golden).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"golden drift at row $i:\n  got    $g\n  expect $e")
+    }
+  }
+
   test("streaming restart from checkpoint is exactly-once (no dupes, no loss)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftckpt").toString
