@@ -58,7 +58,9 @@ object Bench {
             org.apache.spark.sql.functions.col("h").cast("double")))
         .collect()(0).getLong(0)
     }
-    val forced = Set("q_pipeline")
+    // q_doc_stats is a pure Catalyst projection — a bare count() would
+    // prune every stats column and time only the scan
+    val forced = Set("q_pipeline", "q_doc_stats")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -202,6 +202,15 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
+    "q_dedup_cluster" -> ((s, dir) => {
+      // fuzzy dedup END-TO-END, hash-checked: exact-Jaccard pairs →
+      // connected components → one survivor (min id) per component.
+      // DuckDB replays the whole chain with a recursive-CTE closure.
+      val d = docs(s, dir)
+      Dedup.dropNearDuplicates(d, "doc_id",
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleK = 5, minJaccard = 0.5))
+        .select("doc_id", "lang", "source")
+    }),
     "q_scrub" -> ((s, dir) => {
       // native codegen expression (graft.plans.ScrubText), registered per
       // session — no ScalaUDF barrier in the plan
@@ -523,6 +532,32 @@ object SparkEntry {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |losers AS (SELECT DISTINCT a AS id FROM closure WHERE b < a)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "q_scrub" ->
       s"""SELECT doc_id,
          |  ${Scrub.oracleSqlExpr("text")} AS content_scrubbed,

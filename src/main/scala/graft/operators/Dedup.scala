@@ -310,6 +310,66 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 
+  /** Connected components over near-dup candidate pairs — the clustering
+    * step that turns PAIRS into dedup GROUPS (C4/The-Stack pipelines drop
+    * all but one doc per component, not per pair: with docs A~B and B~C,
+    * pairwise dropping could keep A and C, both near-dups of B).
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with itself; each round every node takes the min label in
+    * its 1-hop neighborhood (including itself); stop when no label
+    * changed. Converges in O(component diameter) rounds — near-dup
+    * components are small and chain-like, so a handful of rounds; each
+    * round is one groupBy shuffle of (node, label) pairs, never edges ×
+    * edges. `maxIter` bounds hostile inputs; the loop exits early on
+    * convergence (AQE sizes the per-round shuffles).
+    *
+    * Returns (id, component) with component = min doc id in the group —
+    * a deterministic canonical representative. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions + self-loops keep own label alive
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("comp"))
+        .union(labels.select(col("id"), col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .cache()
+      val changed = propagated.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Fuzzy dedup end-to-end: keep exactly one representative (the min id)
+    * per near-duplicate component found by `pairsOf` (e.g. minhashPairs).
+    * Docs in no pair are kept untouched. Single broadcast-able anti-join
+    * against the (small) non-representative id set when components are
+    * sparse; a plain shuffled anti-join otherwise. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Winnowing-style document fingerprint: min xxhash64 over word 3-gram
     * shingles — a cheap stable doc identity for fuzzy dedup triage.
     * Production variant: 8-byte hashes, minimal shuffle width. */

@@ -270,6 +270,40 @@ class GraftSparkSpec extends AnyFunSuite {
       s"missed: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
   }
 
+  test("connected components cluster near-dup pairs; one survivor per component") {
+    import spark.implicits._
+    // chain 1-2-3 (one component), pair 10-11, singleton 20 (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (20L, "f"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L))
+    // empty pair set: everything survives
+    val none = Dedup.dropNearDuplicates(docs, "doc_id",
+      pairs.where(lit(false))).count()
+    assert(none == docs.count())
+  }
+
+  test("fuzzy dedup end-to-end: no two survivors are near-dups of each other") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      shingleK = 5, minJaccard = 0.5).cache()
+    val kept = Dedup.dropNearDuplicates(d, "doc_id", pairs)
+    val keptIds = kept.select(col("doc_id")).distinct()
+    // a surviving PAIR would mean clustering failed
+    val survivingPairs = pairs
+      .join(keptIds.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(keptIds.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .count()
+    assert(survivingPairs == 0, s"$survivingPairs near-dup pairs survived dedup")
+    assert(kept.count() > 0 && kept.count() < d.count()) // fixture has dups
+    pairs.unpersist()
+  }
+
   test("brute-force ANN: self-similar vectors rank first") {
     import spark.implicits._
     val vecs = Seq(
