@@ -41,7 +41,7 @@ object Bench {
     val headline = Seq(
       "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
-      "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+      "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window")
 

@@ -211,6 +211,15 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleK = 5, minJaccard = 0.5))
         .select("doc_id", "lang", "source")
     }),
+    "q_fuzzy_dedup_minhash" -> ((s, dir) => {
+      // the SCALE path of the same pipeline: MinHash-LSH candidate pairs
+      // (never all-pairs) → components → survivors. Rows-only check (the
+      // signature is JVM-specific); q_dedup_cluster is the exact witness.
+      val d = docs(s, dir)
+      Dedup.dropNearDuplicates(d, "doc_id",
+          Dedup.minhashPairs(d, "doc_id", "text"))
+        .select("doc_id", "lang", "source")
+    }),
     "q_scrub" -> ((s, dir) => {
       // native codegen expression (graft.plans.ScrubText), registered per
       // session — no ScalaUDF barrier in the plan
