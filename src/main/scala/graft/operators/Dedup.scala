@@ -344,6 +344,8 @@ object Dedup {
         .union(labels.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
         .cache()
+      propagated.count() // materialize FULLY before dropping the parent
+                         // cache, or later rounds re-derive the whole chain
       val changed = propagated.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.comp") =!= col("o.comp"))

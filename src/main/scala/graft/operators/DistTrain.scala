@@ -93,7 +93,8 @@ object DistTrain {
           else Iterator.single((bucket, li(label), m.featurize(norm)))
         }
       }.cache()
-    bucketed.count() // materialize once; every round re-reads the cache
+    // materialize once; every round re-reads the cache
+    require(bucketed.count() > 0, "no trainable examples after B10 filtering")
 
     // ---- iterative parameter mixing ----
     val K = labels.length
