@@ -337,6 +337,17 @@ object SparkEntry {
       Pipeline.auditRows(decidedFromDump(scoredDump(s, dir)))),
     "q_keep_summary" -> ((s, dir) =>
       Pipeline.langDistribution(decidedFromDump(scoredDump(s, dir)))),
+    "q_flag_summary" -> ((s, dir) => {
+      // quality-filter observability: how often each flag fires, and how
+      // many flagged rows survive — DuckDB replays it over the dump
+      val df = decidedFromDump(scoredDump(s, dir))
+      val flags = when(col("quality_flags") === "", lit("(none)"))
+        .otherwise(col("quality_flags"))
+      df.select(explode(split(flags, ",")).as("flag"), col("keep"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
     "q_set_ops" -> ((s, dir) => {
       // E7: union / intersect / except with set-distinct semantics, the
       // Spark operators vs DuckDB's set operators
@@ -634,6 +645,15 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |  round(score, 4) AS score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_flag_summary" ->
+      s"""WITH d AS (SELECT *, $keepSql AS keep FROM $dumpSql),
+         |f AS (SELECT unnest(string_split(
+         |        CASE WHEN quality_flags = '' THEN '(none)'
+         |             ELSE quality_flags END, ',')) AS flag, keep
+         |      FROM d)
+         |SELECT flag, count(*) AS n,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM f GROUP BY 1""".stripMargin,
     "q_set_ops" ->
       """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
         |     a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
