@@ -38,8 +38,13 @@ object Bench {
     SparkEntry.queries("q_ldig_detect")(spark, sfDir).count()
     System.err.println(s"[bench] model ready ($bundleFeatures features); sf=$sfDir cpus=$cpus")
 
+    // q_pipeline is deliberately NOT here: that queries-map entry exists
+    // for the CORRECTNESS harness and serializes its result through a
+    // coalesce(1) oracle-dump write — timing it times the dump, not the
+    // pipeline. The flagship is measured below as pipeline_synth, a
+    // repeated-median over Pipeline.scoreAndDecide directly.
     val headline = Seq(
-      "q_pipeline", "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
+      "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_set_ops", "q1_agg", "q3_join",
@@ -60,7 +65,7 @@ object Bench {
     }
     // q_doc_stats is a pure Catalyst projection — a bare count() would
     // prune every stats column and time only the scan
-    val forced = Set("q_pipeline", "q_doc_stats")
+    val forced = Set("q_doc_stats")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0
@@ -85,7 +90,11 @@ object Bench {
       // local[8] vs local[32] scaling-efficiency comparison sees the
       // identical input. This is the files/sec metric.
       import spark.implicits._
-      val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000").toInt
+      // 400k (~1.6 GB content) matches the ScalingBench campaign size, so
+      // this artifact number and BASELINE.md's campaign medians are the
+      // same experiment; 100k finished in ~1 s at 32 threads, where fixed
+      // per-job overhead still colors the rate
+      val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toInt
       // bodyScale 8 ~= real source-file sizes (few KB); keeps the bench
       // compute-dominated like the production workload instead of
       // per-row-overhead-dominated
@@ -96,14 +105,33 @@ object Bench {
         spark.createDataset(graft.core.Synth.fileRows(benchRows, bodyScale = bodyScale))
           .repartition(64).write.mode("overwrite").parquet(inputPath)
       }
-      val input = spark.read.parquet(inputPath)
-      val t0 = System.nanoTime()
-      // force the FULL column set incl. sha2(content_scrubbed) — a bare
-      // count() prunes the Project and undercounts the flagship's work
-      val n = forceAll(graft.operators.Pipeline.scoreAndDecide(spark, input))
-      val sec = (System.nanoTime() - t0) / 1e9
+      // Repeated-median methodology (same as ScalingBench): this VM's
+      // wall clock drifts 2-4x with hypervisor contention, so a single
+      // sample is not a defensible artifact number. Input is cached
+      // (distributed storage bandwidth scales with cluster size; one
+      // local disk does not), one warmup pass absorbs JIT/codegen, then
+      // the median of `repeats` timed passes is reported — every sample
+      // forces the FULL column set incl. sha2(content_scrubbed); a bare
+      // count() would prune the Project and undercount the work.
+      val repeats = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPEATS", "3").toInt
+      val input = spark.read.parquet(inputPath).cache()
+      input.count() // materialize the cache, untimed
+      var n = 0L
+      def sample(): Double = {
+        val t0 = System.nanoTime()
+        n = forceAll(graft.operators.Pipeline.scoreAndDecide(spark, input))
+        (System.nanoTime() - t0) / 1e9
+      }
+      sample() // warmup
+      val samples = (1 to repeats).map { i =>
+        val sec = sample()
+        System.err.println(f"[bench] pipeline_synth[$i/$repeats] ${sec}%8.2fs  rows=$n (${n/sec}%.0f rows/s)")
+        sec
+      }
+      input.unpersist()
+      val sec = samples.sorted.apply(samples.size / 2)
       pipelineRows = n; pipelineSec = sec
-      System.err.println(f"[bench] pipeline_synth ${sec}%8.2fs  rows=$n (${n/sec}%.0f rows/s)")
+      System.err.println(f"[bench] pipeline_synth median ${sec}%8.2fs over $repeats (${n/sec}%.0f rows/s)")
       Seq("pipeline_synth" -> sec)
     }
 

@@ -49,7 +49,16 @@ object SparkEntry {
   def scoredDumpPath(dir: String): String =
     s"/tmp/graft_scored_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** The sf dir the dump-backed queries last ran with. `oracleSql` is a
+    * def read by Verify AFTER the queries execute, so the dump-reading
+    * oracles always point at the dump THIS run wrote — running the
+    * harness at another scale can no longer silently verify against a
+    * stale sf0.01 dump. Defaults to the driver's verify scale for
+    * standalone oracleSql reads. */
+  @volatile private var oracleDir: String = "/root/testdata/sf0.01"
+
   private def scoredDump(s: SparkSession, dir: String): DataFrame = {
+    oracleDir = dir
     val path = scoredDumpPath(dir)
     Pipeline.scoreAndDecide(s, fileRowsFromDocs(s, dir))
       .select(col("repo"), col("path"), col("commit"), col("lang"),
@@ -64,20 +73,13 @@ object SparkEntry {
   private def decidedFromDump(df: DataFrame): DataFrame =
     ScoreStage.withDecision(df, split(col("quality_flags"), ","))
 
-  /** The H6 keep rule in DuckDB SQL over the scored dump — MUST mirror
-    * ScoreStage.withDecision + Quality.FatalFlags exactly. */
-  private def keepSql: String = {
-    val fatal = graft.functions.Quality.FatalFlags.toSeq.sorted
-      .map(f => s"'$f'").mkString(", ")
-    s"""(lang_prob >= ${ScoreStage.MinLangProb}
-       | AND ft_pred = lang_pred
-       | AND ppl <= ${ScoreStage.MaxPerplexity}
-       | AND len(list_intersect(string_split(quality_flags, ','),
-       |         [$fatal])) = 0)""".stripMargin.replace("\n", " ")
-  }
+  /** The H6 keep rule in DuckDB SQL — GENERATED from the same atoms as
+    * ScoreStage.withDecision (ScoreStage.KeepRule; KeepRuleSpec pins the
+    * renderings to each other). */
+  private def keepSql: String = ScoreStage.KeepRule.duckSql("quality_flags")
 
   private def dumpSql: String =
-    s"read_parquet('${scoredDumpPath("/root/testdata/sf0.01")}/*.parquet')"
+    s"read_parquet('${scoredDumpPath(oracleDir)}/*.parquet')"
 
   /** Detection dump for the E1 confusion oracle (same pattern). */
   def detectDumpPath(dir: String): String =
@@ -86,6 +88,13 @@ object SparkEntry {
   /** Heuristic-langid dump for the q_langid_heuristic oracle. */
   def langidDumpPath(dir: String): String =
     s"/tmp/graft_langid_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  /** MinHash candidate-pair dump for the q_fuzzy_dedup_minhash oracle:
+    * signatures are JVM-specific (not oracle-able), but the pairs →
+    * connected components → survivors tail is pure relational — DuckDB
+    * replays it from this dump with a recursive-CTE closure. */
+  def minhashPairsDumpPath(dir: String): String =
+    s"/tmp/graft_minhash_pairs_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (E1/E4/E5/E6, oracle-checked) ----
@@ -213,11 +222,18 @@ object SparkEntry {
     }),
     "q_fuzzy_dedup_minhash" -> ((s, dir) => {
       // the SCALE path of the same pipeline: MinHash-LSH candidate pairs
-      // (never all-pairs) → components → survivors. Rows-only check (the
-      // signature is JVM-specific); q_dedup_cluster is the exact witness.
+      // (never all-pairs) → components → survivors. The SIGNATURES are
+      // JVM-specific, so the candidate pairs are dumped to parquet and the
+      // relational tail (closure → survivors) is re-derived from that dump
+      // on BOTH sides — Spark below, DuckDB via a recursive CTE — making
+      // the scale path hash-checked end-to-tail (q_dedup_cluster stays the
+      // exact-Jaccard witness for the pair generation itself).
       val d = docs(s, dir)
-      Dedup.dropNearDuplicates(d, "doc_id",
-          Dedup.minhashPairs(d, "doc_id", "text"))
+      oracleDir = dir
+      val path = minhashPairsDumpPath(dir)
+      Dedup.minhashPairs(d, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.dropNearDuplicates(d, "doc_id", s.read.parquet(path))
         .select("doc_id", "lang", "source")
     }),
     "q_scrub" -> ((s, dir) => {
@@ -284,6 +300,7 @@ object SparkEntry {
       val bundle = ScoreStage.defaultBundle
       val bc = s.sparkContext.broadcast(bundle)
       import s.implicits._
+      oracleDir = dir
       val path = detectDumpPath(dir)
       docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
@@ -316,6 +333,7 @@ object SparkEntry {
     "q_langid_heuristic" -> ((s, dir) => {
       // guesses (JVM heuristic) dumped once; DuckDB replays the aggregation
       val langUdf = udf(TextAnalysis.langIdHeuristic)
+      oracleDir = dir
       val path = langidDumpPath(dir)
       docs(s, dir).select(col("doc_id"), col("lang"),
           langUdf(col("text")).as("lang_guess"))
@@ -416,8 +434,10 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
     "q_multimodal" -> ((s, dir) =>
+      // REAL decode: payloads are genuine BMP/WAV/PPM bytes built from the
+      // embeddings fixture; width/height/mean come from parsing them
       Multimodal.extractFeatures(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
-        .withColumn("mean_byte", round(col("mean_byte"), 4))),
+        .withColumn("mean_val", round(col("mean_val"), 4))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_byte", round(col("mean_byte"), 4)))
@@ -578,6 +598,19 @@ object SparkEntry {
         |losers AS (SELECT DISTINCT a AS id FROM closure WHERE b < a)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    "q_fuzzy_dedup_minhash" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM read_parquet('${minhashPairsDumpPath(oracleDir)}/*.parquet')),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |losers AS (SELECT DISTINCT a AS id FROM closure WHERE b < a)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "q_scrub" ->
       s"""SELECT doc_id,
          |  ${Scrub.oracleSqlExpr("text")} AS content_scrubbed,
@@ -608,15 +641,16 @@ object SparkEntry {
          |  CASE WHEN sum(CASE WHEN list_contains(string_split(quality_flags, ','),
          |                                        'score_error')
          |                    THEN 1 ELSE 0 END) > 0
-         |       THEN 'partial_error' ELSE 'ok' END AS status
+         |       THEN 'partial_error' ELSE 'ok' END AS status,
+         |  CAST(NULL AS BIGINT) AS wall_ms
          |FROM $dumpSql GROUP BY 1, 2""".stripMargin,
     "q_eval_confusion" ->
       s"""SELECT lang, lang_pred, count(*) AS n
-         |FROM read_parquet('${detectDumpPath("/root/testdata/sf0.01")}/*.parquet')
+         |FROM read_parquet('${detectDumpPath(oracleDir)}/*.parquet')
          |GROUP BY 1, 2""".stripMargin,
     "q_langid_heuristic" ->
       s"""SELECT lang, lang_guess, count(*) AS n
-         |FROM read_parquet('${langidDumpPath("/root/testdata/sf0.01")}/*.parquet')
+         |FROM read_parquet('${langidDumpPath(oracleDir)}/*.parquet')
          |GROUP BY 1, 2""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (

@@ -64,24 +64,38 @@ object Scrub {
 
   private def literal(lit: String): Finder = (s, from) => s.indexOf(lit, from)
 
+  /** ASCII-only lower-casing — EXACTLY the folding `(?i)` does without
+    * UNICODE_CASE. Full Unicode folding (`regionMatches(true)` /
+    * Character.toLowerCase) is a strict superset: U+0131 'ı' and U+0130 'İ'
+    * fold to i, U+212A Kelvin to k — matches the frozen regexes would NOT
+    * make. Harmless for Scrub's anchors (the regex re-verifies) but a
+    * keep-decision drift for Quality's autogen detector, whose finder hit
+    * IS the decision — so the finder folds ASCII only. */
+  @inline private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
   /** First position >= from where any of `words` matches ASCII-case-
-    * insensitively ((?i) without UNICODE_CASE folds ASCII only, and
-    * regionMatches(true) is a superset of that). Also used by Quality's
-    * autogen detector — same (?i) literal-alternation semantics. */
+    * insensitively — byte-for-byte the match set of the `(?i)` (no
+    * UNICODE_CASE) literal alternation over these words. Also used by
+    * Quality's autogen detector, where the hit is the decision. */
   private[functions] def ciWords(words: Array[String]): Finder = {
-    val firsts: Set[Char] = words.map(w => w.charAt(0)).toSet
+    val lower = words.map(w => w.map(asciiLower))
+    val firsts: Set[Char] = lower.map(_.charAt(0)).toSet
     (s, from) => {
       var i = math.max(from, 0)
       val n = s.length
       var found = -1
       while (found < 0 && i < n) {
-        val c = Character.toLowerCase(s.charAt(i))
+        val c = asciiLower(s.charAt(i))
         if (firsts.contains(c)) {
           var w = 0
-          while (found < 0 && w < words.length) {
-            val word = words(w)
-            if (word.charAt(0) == c && s.regionMatches(true, i, word, 0, word.length))
-              found = i
+          while (found < 0 && w < lower.length) {
+            val word = lower(w)
+            if (word.charAt(0) == c && i + word.length <= n) {
+              var j = 1
+              while (j < word.length && asciiLower(s.charAt(i + j)) == word.charAt(j)) j += 1
+              if (j == word.length) found = i
+            }
             w += 1
           }
         }

@@ -315,47 +315,74 @@ object Dedup {
     * all but one doc per component, not per pair: with docs A~B and B~C,
     * pairwise dropping could keep A and C, both near-dups of B).
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labeled with itself; each round every node takes the min label in
-    * its 1-hop neighborhood (including itself); stop when no label
-    * changed. Converges in O(component diameter) rounds — near-dup
-    * components are small and chain-like, so a handful of rounds; each
-    * round is one groupBy shuffle of (node, label) pairs, never edges ×
-    * edges. `maxIter` bounds hostile inputs; the loop exits early on
-    * convergence (AQE sizes the per-round shuffles).
+    * Algorithm: min-label propagation WITH POINTER DOUBLING. Every node
+    * starts labeled with itself; each round (a) every node takes the min
+    * label in its 1-hop neighborhood (including itself), then (b) jumps to
+    * its label's label (`comp := comp(comp)` — the path-halving step of
+    * union-find / Shiloach-Vishkin). Plain propagation moves labels one
+    * hop per round, i.e. O(component diameter) rounds — a >maxIter-hop
+    * near-dup chain (versioned-file ladders at web scale) would be
+    * SILENTLY split. The doubling step at least doubles a label's reach
+    * per round, so convergence is O(log diameter): maxIter=25 covers
+    * diameters past 2^25, unreachable by real data. Each round is one
+    * groupBy shuffle of (node, label) pairs plus one label-table
+    * self-join — never edges × edges; AQE sizes the per-round shuffles.
     *
-    * Returns (id, component) with component = min doc id in the group —
-    * a deterministic canonical representative. */
+    * Non-convergence at maxIter THROWS (IllegalStateException) instead of
+    * returning split components: silently keeping extra near-duplicates is
+    * a data-quality corruption no caller can detect downstream.
+    *
+    * Returns (id, comp) with comp = min doc id in the group — a
+    * deterministic canonical representative. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
     // undirected edges, both directions + self-loops keep own label alive
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint (not cache) each round: the doubling self-join
+    // embeds TWO copies of the previous round's plan, so without lineage
+    // truncation the logical plan grows 2^rounds and Catalyst analysis
+    // time explodes long before the data does (measured: sub-ms jobs,
+    // minutes of planning by round ~10). A checkpointed round is a flat
+    // leaf; old rounds are dropped by the ContextCleaner once
+    // unreferenced.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val propagated = edges.join(labels, edges("dst") === labels("id"))
+      // (a) 1-hop min propagation (cached: the doubling self-join below
+      // reads it twice)
+      val hop = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
         .union(labels.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
         .cache()
-      propagated.count() // materialize FULLY before dropping the parent
-                         // cache, or later rounds re-derive the whole chain
+      // (b) pointer doubling: comp := comp(comp). Labels are always node
+      // ids (inductively: minima over node ids), so the inner self-join
+      // keeps every row.
+      val propagated = hop.alias("l")
+        .join(hop.alias("m"), col("l.comp") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.comp").as("comp"))
+        .localCheckpoint(true) // eager: materialized here
+      hop.unpersist()
       val changed = propagated.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
-      labels.unpersist()
       labels = propagated
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        s"(covers component diameters up to ~2^$maxIter with pointer " +
+        "doubling); refusing to return split components — raise maxIter")
+    }
     labels
   }
 

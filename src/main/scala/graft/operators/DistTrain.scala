@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   *    (top-n by xxhash64 — bounded TakeOrdered, partition-layout
   *    independent), the trie is broadcast once;
   *  - featurization + each training pass are one narrow mapPartitions
-  *    over the cached example set — zero shuffles per round;
-  *  - only weight vectors travel (P × M×K doubles), merged by
-  *    Dataset.reduce (map-side pairwise combine before the driver). For
-  *    M ~ 10^6 switch `parts` down or merge via treeReduce — noted here,
-  *    not needed at fixture scale.
+  *    over the cached example set — zero shuffles per round; the pass
+  *    STREAMS one contiguous bucket at a time (the input is repartitioned
+  *    by bucket and sorted within partitions), never materializing a whole
+  *    physical partition;
+  *  - only weight vectors travel (P × M×K doubles), collected per bucket
+  *    and folded on the driver IN SORTED BUCKET ORDER — double addition is
+  *    non-associative, so a task-completion-order reduce would drift in
+  *    the last ulp across runs; the sorted fold makes the merge exactly
+  *    deterministic. Driver memory is parts × M×K doubles (8 MB per
+  *    bucket at M=10^6, K=17 → keep `parts` modest at huge M).
   *
   * Determinism: examples are assigned to `parts` buckets by
   * xxhash64(text) and sorted within each bucket by the same hash, and
@@ -105,25 +110,41 @@ object DistTrain {
       val bcW = spark.sparkContext.broadcast(w)
       val eta = cfg.eta0 * math.pow(cfg.etaDecay, round)
       val partial = bucketed.mapPartitions { it =>
-        val grouped = it.toArray.groupBy(_._1) // one physical partition per bucket
-        grouped.iterator.map { case (bucket, rows) =>
-          val examples: IndexedSeq[Lr.Example] =
-            rows.map(r => Lr.Example(r._2, r._3)).toIndexedSeq
-          val local = Lr.trainFrom(bcW.value, examples, Lr.TrainConfig(
-            numFeatures = M, numClasses = K, eta0 = eta, etaDecay = 1.0,
-            reg = cfg.reg, epochs = 1, seed = cfg.seed + bucket))
-          val n = examples.length.toLong
-          val scaled = new Array[Double](local.length)
-          var i = 0
-          while (i < local.length) { scaled(i) = local(i) * n; i += 1 }
-          (n, scaled)
+        // buckets are CONTIGUOUS within a partition (repartitioned by
+        // bucket, sorted within partitions), so one bucket's examples are
+        // buffered at a time — never the whole physical partition
+        val buf = it.buffered
+        new Iterator[(Int, Long, Array[Double])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, Long, Array[Double]) = {
+            val bucket = buf.head._1
+            val rows = scala.collection.immutable.IndexedSeq.newBuilder[Lr.Example]
+            var n = 0L
+            while (buf.hasNext && buf.head._1 == bucket) {
+              val r = buf.next()
+              rows += Lr.Example(r._2, r._3)
+              n += 1
+            }
+            val local = Lr.trainFrom(bcW.value, rows.result(), Lr.TrainConfig(
+              numFeatures = M, numClasses = K, eta0 = eta, etaDecay = 1.0,
+              reg = cfg.reg, epochs = 1, seed = cfg.seed + bucket))
+            val scaled = new Array[Double](local.length)
+            var i = 0
+            while (i < local.length) { scaled(i) = local(i) * n; i += 1 }
+            (bucket, n, scaled)
+          }
         }
       }
-      val (total, sum) = partial.reduce { (a, b) =>
-        val out = new Array[Double](a._2.length)
+      // deterministic merge: fold per-bucket partials in sorted bucket
+      // order on the driver (a distributed reduce merges in task-completion
+      // order, and double addition is order-sensitive)
+      val byBucket = partial.collect().sortBy(_._1)
+      var total = 0L
+      val sum = new Array[Double](M * K)
+      byBucket.foreach { case (_, n, scaled) =>
+        total += n
         var i = 0
-        while (i < out.length) { out(i) = a._2(i) + b._2(i); i += 1 }
-        (a._1 + b._1, out)
+        while (i < sum.length) { sum(i) += scaled(i); i += 1 }
       }
       bcW.destroy()
       val next = new Array[Double](sum.length)

@@ -3,57 +3,230 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
-  * columns with typed metadata; decode / feature-extract run as batched
-  * per-partition transforms (the Scala analogue of `mapInPandas`).
+/** Multimodal column handling: image/audio travel as opaque `binary`
+  * columns; decode + feature-extract run as batched per-partition
+  * transforms (the Scala analogue of `mapInPandas`).
   *
-  * THE DECODE IS A STUB: no image/audio codec ships in this container, so
-  * `fakeDecode` below produces a deterministic stand-in (byte-derived
-  * pseudo dimensions + a mean-byte "feature"). The Spark-side plumbing —
-  * schema, batching, partition flow, column lineage — is real and tested;
-  * swap `fakeDecode` for a JNI/codec call in production.
+  * THE DECODE IS REAL: BMP (24-bit uncompressed), WAV (PCM 16-bit) and
+  * PPM (P6) are parsed from their public byte layouts in pure JVM code —
+  * no codec library needed. The format is sniffed from magic bytes, never
+  * trusted from a metadata column. Hostile/truncated payloads decode to
+  * `format = "unknown"` rather than throwing (same contract as
+  * ScoreStage.scoreRow: one bad blob cannot abort a 10^12-row job).
+  *
+  * Formats not parseable without codec libraries (JPEG/PNG/MP4...) would
+  * slot in at the same `decode` dispatch with a JNI call; the Spark-side
+  * plumbing (schema, batching, partition flow, lineage) is identical.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-  final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, mean_byte: Double)
 
-  /** Deterministic stand-in for a codec: dimensions and a scalar feature
-    * derived purely from the bytes. Replace with a real decoder on a
-    * cluster with codec libraries. */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
-    if (payload == null || payload.isEmpty) (0, 0, 0.0)
-    else {
-      val w = 1 + (java.lang.Byte.toUnsignedInt(payload(0)) % 64)
-      val h = 1 + (java.lang.Byte.toUnsignedInt(payload(payload.length - 1)) % 64)
-      var s = 0L
-      var i = 0
-      while (i < payload.length) { s += java.lang.Byte.toUnsignedInt(payload(i)); i += 1 }
-      (w, h, s.toDouble / payload.length)
+  /** Decoded features. For images `width`/`height` are pixel dimensions
+    * and `mean_val` the mean decoded channel byte (0-255); for WAV,
+    * `width` = sample count, `height` = channel count and `mean_val` the
+    * mean absolute sample amplitude (0-32767). */
+  final case class MediaFeatures(
+      media_id: Long, format: String, n_bytes: Int,
+      width: Int, height: Int, mean_val: Double)
+
+  // ---------------------------------------------------------------------
+  // Pure-JVM codecs (public byte layouts: Windows BITMAPINFOHEADER, RIFF
+  // WAVE, netpbm P6)
+  // ---------------------------------------------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+    ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** 24-bit uncompressed BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    * (40 B) + bottom-up BGR rows padded to 4 bytes. `gray` is row-major
+    * top-down grayscale, replicated into B=G=R. */
+  def encodeBmp(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height bytes")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](14 + 40 + dataSize)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
     }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    out(26) = 1; out(28) = 24 // planes=1, bpp=24
+    putLe32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up
+      var x = 0
+      while (x < width) {
+        val g = gray(srcRow * width + x)
+        val off = 54 + y * rowSize + x * 3
+        out(off) = g; out(off + 1) = g; out(off + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
+  /** PCM 16-bit mono WAV: RIFF header + fmt + data chunks. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // blockAlign, bitsPerSample
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** netpbm P6: "P6\n<w> <h>\n255\n" + row-major RGB bytes. `gray`
+    * replicated into R=G=B. */
+  def encodePpm(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height bytes")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + gray.length * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < gray.length) {
+      val off = header.length + i * 3
+      out(off) = gray(i); out(off + 1) = gray(i); out(off + 2) = gray(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Sniff + decode one payload. Total: never throws; anything that fails
+    * a structural check comes back as ("unknown", 0, 0, 0.0). */
+  def decode(p: Array[Byte]): (String, Int, Int, Double) = {
+    if (p == null || p.length < 2) ("unknown", 0, 0, 0.0)
+    else if (p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+             p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+             p(11) == 'E') decodeWav(p)
+    else if (p(0) == 'P' && p(1) == '6') decodePpm(p)
+    else ("unknown", 0, 0, 0.0)
+  }
+
+  private def decodeBmp(p: Array[Byte]): (String, Int, Int, Double) = {
+    if (p.length < 54) return ("unknown", 0, 0, 0.0)
+    val dataOffset = le32(p, 10)
+    val width = le32(p, 18)
+    val rawHeight = le32(p, 22)
+    val height = math.abs(rawHeight) // negative = top-down; same pixels
+    val bpp = le16(p, 28)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (bpp != 24 || width <= 0 || height <= 0 ||
+        dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > p.length)
+      return ("unknown", 0, 0, 0.0)
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width * 3) { // BGR bytes, padding excluded
+        sum += p(dataOffset + y * rowSize + x) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    ("bmp", width, height, sum.toDouble / (width.toLong * height * 3))
+  }
+
+  private def decodeWav(p: Array[Byte]): (String, Int, Int, Double) = {
+    // walk RIFF chunks for fmt + data
+    var off = 12
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8 + size > p.length) return ("unknown", 0, 0, 0.0)
+      if (id == "fmt " && size >= 16) {
+        channels = le16(p, off + 10)
+        bits = le16(p, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0) return ("unknown", 0, 0, 0.0)
+    val nSamples = dataLen / 2
+    var sum = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = le16(p, dataOff + i * 2).toShort
+      sum += math.abs(s.toInt)
+      i += 1
+    }
+    ("wav", nSamples / channels, channels,
+      if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
+  }
+
+  private def decodePpm(p: Array[Byte]): (String, Int, Int, Double) = {
+    // header: "P6" then whitespace-separated width, height, maxval
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < p.length) {
+        val c = p(i)
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 } // comment
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxVal = readInt()
+    if (w <= 0 || h <= 0 || maxVal != 255 || i >= p.length) return ("unknown", 0, 0, 0.0)
+    i += 1 // single whitespace after maxval
+    val need = w.toLong * h * 3
+    if (i + need > p.length) return ("unknown", 0, 0, 0.0)
+    var sum = 0L
+    var j = 0
+    while (j < need) { sum += p(i + j) & 0xFF; j += 1 }
+    ("ppm", w, h, sum.toDouble / need)
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark plumbing
+  // ---------------------------------------------------------------------
+
   /** Batched decode over partitions: one closure instantiation per
-    * partition (where a real codec would be initialized once), rows
+    * partition (where a heavier codec would be initialized once), rows
     * streamed through it — the mapInPandas shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition init point for a real decoder
+      // per-partition init point for a stateful decoder
       it.map { r =>
-        val (w, h, m) = fakeDecode(r.payload)
-        MediaFeatures(r.media_id, r.kind,
-          if (r.payload == null) 0 else r.payload.length, w, h, m)
+        val (fmt, w, h, mean) = decode(r.payload)
+        MediaFeatures(r.media_id, fmt,
+          if (r.payload == null) 0 else r.payload.length, w, h, mean)
       }
     }.toDF()
   }
 
   /** Frame sampling for video-like payloads: treat the byte stream as
     * fixed-size frames and keep every k-th one — the Spark-side shape of a
-    * temporal downsampler (the frame DECODER itself is the stub; slicing,
-    * schema and lineage are real). Emits one row per kept frame. */
+    * temporal downsampler (per-frame pixel decode would dispatch exactly
+    * like [[decode]]; slicing, schema and lineage are the point here).
+    * Emits one row per kept frame. */
   final case class Frame(media_id: Long, frame_no: Int, offset: Int,
                          n_bytes: Int, mean_byte: Double)
 
@@ -73,19 +246,27 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Build a deterministic media table from the embeddings fixture: the
-    * float vectors serialized big-endian stand in for encoded payloads
-    * (TESTDATA has no binary table; this keeps inputs driver-provided). */
+  /** Build a deterministic media table from the embeddings fixture: each
+    * 64-dim float vector becomes a REAL encoded payload — an 8×8 grayscale
+    * BMP, a 64-sample WAV or an 8×8 PPM by `label % 3` — so the decode
+    * path runs on genuine format bytes (TESTDATA has no binary table;
+    * this keeps inputs driver-provided and the encode/decode pair honest). */
   def mediaFromEmbeddings(spark: SparkSession, embeddings: DataFrame): DataFrame = {
     import spark.implicits._
-    val toBytes = udf { (v: Seq[Float]) =>
-      val bb = java.nio.ByteBuffer.allocate(v.length * 4)
-      v.foreach(bb.putFloat)
-      bb.array()
+    val encodeUdf = udf { (vec: Seq[Float], label: Int) =>
+      // deterministic float -> byte quantization: tanh squashes to (-1,1)
+      val gray = vec.map(f => (((math.tanh(f) + 1.0) / 2.0) * 255.0).toInt
+        .max(0).min(255).toByte).toArray
+      (label % 3) match {
+        case 0 => encodeBmp(8, 8, gray)
+        case 1 => encodeWav(vec.map(f => (math.tanh(f) * 32767.0).toShort).toArray)
+        case _ => encodePpm(8, 8, gray)
+      }
     }
     embeddings.select(
       col("vec_id").as("media_id"),
-      concat(lit("img/"), (col("label") % 3).cast("string")).as("kind"),
-      toBytes(col("embedding")).as("payload"))
+      element_at(array(lit("image/bmp"), lit("audio/wav"), lit("image/ppm")),
+        (col("label") % 3).cast("int") + 1).as("kind"),
+      encodeUdf(col("embedding"), col("label").cast("int")).as("payload"))
   }
 }

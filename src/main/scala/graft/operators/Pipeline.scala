@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * TableIO.read → resume anti-join (G4)
-  *   → salted repartition by repo-hash (G1)        [shuffle 1]
+  *   → salted repartition by repo-hash (G1)        [OPT-IN shuffle]
   *   → ScoreStage (G3, narrow fused)               [narrow]
   *   → keep/drop (H6, Catalyst)
   *   → decided write (A5) + audit append (A6) + lang-dist agg (E9, AQE)
   * }}}
   *
-  * Scale design (100 TB / 10^12 files): exactly two shuffles — the salted
-  * repartition and the final aggregation; everything between is narrow, so
-  * N→4N executors scales ~linearly (SURVEY §4.4). Partition identity is
+  * Scale design (100 TB / 10^12 files): the score path is shuffle-FREE by
+  * default (scan → narrow fused stage → write); the only mandatory
+  * exchange is the tiny final audit/lang-dist aggregation. The salted
+  * repartition is an opt-in file-hygiene knob (see Config). N→4N executors
+  * scales ~linearly (SURVEY §4.4, measured 0.806 median). Partition identity is
   * LOGICAL — `pmod(xxhash64(repo, path), P)` — so the row→partition map is
   * independent of cluster size and the audit table supports idempotent
   * resume at any parallelism. Mega-repo skew is broken by hashing (repo,
@@ -32,12 +34,15 @@ object Pipeline {
       decidedTable: String = "",
       auditTable: String = "",
       /** Physically co-locate logical partitions before scoring. Scoring
-        * itself is row-wise and needs NO co-location — the shuffle exists
-        * only to keep each logical partition inside one write task (big
-        * output files, task-atomic lineage). Turn it off to run the whole
-        * score path shuffle-free (ScalingBench measures both; the audit
-        * aggregation shuffles tiny rows either way). */
-      physicalRepartition: Boolean = true)
+        * itself is row-wise and needs NO co-location, and resume stays
+        * idempotent without it (the decided sink is a dynamic partition
+        * overwrite keyed on the LOGICAL partition_id) — the shuffle buys
+        * only file hygiene (each logical partition inside one write task).
+        * DEFAULT OFF: the narrow plan is the one that meets the ≥0.8 N→4N
+        * scaling gate (ScalingBench campaign median 0.806 vs 0.54–0.63
+        * shuffled — BASELINE.md); opt IN when output-file layout matters
+        * more than scoring throughput. */
+      physicalRepartition: Boolean = false)
 
   /** Deterministic logical partition id (G1/G4). */
   def partitionId(numPartitions: Int) =
@@ -98,8 +103,10 @@ object Pipeline {
          // reports >= 1 ms instead of rounding to a misleading 0
          ceil(sum(col("score_ns")) / lit(1e6d)).cast("long")
        else lit(null).cast("long")).as("wall_ms"))
-    if (decided.columns.contains("score_ns")) base
-    else base.drop("wall_ms")
+    // wall_ms stays in the schema as NULL when the score_ns diagnostic is
+    // absent — a stable audit-table schema beats a column that appears
+    // and disappears with the input's diagnostics
+    base
   }
 
   /** E9: AQE-tuned lang-distribution aggregation. */

@@ -28,6 +28,37 @@ object ScoreStage {
   final val MinLangProb = 0.5
   final val MaxPerplexity = 2000.0
 
+  /** The H6 keep/drop rule as ONE shared description: the Catalyst
+    * expression ([[withDecision]]), the Spark-SQL rendering (spec replay)
+    * and the DuckDB rendering (the driver's oracle) are all GENERATED from
+    * the same atoms — thresholds, the agreement gate, and the fatal-flag
+    * list — so the engines cannot drift structurally. Only the flag gate
+    * needs per-dialect spelling (the dump stores flags comma-joined; array
+    * intersection is `array_intersect` in Spark, `list_intersect` in
+    * DuckDB); KeepRuleSpec holds the two renderings to the same answers. */
+  object KeepRule {
+    /** Conjuncts valid verbatim in BOTH Spark SQL and DuckDB SQL. */
+    def portableConjuncts: Seq[String] = Seq(
+      s"lang_prob >= $MinLangProb",
+      "ft_pred = lang_pred",
+      s"ppl <= $MaxPerplexity")
+    def fatalFlags: Seq[String] = Quality.FatalFlags.toSeq.sorted
+    private def quoted: String = fatalFlags.map(f => s"'$f'").mkString(", ")
+    /** Flag gate over a comma-joined string flags column, per dialect. */
+    def flagGateSparkSql(flagsCol: String): String =
+      s"size(array_intersect(split($flagsCol, ','), array($quoted))) = 0"
+    def flagGateDuckSql(flagsCol: String): String =
+      s"len(list_intersect(string_split($flagsCol, ','), [$quoted])) = 0"
+    def sparkSql(flagsCol: String = "quality_flags"): String =
+      (portableConjuncts :+ flagGateSparkSql(flagsCol)).mkString("(", " AND ", ")")
+    def duckSql(flagsCol: String = "quality_flags"): String =
+      (portableConjuncts :+ flagGateDuckSql(flagsCol)).mkString("(", " AND ", ")")
+    /** The Catalyst rule over an ARRAY-typed flags column. */
+    def column(flagsArr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      portableConjuncts.map(expr).reduce(_ && _) &&
+        !arrays_overlap(flagsArr, array(fatalFlags.map(lit): _*))
+  }
+
   lazy val defaultBundle: ModelBundle = {
     val corpus = Synth.corpus(perLang = 96)
     ModelBundle(
@@ -134,14 +165,9 @@ object ScoreStage {
     * comma-joined string (the oracle dump) pass `split(col, ",")`. */
   def withDecision(scored: DataFrame,
                    flagsArr: org.apache.spark.sql.Column = col("quality_flags")): DataFrame = {
-    val fatal = Quality.FatalFlags.toSeq.sorted.map(lit)
     scored
       .withColumn("langid_agree", col("ft_pred") === col("lang_pred"))
       .withColumn("content_sha256", sha2(col("content_scrubbed"), 256))
-      .withColumn("keep",
-        col("lang_prob") >= lit(MinLangProb) &&
-        col("langid_agree") &&
-        col("ppl") <= lit(MaxPerplexity) &&
-        !arrays_overlap(flagsArr, array(fatal: _*)))
+      .withColumn("keep", KeepRule.column(flagsArr))
   }
 }

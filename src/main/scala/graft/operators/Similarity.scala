@@ -98,7 +98,11 @@ object Similarity {
     val spark = scored.sparkSession
     import spark.implicits._
     val agg = new TopKAgg(k)
+    // cosine() is null for zero-norm / length-mismatched vectors; the typed
+    // decode below would throw on a null Double, so degenerate candidates
+    // are dropped here (they can never rank anyway)
     scored.select(col("query_id"), col("neighbor_id"), col("score"))
+      .where(col("score").isNotNull)
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))

@@ -55,7 +55,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000").toInt
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toInt
     val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val inputPath = s"/tmp/graft_bench_filerows_${rows}_x$bodyScale"

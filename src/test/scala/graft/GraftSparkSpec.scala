@@ -288,6 +288,29 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(none == docs.count())
   }
 
+  test("connected components: 64-hop chain converges in O(log d) rounds (pointer doubling)") {
+    import spark.implicits._
+    // one-hop min-label propagation needs 64 rounds here and at
+    // maxIter=10 would SILENTLY return a split component (the round-2
+    // defect); pointer doubling must close it in <= 10 rounds
+    val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 64)
+    assert(comps.values.toSet == Set(0L), s"chain split: ${comps.values.toSet}")
+  }
+
+  test("connected components: non-convergence throws instead of splitting silently") {
+    import spark.implicits._
+    val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fuzzy dedup end-to-end: no two survivors are near-dups of each other") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
@@ -391,16 +414,28 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)))
   }
 
-  test("multimodal plumbing: schema, determinism, batch shape") {
+  test("multimodal: real BMP/WAV/PPM payloads decode to real dimensions") {
     val media = Multimodal.mediaFromEmbeddings(spark,
       spark.read.parquet(s"$sf/embeddings.parquet"))
-    val feats = Multimodal.extractFeatures(spark, media)
-    assert(feats.columns.toSeq ==
-      Seq("media_id", "kind", "n_bytes", "width", "height", "mean_byte"))
-    val a = feats.orderBy("media_id").collect()
-    val b = Multimodal.extractFeatures(spark, media).orderBy("media_id").collect()
-    assert(a.sameElements(b))
-    assert(a.forall(_.getInt(2) == 64 * 4)) // 64 floats payload
+    val feats = Multimodal.extractFeatures(spark, media).cache()
+    try {
+      assert(feats.columns.toSeq ==
+        Seq("media_id", "format", "n_bytes", "width", "height", "mean_val"))
+      // every payload is a genuine format: the sniffing decoder must
+      // recognize all three and NOTHING may come back unknown
+      val byFormat = feats.groupBy("format").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byFormat.keySet == Set("bmp", "wav", "ppm"), byFormat)
+      // decoded dimensions come from the headers: 8x8 images, 64-sample mono
+      assert(feats.where(col("format").isin("bmp", "ppm") &&
+        (col("width") =!= 8 || col("height") =!= 8)).count() == 0)
+      assert(feats.where(col("format") === "wav" &&
+        (col("width") =!= 64 || col("height") =!= 1)).count() == 0)
+      // determinism
+      val a = feats.orderBy("media_id").collect()
+      val b = Multimodal.extractFeatures(spark, media).orderBy("media_id").collect()
+      assert(a.sameElements(b))
+    } finally feats.unpersist()
   }
 
   test("end-to-end golden: frozen (path, lang_pred, keep, sha256) fixture") {

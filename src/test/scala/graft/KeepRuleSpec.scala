@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.Synth
+import graft.operators.ScoreStage
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The H6 keep rule is generated from ONE shared description
+  * (ScoreStage.KeepRule): this spec holds the generated renderings to each
+  * other — the Catalyst column over array flags, and the SQL rendering
+  * over the dump's comma-joined flags (the shape the DuckDB oracle reads).
+  * The DuckDB dialect differs from Spark SQL only in the flag-gate
+  * function names; everything else is the identical generated text. */
+class KeepRuleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Catalyst rule == SQL rendering over the dump schema (row-for-row)") {
+    import spark.implicits._
+    val rows = Synth.fileRows(300).toDF().as[Synth.FileRow]
+    val scored = ScoreStage(spark, rows).cache()
+    try {
+      assert(scored.where(col("keep")).count() > 0, "fixture kept nothing")
+      assert(scored.where(!col("keep")).count() > 0, "fixture dropped nothing")
+      // dump shape: flags comma-joined (exactly what q_pipeline writes)
+      val dumpShaped = scored.withColumn("quality_flags",
+        concat_ws(",", col("quality_flags")))
+      dumpShaped.createOrReplaceTempView("keeprule_dump")
+      val viaSql = spark.sql(
+        s"""SELECT path, ${ScoreStage.KeepRule.sparkSql()} AS keep_sql
+           |FROM keeprule_dump""".stripMargin)
+      val joined = scored.select(col("path"), col("keep"))
+        .join(viaSql, "path")
+      assert(joined.where(col("keep") =!= col("keep_sql")).count() == 0,
+        "generated SQL rendering disagrees with the Catalyst rule")
+    } finally scored.unpersist()
+  }
+
+  test("DuckDB rendering shares every atom with the Spark rendering") {
+    val sparkSql = ScoreStage.KeepRule.sparkSql()
+    val duckSql = ScoreStage.KeepRule.duckSql()
+    // the portable conjuncts appear verbatim in both
+    ScoreStage.KeepRule.portableConjuncts.foreach { c =>
+      assert(sparkSql.contains(c), c)
+      assert(duckSql.contains(c), c)
+    }
+    // the fatal-flag list is interpolated identically (from Quality)
+    ScoreStage.KeepRule.fatalFlags.foreach { f =>
+      assert(sparkSql.contains(s"'$f'") && duckSql.contains(s"'$f'"), f)
+    }
+    assert(ScoreStage.KeepRule.fatalFlags ==
+      graft.functions.Quality.FatalFlags.toSeq.sorted)
+  }
+
+  test("empty-string flags never trip the gate (split of '' is [''])") {
+    import spark.implicits._
+    // a clean row's dump flags are '' — string_split/split yield [''],
+    // which must not intersect the fatal list
+    Seq(("p", 0.9, "en", "en", 10.0, ""))
+      .toDF("path", "lang_prob", "lang_pred", "ft_pred", "ppl", "quality_flags")
+      .createOrReplaceTempView("keeprule_clean")
+    val kept = spark.sql(
+      s"SELECT ${ScoreStage.KeepRule.sparkSql()} AS k FROM keeprule_clean")
+      .collect()(0).getBoolean(0)
+    assert(kept)
+  }
+}

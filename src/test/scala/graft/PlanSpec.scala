@@ -51,19 +51,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial + final
   }
 
-  test("flagship pipeline has exactly one input shuffle before scoring") {
+  test("flagship default is the narrow plan: ZERO shuffles before scoring") {
+    // the gate-meeting shape (ScalingBench median 0.806): scan → fused
+    // scoring stage → decision, no Exchange anywhere on the score path
     val decided = operators.Pipeline.scoreAndDecide(spark,
       SparkEntry.fileRowsFromDocs(spark, sf))
     val p = plan(decided)
-    // one Exchange for the salted repartition; the scoring stage itself is
-    // narrow (mapPartitions over the shuffle output)
     val exchanges = p.split("Exchange hashpartitioning").length - 1
-    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(exchanges == 0, s"expected 0 exchanges, plan:\n$p")
     assert(p.contains("MapPartitions"), p)
-    // the lang-dist agg on top adds the second (AQE-managed) shuffle
+    // the lang-dist agg on top adds the only (AQE-managed) shuffle
     val agg = operators.Pipeline.langDistribution(decided)
     val pa = plan(agg)
-    assert(pa.split("Exchange hashpartitioning").length - 1 == 2, pa)
+    assert(pa.split("Exchange hashpartitioning").length - 1 == 1, pa)
+  }
+
+  test("opt-in physicalRepartition adds exactly one salted exchange") {
+    val decided = operators.Pipeline.scoreAndDecide(spark,
+      SparkEntry.fileRowsFromDocs(spark, sf),
+      operators.Pipeline.Config(physicalRepartition = true))
+    val p = plan(decided)
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("partition_id"), p)
   }
 
   test("doc stats are whole-stage-codegen (no UDF barrier)") {

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM codec specs (Multimodal): decode is held to hand-written
+  * golden bytes (independent of the encoder), encode/decode round-trips,
+  * chunk/padding/comment edge cases, and a never-throws fuzz contract on
+  * truncated and random payloads. */
+class CodecSpec extends AnyFunSuite {
+
+  test("golden: hand-crafted 2x2 24-bit BMP decodes exactly") {
+    // built byte-by-byte from the public BITMAPFILEHEADER/BITMAPINFOHEADER
+    // layout, NOT via encodeBmp — an independent witness. Bottom-up rows,
+    // rowSize = 8 (2 padding bytes of 0xFF that must NOT enter the mean).
+    val b = Array.newBuilder[Byte]
+    def le32(v: Int): Unit = b ++= Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    b += 'B'; b += 'M'; le32(70); le32(0); le32(54)
+    le32(40); le32(2); le32(2)
+    b += 1; b += 0 // planes
+    b += 24; b += 0 // bpp
+    le32(0); le32(16); le32(0); le32(0); le32(0); le32(0)
+    // bottom row then top row; BGR; pad 0xFF
+    b ++= Array[Byte](10, 20, 30, 40, 50, 60, -1, -1)
+    b ++= Array[Byte](70, 80, 90, 100, 110, 120, -1, -1)
+    val bytes = b.result()
+    assert(bytes.length == 70)
+    val (fmt, w, h, mean) = Multimodal.decode(bytes)
+    assert(fmt == "bmp" && w == 2 && h == 2)
+    assert(mean == 780.0 / 12) // 65.0 — padding excluded
+  }
+
+  test("BMP round-trip: decode(encode) recovers dims and gray mean, any padding") {
+    val rnd = new scala.util.Random(3L)
+    // widths 1..9 hit every rowSize padding residue (0..3 bytes)
+    for (w <- 1 to 9; h <- Seq(1, 3, 7)) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val (fmt, gw, gh, mean) = Multimodal.decode(Multimodal.encodeBmp(w, h, gray))
+      assert(fmt == "bmp" && gw == w && gh == h, s"$w x $h")
+      val expect = gray.map(_ & 0xFF).sum.toDouble / (w * h)
+      assert(math.abs(mean - expect) < 1e-9, s"$w x $h mean")
+    }
+  }
+
+  test("WAV round-trip + chunk walking past a foreign chunk") {
+    val rnd = new scala.util.Random(4L)
+    val samples = Array.fill(64)((rnd.nextInt(65536) - 32768).toShort)
+    val enc = Multimodal.encodeWav(samples, sampleRate = 8000)
+    val (fmt, n, ch, mean) = Multimodal.decode(enc)
+    assert(fmt == "wav" && n == 64 && ch == 1)
+    val expect = samples.map(s => math.abs(s.toInt).toLong).sum.toDouble / 64
+    assert(math.abs(mean - expect) < 1e-9)
+    // splice an odd-sized LIST chunk between fmt and data: the walker must
+    // skip it (word-aligned) and still find the data chunk
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 42) // 5 bytes, odd
+    val spliced = java.nio.ByteBuffer.allocate(enc.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(enc, 0, 36) // RIFF..fmt chunk end
+    spliced.put("LIST".getBytes("US-ASCII")).putInt(5).put(listBody).put(0.toByte)
+    spliced.put(enc, 36, enc.length - 36)
+    val arr = spliced.array()
+    // fix the RIFF size field
+    val riffSize = arr.length - 8
+    arr(4) = riffSize.toByte; arr(5) = (riffSize >>> 8).toByte
+    arr(6) = (riffSize >>> 16).toByte; arr(7) = (riffSize >>> 24).toByte
+    val (fmt2, n2, ch2, mean2) = Multimodal.decode(arr)
+    assert(fmt2 == "wav" && n2 == 64 && ch2 == 1 && math.abs(mean2 - expect) < 1e-9)
+  }
+
+  test("PPM round-trip + header comment") {
+    val rnd = new scala.util.Random(5L)
+    val gray = Array.fill(8 * 8)(rnd.nextInt(256).toByte)
+    val (fmt, w, h, mean) = Multimodal.decode(Multimodal.encodePpm(8, 8, gray))
+    assert(fmt == "ppm" && w == 8 && h == 8)
+    assert(math.abs(mean - gray.map(_ & 0xFF).sum.toDouble / 64) < 1e-9)
+    // netpbm allows # comments in the header
+    val withComment = ("P6\n# made by hand\n2 1\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](10, 20, 30, 40, 50, 60))
+    assert(Multimodal.decode(withComment) == ("ppm", 2, 1, 35.0))
+  }
+
+  test("decode never throws: truncations, corruptions, random bytes") {
+    val rnd = new scala.util.Random(6L)
+    val gray = Array.fill(64)(rnd.nextInt(256).toByte)
+    val payloads = Seq(
+      Multimodal.encodeBmp(8, 8, gray),
+      Multimodal.encodeWav(Array.fill(64)(rnd.nextInt(65536).toShort)),
+      Multimodal.encodePpm(8, 8, gray))
+    payloads.foreach { p =>
+      (0 to p.length).foreach { n => Multimodal.decode(p.take(n)) } // truncate
+      (1 to 50).foreach { _ => // flip random bytes
+        val c = p.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        Multimodal.decode(c)
+      }
+    }
+    (1 to 200).foreach { _ =>
+      Multimodal.decode(Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte))
+    }
+    assert(Multimodal.decode(null) == ("unknown", 0, 0, 0.0))
+    assert(Multimodal.decode(Array.emptyByteArray) == ("unknown", 0, 0, 0.0))
+  }
+}
