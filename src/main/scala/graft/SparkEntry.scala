@@ -96,6 +96,32 @@ object SparkEntry {
   def minhashPairsDumpPath(dir: String): String =
     s"/tmp/graft_minhash_pairs_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** ANN candidate dumps (one per ANN family): the candidate GENERATION is
+    * JVM-hash/model-specific, but the exact cosine rerank over a dumped
+    * candidate set is pure relational — DuckDB replays it with
+    * list_cosine_similarity + rank (the q_ann_topk pattern). */
+  def annCandDumpPath(dir: String, family: String): String =
+    s"/tmp/graft_ann_${family}_cand_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  /** The rerank both engines run over a dumped candidate set. */
+  private def annRerankSql(candPath: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT query_id, neighbor_id
+       |      FROM read_parquet('$candPath/*.parquet')),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_cosine_similarity(ce.v, qe.v) AS score
+       |  FROM c JOIN e ce ON ce.vec_id = c.neighbor_id
+       |         JOIN e qe ON qe.vec_id = c.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(score, 4) AS score
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (E1/E4/E5/E6, oracle-checked) ----
     "q1_agg" -> ((s, dir) => {
@@ -420,19 +446,42 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      // candidates (JVM hyperplane hashes) dumped; the exact rerank over
+      // them is replayed by DuckDB — hash-checked tail, same split as
+      // q_fuzzy_dedup_minhash
       val all = emb(s, dir)
       val queries = all.where(col("vec_id") < 10)
-      Similarity.lshTopK(all, queries, "vec_id", "embedding", "vec_id",
-        10, dim = 64, planes = 6)
+      oracleDir = dir
+      val path = annCandDumpPath(dir, "lsh")
+      Similarity.lshCandidates(all, queries, "vec_id", "embedding", "vec_id",
+          dim = 64, planes = 6)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Similarity.topKFromCandidates(all, queries, s.read.parquet(path),
+          "vec_id", "embedding", "vec_id", 10)
         .withColumn("score", round(col("score"), 4))
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val all = emb(s, dir)
       val queries = all.where(col("vec_id") < 10)
-      Similarity.ivfTopK(all, queries, "vec_id", "embedding", "vec_id",
-        10, nCentroids = 16, nprobe = 4)
+      oracleDir = dir
+      val path = annCandDumpPath(dir, "ivf")
+      Similarity.ivfCandidates(all, queries, "vec_id", "embedding", "vec_id",
+          nCentroids = 16, nprobe = 4)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Similarity.topKFromCandidates(all, queries, s.read.parquet(path),
+          "vec_id", "embedding", "vec_id", 10)
         .withColumn("score", round(col("score"), 4))
     }),
+    "q_sample_hash" -> ((s, dir) =>
+      // E8 scale companion: DETERMINISTIC hash sampling — membership is a
+      // pure function of the row key (partition/parallelism/engine
+      // independent), so DuckDB replays the exact row set. The xxhash64
+      // production variant is spec-covered (Sampling.hashSample).
+      Sampling.portableHashSample(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq(col("l_orderkey"), col("l_linenumber")), num = 2)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
     "q_multimodal" -> ((s, dir) =>
       // REAL decode: payloads are genuine BMP/WAV/PPM bytes built from the
       // embeddings fixture; width/height/mean come from parsing them
@@ -679,6 +728,16 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |  round(score, 4) AS score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_ann_lsh" -> annRerankSql(annCandDumpPath(oracleDir, "lsh")),
+    "q_ann_ivf" -> annRerankSql(annCandDumpPath(oracleDir, "ivf")),
+    "q_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(
+        |        CAST(l_orderkey AS VARCHAR) || '|' ||
+        |        CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY 1""".stripMargin,
     "q_flag_summary" ->
       s"""WITH d AS (SELECT *, $keepSql AS keep FROM $dumpSql),
          |f AS (SELECT unnest(string_split(

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling (E8 companion): the sample a row
+  * belongs to is a pure function of its KEY, not of partition layout,
+  * parallelism or engine — the property a training-data pipeline needs
+  * for reproducible subsets, A/B splits and cross-run diffs at 100 TB
+  * (Spark's `df.sample` is seed-deterministic only for a fixed partition
+  * layout, which no production table keeps).
+  *
+  * Two variants, same pattern as Dedup.fingerprint/fingerprintSha:
+  * [[hashSample]] is the production operator (xxhash64 — codegen'd,
+  * 8-byte math, no string building); [[portableHashSample]] trades speed
+  * for a rendering DuckDB evaluates bit-identically (md5 hex), which is
+  * what the q_sample_hash oracle checks — the selection LOGIC (hash key,
+  * take bucket < num of den) is the same. */
+object Sampling {
+
+  /** Keep a row iff xxhash64(keys..., salt) mod den < num. */
+  def hashSample(df: DataFrame, keys: Seq[Column],
+                 num: Int, den: Int, salt: Long = 42L): DataFrame = {
+    require(num >= 0 && num <= den && den > 0, "need 0 <= num <= den")
+    df.where(pmod(xxhash64(keys :+ lit(salt): _*), lit(den.toLong)) < num)
+  }
+
+  /** Cross-engine-checkable variant: keep rows whose first hex nibble of
+    * md5(key1 || '|' || key2 ...) is among the first `num` of 16 — i.e. a
+    * num/16 sample. DuckDB computes the identical md5 hex, so an oracle
+    * replays the exact row set with `substr(md5(...), 1, 1) IN (...)`. */
+  def portableHashSample(df: DataFrame, keys: Seq[Column], num: Int): DataFrame = {
+    require(num >= 0 && num <= 16, "num is a count of hex nibbles (0..16)")
+    val key = concat_ws("|", keys.map(_.cast("string")): _*)
+    val allowed = "0123456789abcdef".take(num).map(_.toString)
+    df.where(substring(md5(key), 1, 1).isin(allowed: _*))
+  }
+}

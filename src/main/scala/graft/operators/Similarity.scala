@@ -192,36 +192,66 @@ object Similarity {
     centroids
   }
 
-  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer is
-    * trained driver-side on a uniform sample, centroids broadcast; every
-    * corpus vector lands in its nearest centroid's bucket, queries probe
-    * the `nprobe` nearest buckets, and the exact cosine rerank runs only
-    * inside probed buckets via the partial-aggregating TopKAgg. Recall is
-    * tunable by `nprobe`; the corpus-side work is one narrow pass. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, qidCol: String,
-              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
-              sampleSize: Int = 2000, kmeansIters: Int = 10,
-              seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = kmeansCentroids(corpus, idCol, vecCol,
-      nCentroids, sampleSize, kmeansIters, seed)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-
-    val assignUdf = udf((v: Array[Float]) => nearest(v, bcCentroids.value))
-    val probeUdf = udf((v: Array[Float]) => nearestN(v, bcCentroids.value, nprobe))
-
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      assignUdf(col(vecCol)).as("bucket"))
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeUdf(col(vecCol))).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
-      .where(col("query_id") =!= col("neighbor_id"))
+  /** Exact cosine top-k restricted to a (query_id, neighbor_id) candidate
+    * set — the shared rerank tail of the IVF and LSH paths, split out so
+    * the correctness harness can DUMP the candidates and have DuckDB
+    * replay this exact computation (list_cosine_similarity + rank), making
+    * the ANN rerank hash-checkable even though the candidate generation is
+    * JVM-hash/model-specific. Candidates join corpus vectors by id
+    * (bounded set — never the full cross product); queries broadcast. */
+  def topKFromCandidates(corpus: DataFrame, queries: DataFrame,
+                         candidates: DataFrame,
+                         idCol: String, vecCol: String, qidCol: String,
+                         k: Int): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = candidates
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("cv"), col("qv")).as("score"))
     topKRerank(scored, k)
   }
+
+  /** IVF candidate pairs: every corpus vector lands in its nearest
+    * centroid's bucket; queries probe their `nprobe` nearest buckets; a
+    * candidate is any (query, neighbor) sharing a probed bucket. A pair
+    * appears at most once (each corpus vector has exactly ONE assigned
+    * bucket), so no dedup shuffle is needed. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qidCol: String,
+                    nCentroids: Int = 16, nprobe: Int = 4,
+                    sampleSize: Int = 2000, kmeansIters: Int = 10,
+                    seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, idCol, vecCol,
+      nCentroids, sampleSize, kmeansIters, seed)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Array[Float]) => nearest(v, bcCentroids.value))
+    val probeUdf = udf((v: Array[Float]) => nearestN(v, bcCentroids.value, nprobe))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      assignUdf(col(vecCol)).as("bucket"))
+    val q = queries.select(col(qidCol).as("query_id"),
+      explode(probeUdf(col(vecCol))).as("bucket"))
+    c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+  }
+
+  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer is
+    * trained driver-side on a uniform sample, centroids broadcast; the
+    * exact cosine rerank runs only on in-bucket candidates via the
+    * partial-aggregating TopKAgg. Recall is tunable by `nprobe`; the
+    * corpus-side work is one narrow pass. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qidCol: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              sampleSize: Int = 2000, kmeansIters: Int = 10,
+              seed: Long = 42L): DataFrame =
+    topKFromCandidates(corpus, queries,
+      ivfCandidates(corpus, queries, idCol, vecCol, qidCol,
+        nCentroids, nprobe, sampleSize, kmeansIters, seed),
+      idCol, vecCol, qidCol, k)
 
   /** Random-hyperplane bucket id (LSH) for a vector column. One JVM pass
     * over the vector against a frozen hyperplane matrix. (The first
@@ -252,30 +282,38 @@ object Similarity {
     bucketUdf(vecCol)
   }
 
+  /** Multi-table LSH candidate pairs: a candidate is any (query, neighbor)
+    * colliding in any of the `tables` hyperplane signatures; deduped (one
+    * pair can collide in several tables). */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qidCol: String,
+                    dim: Int, planes: Int = 8, tables: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(buckets)).toDF("neighbor_id", "table_id", "bucket")
+    val q = queries.select(col(qidCol).as("query_id"),
+      posexplode(buckets)).toDF("query_id", "table_id", "bucket")
+    c.join(broadcast(q), Seq("table_id", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** LSH-bucketed ANN top-k with `tables` independent hyperplane sets
     * (standard multi-table LSH: recall is governed by the union of table
     * collisions — one table alone has poor recall on high-dim data).
-    * Scoring happens only within a query's buckets; candidates are
-    * deduped before the exact cosine rerank. Recall trades against
-    * `planes` (bucket size) and `tables` (probe count). */
+    * The exact cosine rerank runs only on deduped bucket-collision
+    * candidates through the partial-aggregating TopKAgg (a window
+    * row_number would sort the full per-query candidate set). Recall
+    * trades against `planes` (bucket size) and `tables` (probe count). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, qidCol: String,
               k: Int, dim: Int, planes: Int = 8, tables: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    val buckets = array((0 until tables).map(t =>
-      lshBucket(col(vecCol), dim, planes, seed + t * 7919)): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      posexplode(buckets)).toDF("neighbor_id", "cv", "table_id", "bucket")
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qv"),
-      posexplode(buckets)).toDF("query_id", "qv", "table_id", "bucket")
-    val scored = c.join(broadcast(q), Seq("table_id", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "cv", "qv")
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("cv"), col("qv")).as("score"))
-    // bounded TopKAgg rerank (shared with brute-force/IVF) — a window
-    // row_number here would sort the full per-query candidate set
-    topKRerank(scored, k)
-  }
+              seed: Long = 42L): DataFrame =
+    topKFromCandidates(corpus, queries,
+      lshCandidates(corpus, queries, idCol, vecCol, qidCol,
+        dim, planes, tables, seed),
+      idCol, vecCol, qidCol, k)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic hash sampling: membership must be a pure function of the
+  * row key — identical across partition layouts and runs — and the
+  * portable variant must match an independent (java.security) md5
+  * computation row for row. */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hashSample: partition-layout independent, rate in binomial bounds") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val a = Sampling.hashSample(df, Seq(col("id")), 1, 4)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), Seq(col("id")), 1, 4)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample changed with partitioning")
+    // 1/4 of 4000 = 1000 expected; 5 sigma ~ 68
+    assert(math.abs(a.size - 1000) < 150, s"rate off: ${a.size}/4000")
+    // different salt -> a genuinely different sample
+    val c = Sampling.hashSample(df, Seq(col("id")), 1, 4, salt = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+    // num = den keeps everything; num = 0 keeps nothing
+    assert(Sampling.hashSample(df, Seq(col("id")), 4, 4).count() == 4000)
+    assert(Sampling.hashSample(df, Seq(col("id")), 0, 4).count() == 0)
+  }
+
+  test("portableHashSample == independent JVM md5 of the same key, row for row") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("k1", "k2")
+    val got = Sampling.portableHashSample(df, Seq(col("k1"), col("k2")), num = 2)
+      .select("k1").as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (1L to 500L).filter { i =>
+      val hex = md.digest(s"$i|${i % 7}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) == '0' || hex.charAt(0) == '1'
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < 500)
+  }
+}
