@@ -435,10 +435,19 @@ object SparkEntry {
       // xxhash64 production variant is spec-covered (see Dedup scaladoc)
       docs(s, dir).select(col("doc_id"),
         Dedup.fingerprintSha(col("text")).as("fingerprint"))),
-    "q_emb_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding",
-        minCosine = 0.45, nCentroids = 16, nprobe = 3)
-        .withColumn("cosine", round(col("cosine"), 4))),
+    "q_emb_neardup" -> ((s, dir) => {
+      // IVF candidates (JVM k-means buckets) dumped; cosine + threshold is
+      // pure relational and DuckDB replays it from the dump
+      val all = emb(s, dir)
+      oracleDir = dir
+      val path = annCandDumpPath(dir, "neardup")
+      Dedup.embeddingCandidates(all, "vec_id", "embedding",
+          nCentroids = 16, nprobe = 3)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.cosinePairsFromCandidates(all, s.read.parquet(path),
+          "vec_id", "embedding", minCosine = 0.45)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val all = emb(s, dir)
       val queries = all.where(col("vec_id") < 10)
@@ -730,6 +739,15 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_ann_lsh" -> annRerankSql(annCandDumpPath(oracleDir, "lsh")),
     "q_ann_ivf" -> annRerankSql(annCandDumpPath(oracleDir, "ivf")),
+    "q_emb_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT id_a, id_b
+         |      FROM read_parquet('${annCandDumpPath(oracleDir, "neardup")}/*.parquet'))
+         |SELECT id_a, id_b,
+         |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+         |FROM c JOIN e ea ON ea.vec_id = id_a
+         |       JOIN e eb ON eb.vec_id = id_b
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin,
     "q_sample_hash" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -291,7 +291,19 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double = 0.95, nCentroids: Int = 16,
                         nprobe: Int = 3, sampleSize: Int = 2000,
-                        kmeansIters: Int = 10, seed: Long = 42L): DataFrame = {
+                        kmeansIters: Int = 10, seed: Long = 42L): DataFrame =
+    cosinePairsFromCandidates(df,
+      embeddingCandidates(df, idCol, vecCol, nCentroids, nprobe,
+        sampleSize, kmeansIters, seed),
+      idCol, vecCol, minCosine)
+
+  /** IVF candidate pairs only (id_a < id_b, distinct) — split from the
+    * cosine verify so the harness can dump candidates and have DuckDB
+    * replay the exact relational tail (the q_ann_* pattern). */
+  def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
+                          nCentroids: Int = 16, nprobe: Int = 3,
+                          sampleSize: Int = 2000, kmeansIters: Int = 10,
+                          seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val centroids = Similarity.kmeansCentroids(df, idCol, vecCol,
       nCentroids, sampleSize, kmeansIters, seed)
@@ -299,15 +311,27 @@ object Dedup {
     val probeUdf = udf((v: Array[Float]) => Similarity.nearestN(v, bc.value, nprobe))
     val withB = df
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(probeUdf(col(vecCol))).as("bucket"))
+      .select(col(idCol).as("id"), explode(probeUdf(col(vecCol))).as("bucket"))
     val a = withB.alias("a")
     val b = withB.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact cosine over a candidate-pair set, keeping pairs >= minCosine —
+    * pure relational (vector joins + cosine + filter), DuckDB-replayable. */
+  def cosinePairsFromCandidates(df: DataFrame, candidates: DataFrame,
+                                idCol: String, vecCol: String,
+                                minCosine: Double): DataFrame = {
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    candidates
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 
   /** Connected components over near-dup candidate pairs — the clustering
