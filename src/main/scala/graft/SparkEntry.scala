@@ -103,6 +103,15 @@ object SparkEntry {
   def annCandDumpPath(dir: String, family: String): String =
     s"/tmp/graft_ann_${family}_cand_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** MinHash band-bucket dump — the bucket self-join is replayed by DuckDB. */
+  def minhashBucketsDumpPath(dir: String): String =
+    s"/tmp/graft_minhash_buckets_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  /** SimHash signature dump — the banding + verify is replayed by DuckDB
+    * from SQL generated off the same Manku block geometry. */
+  def simhashSigDumpPath(dir: String): String =
+    s"/tmp/graft_simhash_sig_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** The rerank both engines run over a dumped candidate set. */
   private def annRerankSql(candPath: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -426,10 +435,27 @@ object SparkEntry {
         }.toDF("driver_pred", "dist_pred")
         .groupBy("driver_pred", "dist_pred").agg(count(lit(1)).as("n"))
     }),
-    "q_minhash_dedup" -> ((s, dir) =>
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
-    "q_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    "q_minhash_dedup" -> ((s, dir) => {
+      // band buckets (JVM minhash) dumped; the bucket self-join + distinct
+      // is replayed by DuckDB from the dump
+      oracleDir = dir
+      val path = minhashBucketsDumpPath(dir)
+      Dedup.minhashBuckets(docs(s, dir), "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.minhashPairsFromBuckets(s.read.parquet(path))
+    }),
+    "q_simhash_dedup" -> ((s, dir) => {
+      // signatures (JVM bit-votes) dumped; the WHOLE Manku banding +
+      // hamming verify is then replayed by DuckDB from SQL generated off
+      // the same block geometry (Dedup.simhashBandingDuckSql)
+      val withSig = docs(s, dir)
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+      oracleDir = dir
+      val path = simhashSigDumpPath(dir)
+      withSig.coalesce(1).write.mode("overwrite").parquet(path)
+      Dedup.simhashPairsFromSigs(s.read.parquet(path), maxHamming = 3)
+    }),
     "q_fingerprint" -> ((s, dir) =>
       // sha-based variant so DuckDB computes the identical value; the
       // xxhash64 production variant is spec-covered (see Dedup scaladoc)
@@ -737,6 +763,16 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
         |  round(score, 4) AS score
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_minhash_dedup" ->
+      s"""WITH d AS (SELECT id, band_id, band_hash
+         |  FROM read_parquet('${minhashBucketsDumpPath(oracleDir)}/*.parquet'))
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM d a JOIN d b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |     AND a.id < b.id""".stripMargin,
+    "q_simhash_dedup" -> Dedup.simhashBandingDuckSql(
+      s"read_parquet('${simhashSigDumpPath(oracleDir)}/*.parquet')",
+      maxHamming = 3),
     "q_ann_lsh" -> annRerankSql(annCandDumpPath(oracleDir, "lsh")),
     "q_ann_ivf" -> annRerankSql(annCandDumpPath(oracleDir, "ivf")),
     "q_emb_neardup" ->

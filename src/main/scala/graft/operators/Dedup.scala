@@ -119,16 +119,30 @@ object Dedup {
     * distinct. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16): DataFrame = {
+                   bands: Int = 16): DataFrame =
+    minhashPairsFromBuckets(minhashBuckets(df, idCol, textCol, shingleK,
+      numHashes, bands))
+
+  /** (id, band_id, band_hash) bucket rows — split from the pair join so
+    * the harness can dump buckets and have DuckDB replay the join
+    * (signatures and band hashes are JVM-specific; the join is not). */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val withSig = df
       .where(size(split(trim(col(textCol)), "\\s+")) >= shingleK)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
-    val buckets = withSig.select(col("id"),
+    withSig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .toDF("id", "band_id", "band_hash")
+  }
+
+  /** Bucket-collision pairs: docs sharing any full band, (id_a < id_b),
+    * distinct. SQL-expressible over a bucket table. */
+  def minhashPairsFromBuckets(buckets: DataFrame): DataFrame = {
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
@@ -203,26 +217,36 @@ object Dedup {
   /** Candidate generation + exact verify over precomputed (id, sig) rows —
     * the testable core of [[simhashPairs]] (specs plant exact-distance
     * signatures here). */
-  def simhashPairsFromSigs(withSig: DataFrame, maxHamming: Int,
-                           blocksPerKey: Int = 3): DataFrame = {
+  /** Manku block geometry — the SINGLE SOURCE for both the Catalyst
+    * banding ([[simhashPairsFromSigs]]) and its DuckDB rendering
+    * ([[simhashBandingDuckSql]]): block i covers widths(i) bits starting
+    * at offsets(i); the first (64 % b) blocks take the extra bit so all
+    * 64 bits are covered disjointly; one table per blocksPerKey-subset. */
+  private[operators] def mankuBlocks(maxHamming: Int, blocksPerKey: Int)
+      : (Array[Int], Array[Int], Seq[Seq[Int]]) = {
     require(maxHamming >= 1 && blocksPerKey >= 1, "maxHamming/blocksPerKey >= 1")
     val nBlocks = maxHamming + blocksPerKey
     require(nBlocks <= 64, s"maxHamming + blocksPerKey = $nBlocks > 64 bits")
-    // block i covers widths(i) bits starting at offsets(i); first (64 % b)
-    // blocks take the extra bit so all 64 bits are covered disjointly
     val base = 64 / nBlocks
     val rem = 64 % nBlocks
     val widths = Array.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    val subsets = (0 until nBlocks).combinations(blocksPerKey).map(_.toSeq).toSeq
+    (widths, offsets, subsets)
+  }
+
+  def simhashPairsFromSigs(withSig: DataFrame, maxHamming: Int,
+                           blocksPerKey: Int = 3): DataFrame = {
+    val (widths, offsets, subsets) = mankuBlocks(maxHamming, blocksPerKey)
     def block(i: Int): Column =
       shiftright(col("sig"), offsets(i))
         .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
     // one key per blocksPerKey-subset: concatenated block bits (≤ 64 total)
-    val keyCols = (0 until nBlocks).combinations(blocksPerKey).map { sub =>
+    val keyCols = subsets.map { sub =>
       sub.foldLeft(lit(0L)) { (acc, bi) =>
         shiftleft(acc, widths(bi)).bitwiseOR(block(bi))
       }
-    }.toSeq
+    }
     val tabled = withSig.select(col("id"), col("sig"),
         posexplode(array(keyCols: _*)))
       .toDF("id", "sig", "table_id", "key")
@@ -235,6 +259,38 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** DuckDB SQL replaying [[simhashPairsFromSigs]] over a dumped (id, sig)
+    * table — GENERATED from the same [[mankuBlocks]] geometry, so the
+    * banding cannot drift between the operator and its oracle. Arithmetic
+    * `>>` + mask yields identical bits in both engines (masks keep only
+    * bits below the sign extension); DuckDB's `<<` ERRORS on 63-bit
+    * overflow where Spark wraps, hence the key-width guard (every real
+    * config is far below it — the default is ~33-bit keys). */
+  def simhashBandingDuckSql(sigSource: String, maxHamming: Int,
+                            blocksPerKey: Int = 3): String = {
+    val (widths, offsets, subsets) = mankuBlocks(maxHamming, blocksPerKey)
+    require(subsets.forall(_.map(widths).sum <= 63),
+      "oracle rendering needs key width <= 63 bits (DuckDB << errors on overflow)")
+    def blockSql(i: Int): String =
+      s"((sig >> ${offsets(i)}) & ${if (widths(i) == 64) -1L else (1L << widths(i)) - 1})"
+    val keySelects = subsets.zipWithIndex.map { case (sub, t) =>
+      val key = sub.foldLeft("(0::BIGINT)") { (acc, bi) =>
+        s"(($acc << ${widths(bi)}) | ${blockSql(bi)})"
+      }
+      s"SELECT id, sig, $t AS table_id, $key AS key FROM s"
+    }
+    s"""WITH s AS (SELECT id, sig FROM $sigSource),
+       |t AS (
+       |${keySelects.mkString("\n UNION ALL\n")}),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM t a JOIN t b
+       |    ON a.table_id = b.table_id AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming
+       |FROM p WHERE hamming <= $maxHamming GROUP BY 1, 2""".stripMargin
   }
 
   // ------------------------------------------------------------------
