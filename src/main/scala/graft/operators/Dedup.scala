@@ -412,9 +412,63 @@ object Dedup {
     * returning split components: silently keeping extra near-duplicates is
     * a data-quality corruption no caller can detect downstream.
     *
+    * HYBRID: when the edge list is small (<= driverLocalMaxEdges, a
+    * BOUNDED ~16 B/edge collect), an exact driver-local union-find
+    * replaces the distributed loop — near-dup candidate pairs are usually
+    * a sliver of the corpus, and a local pass beats log(d) rounds of job
+    * scheduling by ~an order of magnitude. Above the threshold the
+    * distributed path runs; both produce identical labels (specs assert
+    * equivalence on random graphs).
+    *
     * Returns (id, comp) with comp = min doc id in the group — a
     * deterministic canonical representative. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          driverLocalMaxEdges: Long = 5000000L): DataFrame = {
+    val edgeCount = pairs.limit((driverLocalMaxEdges + 1).toInt).count()
+    if (edgeCount <= driverLocalMaxEdges)
+      return connectedComponentsLocal(pairs)
+    connectedComponentsDistributed(pairs, maxIter)
+  }
+
+  /** Exact union-find (path halving + union by min) over a collected edge
+    * list. Bounded by connectedComponents' threshold check. */
+  private def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { // union by MIN root: the root IS the representative
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    spark.createDataset(out.toSeq).toDF("id", "comp")
+  }
+
+  /** Distributed path: min-label propagation with pointer doubling. */
+  private[operators] def connectedComponentsDistributed(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     // undirected edges, both directions + self-loops keep own label alive
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

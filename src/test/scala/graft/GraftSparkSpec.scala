@@ -295,7 +295,9 @@ class GraftSparkSpec extends AnyFunSuite {
     // defect); pointer doubling must close it in <= 10 rounds
     val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain, maxIter = 10).collect()
+    // driverLocalMaxEdges = 0 forces the DISTRIBUTED path
+    val comps = Dedup.connectedComponents(chain, maxIter = 10,
+        driverLocalMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 64)
     assert(comps.values.toSet == Set(0L), s"chain split: ${comps.values.toSet}")
@@ -306,9 +308,28 @@ class GraftSparkSpec extends AnyFunSuite {
     val chain = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1).collect()
+      Dedup.connectedComponents(chain, maxIter = 1,
+        driverLocalMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: driver-local union-find == distributed labels (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    (1 to 3).foreach { _ =>
+      // random sparse graph over ~80 nodes: chains, triangles, singles
+      val edges = (1 to 60).map { _ =>
+        val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, driverLocalMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"paths disagree on ${edges.take(5)}...")
+    }
   }
 
   test("fuzzy dedup end-to-end: no two survivors are near-dups of each other") {
