@@ -55,24 +55,45 @@ object FastTextLite {
   }
 
   /** Packed hashed n-gram (2..4) count events over `<text>`, ascending
-    * bucket id (see Lr.packEvent). */
+    * bucket id (see Lr.packEvent). Collect → sort → run-length encode:
+    * the events must come out sorted anyway, and a primitive-array sort
+    * beats a boxed hash map per row (the LongMap version showed up at
+    * ~24% of scoreRow in ProfileScore — LongMap boxes its values). Output
+    * is bit-identical to the map version (same multiset of buckets). */
   def featurize(normalized: String, buckets: Int = DefaultBuckets): Array[Long] = {
     val s = "<" + normalized + ">"
-    val counts = new scala.collection.mutable.LongMap[Int](128)
+    val len = s.length
+    val total = math.max(0, len - 1) + math.max(0, len - 2) + math.max(0, len - 3)
+    if (total == 0) return Array.emptyLongArray
+    val hs = new Array[Long](total)
+    var j = 0
     var n = 2
     while (n <= 4) {
       var i = 0
-      while (i + n <= s.length) {
-        val b = hash(s, i, i + n, buckets).toLong
-        counts.put(b, counts.getOrElse(b, 0) + 1)
+      while (i + n <= len) {
+        hs(j) = hash(s, i, i + n, buckets).toLong
+        j += 1
         i += 1
       }
       n += 1
     }
-    val arr = new Array[Long](counts.size)
-    var j = 0
-    counts.foreach { case (k, v) => arr(j) = Lr.packEvent(k.toInt, v); j += 1 }
-    java.util.Arrays.sort(arr)
+    java.util.Arrays.sort(hs, 0, j)
+    // run-length encode the sorted buckets into packed (fid, count) events
+    var distinct = 1
+    var i = 1
+    while (i < j) { if (hs(i) != hs(i - 1)) distinct += 1; i += 1 }
+    val arr = new Array[Long](distinct)
+    var out = 0
+    var runStart = 0
+    i = 1
+    while (i <= j) {
+      if (i == j || hs(i) != hs(runStart)) {
+        arr(out) = Lr.packEvent(hs(runStart).toInt, i - runStart)
+        out += 1
+        runStart = i
+      }
+      i += 1
+    }
     arr
   }
 

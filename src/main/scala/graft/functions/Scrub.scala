@@ -80,14 +80,23 @@ object Scrub {
     * Quality's autogen detector, where the hit is the decision. */
   private[functions] def ciWords(words: Array[String]): Finder = {
     val lower = words.map(w => w.map(asciiLower))
-    val firsts: Set[Char] = lower.map(_.charAt(0)).toSet
+    // branch-free first-char gate: a 128-entry table beats a boxed
+    // Set[Char] lookup per character (this scan runs once per rule per
+    // row over the whole content — it was ~20% of scoreRow)
+    val firsts = new Array[Boolean](128)
+    lower.foreach { w =>
+      val c = w.charAt(0)
+      firsts(c) = true
+      if (c >= 'a' && c <= 'z') firsts(c - 32) = true
+    }
     (s, from) => {
       var i = math.max(from, 0)
       val n = s.length
       var found = -1
       while (found < 0 && i < n) {
-        val c = asciiLower(s.charAt(i))
-        if (firsts.contains(c)) {
+        val c0 = s.charAt(i)
+        if (c0 < 128 && firsts(c0)) {
+          val c = asciiLower(c0)
           var w = 0
           while (found < 0 && w < lower.length) {
             val word = lower(w)

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.core.{Lr, Normalize, Synth}
+import graft.functions.{Quality, Scrub}
+import graft.operators.ScoreStage
+
+/** Single-threaded per-component cost breakdown of the fused scoring
+  * stage (no Spark): where does a scored row's time actually go? Guides
+  * hot-path work; not part of any gate. */
+object ProfileScore {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val bodyScale = 8
+    val rows = Synth.fileRows(n, bodyScale = bodyScale)
+    val b = ScoreStage.defaultBundle
+    // warmup
+    rows.take(2000).foreach(r => ScoreStage.scoreRow(b)(r))
+
+    def time(label: String)(f: Synth.FileRow => Unit): Unit = {
+      val t0 = System.nanoTime()
+      rows.foreach(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-18s ${sec}%7.3f s  (${n / sec}%9.0f rows/s)")
+    }
+
+    time("naturalText")(r => ScoreStage.naturalText(r.content))
+    val naturals = rows.map(r => ScoreStage.naturalText(r.content))
+    def timeN(label: String)(f: String => Unit): Unit = {
+      val t0 = System.nanoTime()
+      naturals.foreach(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-18s ${sec}%7.3f s  (${n / sec}%9.0f rows/s)")
+    }
+    timeN("normalize")(t => Normalize(t))
+    val norms = naturals.map(Normalize(_))
+    def timeM(label: String)(f: String => Unit): Unit = {
+      val t0 = System.nanoTime()
+      norms.foreach(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-18s ${sec}%7.3f s  (${n / sec}%9.0f rows/s)")
+    }
+    timeM("ldig featurize") { t => if (t.length >= 2) b.ldig.featurize(t) }
+    timeM("ldig predict") { t =>
+      if (t.length >= 2)
+        Lr.predict(b.ldig.featurize(t), b.ldig.weights, b.ldig.numClasses)
+    }
+    timeM("fasttext") { t => if (t.length >= 2) b.fasttext.predictNormalized(t) }
+    timeM("ppl") { t => if (t.length >= 3) b.lm.perplexity(t, "en") }
+    time("quality flags")(r => Quality.flags(r.content))
+    time("scrub")(r => Scrub(r.content))
+    time("TOTAL scoreRow")(r => ScoreStage.scoreRow(b)(r))
+  }
+}
