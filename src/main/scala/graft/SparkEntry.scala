@@ -818,6 +818,65 @@ object SparkEntry {
         |    FROM (SELECT * FROM r UNION SELECT * FROM a))
         |SELECT set_op, count(*) AS n_orders,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
-        |FROM u GROUP BY 1""".stripMargin
+        |FROM u GROUP BY 1""".stripMargin,
+    // ---- multimodal: a TRUE cross-engine oracle for the encode→decode
+    // chain. The media payloads are deterministic functions of the
+    // embeddings fixture built from EXACT integer arithmetic
+    // (Multimodal.quantizeGray: trunc(f*1000) wrapped into 0..255 — the
+    // f*1000 product is exact in double, so DuckDB's trunc sees the same
+    // value). DuckDB re-derives the expected decoded features (format,
+    // byte size, dimensions, mean) straight from the embeddings table —
+    // it never sees the bytes, so a decoder bug (wrong row padding, wrong
+    // chunk walk, signed-byte mean) hash-mismatches here. Constants:
+    //   bmp: 14+40 header + 24*8 pixel bytes = 246; mean over BGR bytes
+    //        = 3*sum(gray)/192
+    //   wav: 44 header + 64 samples * 2 B = 172; sample=(gray-128)*256,
+    //        mean |s| = 256*sum|gray-128|/64
+    //   ppm: 11 header ("P6\n8 8\n255\n") + 192 = 203; mean = 3*sum/192
+    "q_multimodal" ->
+      """WITH g AS (
+        |  SELECT vec_id AS media_id, label % 3 AS fm,
+        |    list_transform(embedding, x ->
+        |      ((CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256) + 256)
+        |        % 256) AS gray
+        |  FROM embeddings)
+        |SELECT media_id,
+        |  CASE fm WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS format,
+        |  CAST(CASE fm WHEN 0 THEN 246 WHEN 1 THEN 172 ELSE 203 END AS INT)
+        |    AS n_bytes,
+        |  CAST(CASE fm WHEN 1 THEN 64 ELSE 8 END AS INT) AS width,
+        |  CAST(CASE fm WHEN 1 THEN 1 ELSE 8 END AS INT) AS height,
+        |  round(CASE WHEN fm = 1
+        |    THEN list_sum(list_transform(gray, b -> abs(b - 128) * 256))
+        |           * 1.0 / 64
+        |    ELSE list_sum(gray) * 3.0 / 192 END, 4) AS mean_val
+        |FROM g""".stripMargin,
+    // Frame sampling over the same payloads: every payload yields exactly
+    // one kept frame (nFrames = floor(len/64) = 2..3, stride 4 keeps frame
+    // 0 only), covering the 54/44/11-byte header plus the leading payload
+    // bytes. Header byte sums are compile-time constants of the fixed
+    // 8×8/64-sample geometry (verified against the encoders in
+    // GraftSparkSpec "frame-sample oracle constants"):
+    //   bmp 716  — frame 0 = header + first 10 pixel bytes of the BOTTOM
+    //              row (bottom-up BGR): 3*(g56+g57+g58)+g59
+    //   wav 1984 — + 10 LE sample pairs (low byte 0, high (g+128)%256)
+    //   ppm 464  — + first 53 row-major RGB bytes: 3*sum(g0..g16)+2*g17
+    "q_frame_sample" ->
+      """WITH g AS (
+        |  SELECT vec_id AS media_id, label % 3 AS fm,
+        |    list_transform(embedding, x ->
+        |      ((CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256) + 256)
+        |        % 256) AS gray
+        |  FROM embeddings)
+        |SELECT media_id,
+        |  CAST(0 AS INT) AS frame_no, CAST(0 AS INT) AS "offset",
+        |  CAST(64 AS INT) AS n_bytes,
+        |  round((CASE fm
+        |    WHEN 0 THEN 716 + 3 * (gray[57] + gray[58] + gray[59]) + gray[60]
+        |    WHEN 1 THEN 1984 + list_sum(list_transform(gray[1:10],
+        |                                b -> (b + 128) % 256))
+        |    ELSE 464 + 3 * list_sum(gray[1:17]) + 2 * gray[18]
+        |  END) * 1.0 / 64, 4) AS mean_byte
+        |FROM g""".stripMargin
   )
 }

@@ -246,6 +246,17 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Quantize one embedding float to a gray byte value in 0..255 using
+    * EXACT integer arithmetic only: `f*1000` is an exact double product
+    * (24-bit mantissa × 10-bit constant < 53 bits), truncated toward zero,
+    * wrapped into 0..255. No transcendental functions — so an independent
+    * engine (the DuckDB oracle for q_multimodal / q_frame_sample) can
+    * re-derive the expected decoded features bit-for-bit from the
+    * embeddings table, giving the encode→decode chain a true
+    * cross-engine hash check instead of a rows-only one. */
+  def quantizeGray(f: Float): Int =
+    ((((f.toDouble * 1000.0).toLong % 256) + 256) % 256).toInt
+
   /** Build a deterministic media table from the embeddings fixture: each
     * 64-dim float vector becomes a REAL encoded payload — an 8×8 grayscale
     * BMP, a 64-sample WAV or an 8×8 PPM by `label % 3` — so the decode
@@ -254,12 +265,11 @@ object Multimodal {
   def mediaFromEmbeddings(spark: SparkSession, embeddings: DataFrame): DataFrame = {
     import spark.implicits._
     val encodeUdf = udf { (vec: Seq[Float], label: Int) =>
-      // deterministic float -> byte quantization: tanh squashes to (-1,1)
-      val gray = vec.map(f => (((math.tanh(f) + 1.0) / 2.0) * 255.0).toInt
-        .max(0).min(255).toByte).toArray
+      val gray = vec.map(f => quantizeGray(f).toByte).toArray
       (label % 3) match {
         case 0 => encodeBmp(8, 8, gray)
-        case 1 => encodeWav(vec.map(f => (math.tanh(f) * 32767.0).toShort).toArray)
+        // sample = (gray-128)*256: LE low byte 0, high byte (gray+128)%256
+        case 1 => encodeWav(gray.map(g => (((g & 0xFF) - 128) * 256).toShort))
         case _ => encodePpm(8, 8, gray)
       }
     }

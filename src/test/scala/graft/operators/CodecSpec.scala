@@ -100,4 +100,60 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decode(null) == ("unknown", 0, 0, 0.0))
     assert(Multimodal.decode(Array.emptyByteArray) == ("unknown", 0, 0, 0.0))
   }
+
+  test("frame-sample oracle constants match the real encoders") {
+    // The q_multimodal / q_frame_sample DuckDB oracles re-derive decode
+    // output from header-sum constants and byte-layout identities of the
+    // fixed 8×8 / 64-sample geometry. Pin each constant against the
+    // actual encoder so a geometry or header change fails HERE, not as an
+    // opaque oracle hash mismatch.
+    val rnd = new scala.util.Random(7L)
+    val gray = Array.fill(64)(rnd.nextInt(256).toByte)
+    def u(b: Byte): Int = b & 0xFF
+
+    val bmp = Multimodal.encodeBmp(8, 8, gray)
+    assert(bmp.length == 246)
+    assert(bmp.take(54).map(u).sum == 716)
+    // frame 0 pixel tail: first file row is the BOTTOM gray row, BGR
+    val bmpFrame0 = bmp.take(64).map(u).sum
+    assert(bmpFrame0 ==
+      716 + 3 * (u(gray(56)) + u(gray(57)) + u(gray(58))) + u(gray(59)))
+
+    val wav = Multimodal.encodeWav(gray.map(g => (((g & 0xFF) - 128) * 256).toShort))
+    assert(wav.length == 172)
+    assert(wav.take(44).map(u).sum == 1984)
+    // LE sample bytes: low byte always 0, high byte (g+128)%256
+    (0 until 256).foreach { g =>
+      val s = ((g - 128) * 256).toShort
+      assert((s & 0xFF) == 0 && ((s >> 8) & 0xFF) == (g + 128) % 256, s"g=$g")
+    }
+    val wavFrame0 = wav.take(64).map(u).sum
+    assert(wavFrame0 == 1984 + gray.take(10).map(g => (u(g) + 128) % 256).sum)
+
+    val ppm = Multimodal.encodePpm(8, 8, gray)
+    assert(ppm.length == 203)
+    assert(ppm.take(11).map(u).sum == 464)
+    val ppmFrame0 = ppm.take(64).map(u).sum
+    assert(ppmFrame0 == 464 + 3 * gray.take(17).map(u).sum + 2 * u(gray(17)))
+
+    // every payload yields exactly ONE kept frame at stride 4
+    Seq(bmp, wav, ppm).foreach(p => assert((0 until p.length / 64 by 4).size == 1))
+  }
+
+  test("quantizeGray is exact-integer and matches the SQL arithmetic") {
+    // trunc-toward-zero then positive wrap — the DuckDB lambda is
+    //   ((CAST(trunc(CAST(x AS DOUBLE)*1000) AS BIGINT) % 256) + 256) % 256
+    assert(Multimodal.quantizeGray(0.0f) == 0)
+    assert(Multimodal.quantizeGray(0.2555f) == 255)   // trunc(255.49..) = 255
+    assert(Multimodal.quantizeGray(-0.0011f) == 255)  // trunc(-1.1)=-1 -> 255
+    assert(Multimodal.quantizeGray(-0.256f) == 0)     // trunc(-256)= -256 -> 0
+    assert(Multimodal.quantizeGray(0.512f) == 0)      // 512 % 256
+    val rnd = new scala.util.Random(8L)
+    (1 to 10000).foreach { _ =>
+      val f = (rnd.nextFloat() - 0.5f)
+      val viaDouble = ((((f.toDouble * 1000.0).toLong % 256) + 256) % 256).toInt
+      val got = Multimodal.quantizeGray(f)
+      assert(got == viaDouble && got >= 0 && got <= 255)
+    }
+  }
 }
