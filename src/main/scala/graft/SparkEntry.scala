@@ -177,6 +177,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "q_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (batch form; the streaming twin with
+      // flatMapGroupsWithState state is spec-asserted equal to this)
+      Sessionize.batch(s.read.parquet(s"$dir/events.parquet"))),
     "q_3way_join" -> ((s, dir) => {
       val r = s.read.parquet(s"$dir/region.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
@@ -560,6 +564,26 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Sessionization replayed exactly: integral-microsecond gap test, so
+    // no float time math; session membership depends only on the sorted
+    // timestamp multiset (tie order between engines cannot change it).
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "q_3way_join" ->
       """SELECT r_name, count(*) AS n_customers,
         |  round(sum(c_acctbal), 2) AS total_bal

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over the events table (SURVEY §2 E6/J
+  * companion): consecutive events of one user belong to one session while
+  * the inter-event gap stays ≤ `gapUs`; a longer silence starts a new
+  * session.
+  *
+  * The batch form is fully declarative — lag + running sum over a window
+  * partitioned by user, then an aggregate per (user, session) — so
+  * Catalyst plans it as ONE shuffle on `user_id` for the window, a partial
+  * aggregate, and a final exchange that carries only one row per session
+  * (at web scale the session count, not the event count, crosses the
+  * second wire). All arithmetic is in integral microseconds
+  * (`unix_micros`) so the DuckDB oracle (`epoch_us`) replays it exactly;
+  * session membership is a function of the sorted multiset of timestamps,
+  * hence invariant under tie order between engines.
+  *
+  * The streaming twin lives in [[graft.streaming.SessionizeStream]]
+  * (flatMapGroupsWithState + event-time timeout); GraftSparkSpec asserts
+  * closed streaming sessions == this batch result on the same events.
+  */
+object Sessionize {
+
+  /** 30 minutes, the classic web-analytics inactivity gap. */
+  val DefaultGapUs: Long = 30L * 60 * 1000000L
+
+  def batch(events: DataFrame, gapUs: Long = DefaultGapUs): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // the fixture's ts is TIMESTAMP_NTZ; unix_micros needs an instant, so
+    // cast through the session zone (UTC in this harness). Only DIFFERENCES
+    // of the resulting micros are used, so any fixed-offset zone cancels.
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(tsUs, 1).over(byUser)
+    val isNew = when(prevUs.isNull || tsUs - prevUs > gapUs, 1).otherwise(0)
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("sess",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        (unix_micros(max("ts").cast("timestamp"))
+          - unix_micros(min("ts").cast("timestamp"))).as("duration_us"))
+      .drop("sess")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.operators.Sessionize]]: custom per-key state
+  * via `flatMapGroupsWithState` (SURVEY §2 J — the "stateful custom
+  * operator" tier of Structured Streaming, beyond windowed aggregation).
+  *
+  * State per user = the one OPEN session's aggregate (start, last-seen,
+  * count, value sum) — constant size, never the events themselves, so
+  * state volume is O(active users), not O(events); that is what survives
+  * a 10^12-event stream. A session closes either when a later event
+  * arrives past the gap (emitted inside the batch) or when the event-time
+  * watermark passes `last_seen + gap` (event-time TIMEOUT emits it with no
+  * further input — the no-data microbatch after the watermark advances
+  * flushes idle users).
+  *
+  * Within-watermark out-of-order events are folded in sorted order per
+  * batch; an event no later than the open session's last-seen merges into
+  * it (late data cannot re-open an already-emitted session — standard
+  * watermark semantics, same contract as Spark's own session windows).
+  */
+object SessionizeStream {
+
+  final case class Ev(user_id: Long, ts: Instant, value: Double)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Instant, n_events: Long,
+                           total_value: Double, duration_us: Long)
+
+  private def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+  private def toSession(uid: Long, s: OpenSession): Session =
+    Session(uid,
+      Instant.ofEpochSecond(s.startUs / 1000000L, (s.startUs % 1000000L) * 1000L),
+      s.n,
+      // HALF_UP to match Sessionize.batch's round(sum(value), 2)
+      BigDecimal(s.total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s.lastUs - s.startUs)
+
+  /** Fold one user's batch of events (sorted by ts) into the open-session
+    * state; returns the sessions closed by this batch plus the new open
+    * session. Pure — shared by the streaming operator and its spec. */
+  def fold(open: Option[OpenSession], evs: Seq[(Long, Double)], gapUs: Long)
+      : (Seq[OpenSession], Option[OpenSession]) = {
+    var cur = open
+    val closed = Seq.newBuilder[OpenSession]
+    evs.sortBy(_._1).foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t - s.lastUs > gapUs =>
+          closed += s
+          cur = Some(OpenSession(t, t, 1, v))
+        case Some(s) =>
+          cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.lastUs, t),
+            s.n + 1, s.total + v))
+        case None =>
+          cur = Some(OpenSession(t, t, 1, v))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** events must be a STREAMING DataFrame with (user_id, ts, value). */
+  def sessions(spark: SparkSession, events: DataFrame,
+               gapUs: Long = graft.operators.Sessionize.DefaultGapUs,
+               watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_seen + gap: the open session is final
+            val done = toSession(uid, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = it.map(e => (us(e.ts), e.value)).toSeq
+            val (closed, open) = fold(state.getOption, evs, gapUs)
+            open.foreach { s =>
+              state.update(s)
+              // EventTimeTimeout is millisecond-resolution: round UP so the
+              // timeout can never fire a microsecond-fraction early. Spark
+              // rejects timeouts at/behind the watermark, so clamp forward
+              // (the session then times out on the very next batch).
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + gapUs) / 1000L + 1L,
+                         state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator.map(toSession(uid, _))
+          }
+      }
+  }
+}

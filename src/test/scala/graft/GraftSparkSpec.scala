@@ -524,4 +524,50 @@ class GraftSparkSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("streaming sessionization == batch; idle sessions flush on event-time timeout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftsess").toString
+    val t0 = 1700000000L
+    def ev(uid: Long, sec: Long, v: Double) =
+      (uid, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + sec)), v)
+    val gapUs = 60L * 1000000L
+    // batch 1: user 1 strings three events inside the gap; user 2 one event
+    val b1 = Seq(ev(1, 0, 1.111), ev(1, 10, 2.222), ev(1, 30, 0.005), ev(2, 5, 4.0))
+    // batch 2: user 1 jumps PAST the gap (closes session 1 in-batch and
+    // opens session 2); user 2 continues inside the gap; the sentinel user
+    // 999 far in the future advances the watermark so every idle open
+    // session times out on the no-data microbatch
+    val b2 = Seq(ev(1, 200, 7.0), ev(2, 20, 5.5), ev(999, 100000, 0.0))
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    write(b1)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$dir/in")
+    val sessions = graft.streaming.SessionizeStream.sessions(
+      spark, stream, gapUs, watermarkDelay = "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_stream")
+      .where(col("user_id") =!= 999) // sentinel's own session stays open
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val batch = operators.Sessionize.batch(
+        (b1 ++ b2.take(2)).toDF("user_id", "ts", "value"), gapUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(batch.size == 3, batch) // u1 x2 (n=3 then n=1), u2 x1 (n=2)
+    assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
+  }
 }
