@@ -89,6 +89,10 @@ object SparkEntry {
   def langidDumpPath(dir: String): String =
     s"/tmp/graft_langid_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** Bucketed-table layout for the co-located join query (q_bucketed_join). */
+  def bucketedPath(dir: String, table: String): String =
+    s"/tmp/graft_bucketed_${dir.split('/').filter(_.nonEmpty).last}_$table"
+
   /** MinHash candidate-pair dump for the q_fuzzy_dedup_minhash oracle:
     * signatures are JVM-specific (not oracle-able), but the pairs →
     * connected components → survivors tail is pure relational — DuckDB
@@ -181,6 +185,27 @@ object SparkEntry {
       // gap-based sessionization (batch form; the streaming twin with
       // flatMapGroupsWithState state is spec-asserted equal to this)
       Sessionize.batch(s.read.parquet(s"$dir/events.parquet"))),
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located fact-to-fact join: both sides bucketed on the join key
+      // at write time, so the join itself needs NO Exchange (PlanSpec
+      // asserts zero). Results are layout-independent — the oracle joins
+      // the raw tables.
+      val liP = bucketedPath(dir, "lineitem")
+      val ordP = bucketedPath(dir, "orders")
+      sources.BucketedTables.write(
+        s.read.parquet(s"$dir/lineitem.parquet"), liP, 8, "l_orderkey",
+        Seq("l_orderkey"))
+      sources.BucketedTables.write(
+        s.read.parquet(s"$dir/orders.parquet"), ordP, 8, "o_orderkey",
+        Seq("o_orderkey"))
+      sources.BucketedTables.read(s, liP)
+        .join(sources.BucketedTables.read(s, ordP).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
     "q_3way_join" -> ((s, dir) => {
       val r = s.read.parquet(s"$dir/region.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
@@ -564,6 +589,11 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // Sessionization replayed exactly: integral-microsecond gap test, so
     // no float time math; session membership depends only on the sorted
     // timestamp multiset (tie order between engines cannot change it).

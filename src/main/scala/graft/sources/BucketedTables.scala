@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout (SURVEY §2 G — co-located joins): pre-hash the
+  * rows of a fact table into `nBuckets` files keyed on the join column, so
+  * every later join/aggregate on that key reads both sides already
+  * co-partitioned and needs NO Exchange — the one-time shuffle at write
+  * time is amortized over every downstream query. This is the layout
+  * decision that matters most at 10^12 rows: a repeated fact-to-fact join
+  * (lineitem ⋈ orders, near-dup pairs ⋈ docs, audit ⋈ decided) stops
+  * moving the big table over the wire entirely.
+  *
+  * Bucket metadata lives in the session catalog (parquet files alone don't
+  * carry it), so reads MUST go through `spark.table`; [[read]] wraps that.
+  * The Iceberg production analogue is a `bucket(n, col)` partition
+  * transform on the table definition — same plan shape, catalog-portable.
+  *
+  * Bucket-count choice at scale: pick `nBuckets` so one bucket of the
+  * LARGER side fits an executor's shuffle memory (~total_bytes /
+  * target_partition_bytes, rounded to a power of two); both sides of a
+  * co-located join must use the SAME count.
+  */
+object BucketedTables {
+
+  /** Deterministic catalog identifier for a filesystem path. */
+  def tableName(path: String): String =
+    "graft_b_" + path.replaceAll("[^A-Za-z0-9_]", "_").takeRight(96)
+
+  /** Write `df` as an external bucketed parquet table at `path`,
+    * registered in the session catalog. `sortCols` additionally orders
+    * rows inside each bucket file (free merge-join sides when each bucket
+    * is a single file). */
+  def write(df: DataFrame, path: String, nBuckets: Int, bucketCol: String,
+            sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val name = tableName(path)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Read a table previously written by [[write]] WITH its bucket spec
+    * (reading the path directly would silently drop it). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.table(tableName(path))
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    spark.catalog.tableExists(tableName(path))
+}

@@ -108,6 +108,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band_hash"), p)
   }
 
+  test("bucketed tables: co-located join and bucket-key aggregate need no Exchange") {
+    val liP = SparkEntry.bucketedPath(sf, "lineitem")
+    val ordP = SparkEntry.bucketedPath(sf, "orders")
+    sources.BucketedTables.write(
+      spark.read.parquet(s"$sf/lineitem.parquet"), liP, 4, "l_orderkey",
+      Seq("l_orderkey"))
+    sources.BucketedTables.write(
+      spark.read.parquet(s"$sf/orders.parquet"), ordP, 4, "o_orderkey",
+      Seq("o_orderkey"))
+    val li = sources.BucketedTables.read(spark, liP)
+    val ord = sources.BucketedTables.read(spark, ordP)
+    // fact-to-fact sort-merge join on the bucket key: both scans are
+    // already hash-partitioned on it, so the BIG-table shuffle vanishes
+    val joined = li.join(ord.hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+    val pj = plan(joined)
+    assert(pj.contains("SortMergeJoin"), pj)
+    assert(!pj.contains("Exchange"), pj)
+    assert(pj.contains("SelectedBucketsCount"), pj)
+    // aggregate keyed on the bucket column: partial+final collapse into a
+    // shuffle-free aggregate for the same reason
+    val pa = plan(li.groupBy("l_orderkey").agg(sum("l_quantity")))
+    assert(!pa.contains("Exchange"), pa)
+    // and the same join WITHOUT the bucketed layout does shuffle — the
+    // assertion above is meaningful, not vacuous
+    val rawJoin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(plan(rawJoin).contains("Exchange"), plan(rawJoin))
+  }
+
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
