@@ -546,6 +546,23 @@ object SparkEntry {
           Seq(col("l_orderkey"), col("l_linenumber")), num = 2)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
+    "q_quota_sample" -> ((s, dir) =>
+      // stratified data mixing: at most 50 docs per language, selected as
+      // the quota smallest portable key hashes (partial-agg top-k per
+      // stratum — no per-stratum sort task)
+      Sampling.quotaSample(docs(s, dir), "lang", "doc_id",
+          quota = 50, portable = true)
+        .select("doc_id", "lang", "source")),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs with doc_id % 7 == 0 play the eval
+      // set; training docs sharing any 5-gram with it are flagged
+      val d = docs(s, dir)
+      Decontaminate.contaminatedIds(
+          d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    }),
     "q_multimodal" -> ((s, dir) =>
       // REAL decode: payloads are genuine BMP/WAV/PPM bytes built from the
       // embeddings fixture; width/height/mean come from parsing them
@@ -873,6 +890,30 @@ object SparkEntry {
         |SELECT set_op, count(*) AS n_orders,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
         |FROM u GROUP BY 1""".stripMargin,
+    // Quota sampling replayed exactly: same-width lowercase hex compares
+    // lexicographically as unsigned numeric, so DuckDB's ORDER BY on the
+    // md5 prefix string equals the operator's unsigned-long ranking.
+    "q_quota_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id)
+        |      AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
+    // Decontamination replayed verbatim (same shingle construction as
+    // q_ngram_jaccard).
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        |         WHERE s.doc_id % 7 <> 0)
+        |SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""".stripMargin,
     // ---- multimodal: a TRUE cross-engine oracle for the encode→decode
     // chain. The media payloads are deterministic functions of the
     // embeddings fixture built from EXACT integer arithmetic

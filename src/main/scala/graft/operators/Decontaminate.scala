@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share at least
+  * one word-`k`-gram with an evaluation/benchmark set, so they can be
+  * dropped before training (the step that keeps eval numbers honest).
+  *
+  * Shape at 100 TB: the EVAL side is small (benchmarks are 10^3–10^6
+  * rows), so its distinct shingle set broadcasts; the train side streams
+  * through a broadcast LEFT SEMI join — the big table is never shuffled,
+  * only its matching (id, shingle) rows reach the final distinct (which
+  * partial-aggregates map-side). Set `broadcastEval = false` when the
+  * eval shingle set outgrows executor memory; the join then falls back to
+  * a shuffled semi-join on the shingle key (still equi, never all-pairs).
+  *
+  * Same shingle construction as [[Dedup.wordShingles]] / q_ngram_jaccard,
+  * so the DuckDB oracle replays it verbatim.
+  */
+object Decontaminate {
+
+  /** Distinct ids of `train` docs sharing ≥1 word-`k`-gram with `evalSet`.
+    * Output column: `id`. */
+  def contaminatedIds(train: DataFrame, evalSet: DataFrame,
+                      idCol: String, textCol: String, k: Int = 5,
+                      broadcastEval: Boolean = true): DataFrame = {
+    val evalShingles = {
+      val s = evalSet
+        .select(explode(Dedup.wordShingles(col(textCol), k)).as("shingle"))
+        .distinct()
+      if (broadcastEval) broadcast(s) else s
+    }
+    train
+      .select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), k)).as("shingle"))
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .select("id")
+      .distinct()
+  }
+}

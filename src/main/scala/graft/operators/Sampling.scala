@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling (E8 companion): the sample a row
@@ -34,5 +35,113 @@ object Sampling {
     val key = concat_ws("|", keys.map(_.cast("string")): _*)
     val allowed = "0123456789abcdef".take(num).map(_.toString)
     df.where(substring(md5(key), 1, 1).isin(allowed: _*))
+  }
+
+  // ------------------------------------------------------------------
+  // Stratified quota sampling (data mixing)
+  // ------------------------------------------------------------------
+
+  /** Bounded per-stratum state: the `k` (hash, key) pairs smallest by
+    * (unsigned hash, key) seen so far. */
+  final case class QuotaBuf(hashes: Array[Long], keys: Array[Long], n: Int)
+
+  /** Smaller-is-better ordering on (unsigned hash, key) — deterministic
+    * across partitionings and engines (no float rounding anywhere). */
+  @inline private def better(h1: Long, k1: Long, h2: Long, k2: Long): Boolean = {
+    val c = java.lang.Long.compareUnsigned(h1, h2)
+    c < 0 || (c == 0 && k1 < k2)
+  }
+
+  private def insert(b: QuotaBuf, h: Long, key: Long, k: Int): QuotaBuf = {
+    if (b.n < k) {
+      b.hashes(b.n) = h; b.keys(b.n) = key
+      QuotaBuf(b.hashes, b.keys, b.n + 1)
+    } else {
+      var worst = 0
+      var i = 1
+      while (i < b.n) {
+        if (better(b.hashes(worst), b.keys(worst), b.hashes(i), b.keys(i))) worst = i
+        i += 1
+      }
+      if (better(h, key, b.hashes(worst), b.keys(worst))) {
+        b.hashes(worst) = h; b.keys(worst) = key
+      }
+      b
+    }
+  }
+
+  /** Partial-aggregating "k smallest hashes per stratum": map-side combine
+    * caps every partition's contribution at k pairs BEFORE the shuffle —
+    * the same shape as Similarity.TopKAgg. A window row_number() would
+    * instead sort each stratum inside ONE task, which is exactly the skew
+    * a dominant language creates at web scale. */
+  final class QuotaAgg(k: Int)
+      extends Aggregator[(Long, Long), QuotaBuf, Array[Long]] {
+    def zero: QuotaBuf = QuotaBuf(new Array[Long](k), new Array[Long](k), 0)
+    def reduce(b: QuotaBuf, a: (Long, Long)): QuotaBuf = insert(b, a._1, a._2, k)
+    def merge(b1: QuotaBuf, b2: QuotaBuf): QuotaBuf = {
+      var b = b1
+      var i = 0
+      while (i < b2.n) { b = insert(b, b2.hashes(i), b2.keys(i), k); i += 1 }
+      b
+    }
+    def finish(b: QuotaBuf): Array[Long] = {
+      val pairs = Array.tabulate(b.n)(i => (b.hashes(i), b.keys(i)))
+      pairs.sortWith { case ((h1, k1), (h2, k2)) => better(h1, k1, h2, k2) }
+        .map(_._2)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[QuotaBuf] =
+      org.apache.spark.sql.Encoders.product[QuotaBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+  }
+
+  /** Stratified quota sampling — the data-MIXING step of a training
+    * pipeline: keep at most `quota` rows per stratum (language, source,
+    * domain...), selected deterministically as the quota smallest row-key
+    * hashes, so the selected subset is a pure function of the data
+    * (partition-layout / parallelism / engine independent) and shrinks
+    * monotonically: a row selected at quota q is selected at every q' > q.
+    *
+    * Plan: one shuffle of (stratum, hash, key) triples bounded map-side by
+    * the partial-aggregating [[QuotaAgg]], then a broadcast semi-join of
+    * the ≤ quota×#strata selected keys back onto the table — the big side
+    * is never sorted and never shuffled whole. Set `broadcastSelected =
+    * false` if quota×#strata outgrows the broadcast budget.
+    *
+    * `portable = true` ranks by the first 16 hex chars of md5(key) —
+    * bit-identical in DuckDB (`ORDER BY substr(md5(...), 1, 16), key`), so
+    * the q_quota_sample oracle replays the exact row set; the default
+    * ranks by xxhash64 (codegen'd, no string building) for production. */
+  def quotaSample(df: DataFrame, stratumCol: String, keyCol: String,
+                  quota: Int, portable: Boolean = false, salt: Long = 42L,
+                  broadcastSelected: Boolean = true): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed: org.apache.spark.sql.Dataset[(String, Long, Long)] =
+      if (portable)
+        df.select(col(stratumCol).cast("string"), col(keyCol).cast("long"),
+            substring(md5(col(keyCol).cast("string")), 1, 16))
+          .as[(String, Long, String)]
+          .map { case (s, k, hex) =>
+            (s, k, java.lang.Long.parseUnsignedLong(hex, 16))
+          }
+      else
+        df.select(col(stratumCol).cast("string"), col(keyCol).cast("long"),
+            xxhash64(col(keyCol), lit(salt)))
+          .as[(String, Long, Long)]
+    val agg = new QuotaAgg(quota)
+    val selected = keyed
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2)) // (hash, key)
+      .agg(agg.toColumn)
+      .flatMap { case (s, keys) => keys.iterator.map(k => (s, k)) }
+      .toDF("q_stratum", "q_key")
+    val sel = if (broadcastSelected) broadcast(selected) else selected
+    df.join(sel,
+      df(keyCol) === col("q_key") &&
+        df(stratumCol).cast("string") === col("q_stratum"),
+      "left_semi")
   }
 }

@@ -23,6 +23,10 @@ object ProfileScore {
       println(f"$label%-18s ${sec}%7.3f s  (${n / sec}%9.0f rows/s)")
     }
 
+    // TOTAL goes FIRST: the per-component passes below materialize large
+    // intermediate collections (naturals/norms hold every row's text), and
+    // the resulting GC pressure once inflated a trailing TOTAL pass ~5x.
+    time("TOTAL scoreRow")(r => ScoreStage.scoreRow(b)(r))
     time("naturalText")(r => ScoreStage.naturalText(r.content))
     val naturals = rows.map(r => ScoreStage.naturalText(r.content))
     def timeN(label: String)(f: String => Unit): Unit = {
@@ -48,6 +52,5 @@ object ProfileScore {
     timeM("ppl") { t => if (t.length >= 3) b.lm.perplexity(t, "en") }
     time("quality flags")(r => Quality.flags(r.content))
     time("scrub")(r => Scrub(r.content))
-    time("TOTAL scoreRow")(r => ScoreStage.scoreRow(b)(r))
   }
 }

@@ -525,6 +525,53 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("quotaSample: exact per-stratum quota, monotone, layout-independent") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (portable <- Seq(true, false)) {
+      val q7 = operators.Sampling.quotaSample(docs, "lang", "doc_id", 7,
+        portable = portable)
+      val got = q7.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == sizes.map { case (l, n) => l -> math.min(7L, n) },
+        s"portable=$portable: $got")
+      // monotone: the quota-3 selection is a subset of the quota-7 one
+      val ids3 = operators.Sampling.quotaSample(docs, "lang", "doc_id", 3,
+        portable = portable).select("doc_id").as[Long].collect().toSet
+      val ids7 = q7.select("doc_id").as[Long].collect().toSet
+      assert(ids3.subsetOf(ids7), s"portable=$portable")
+      // selection is a pure function of the data, not the layout
+      val reshuffled = operators.Sampling.quotaSample(docs.repartition(13),
+        "lang", "doc_id", 7, portable = portable)
+        .select("doc_id").as[Long].collect().toSet
+      assert(reshuffled == ids7, s"portable=$portable")
+    }
+  }
+
+  test("contaminatedIds finds exactly the docs sharing a shingle with the eval set") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated benchmark prompt about nothing at all")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "intro text then the quick brown fox jumps right here"), // 5-gram hit
+      (11L, "the quick brown fox sleeps today instead"),             // only 4 shared
+      (12L, "totally clean training document with original words inside"),
+      (13L, "x about nothing at all")                                // < 5 tokens shared run
+    ).toDF("doc_id", "text")
+    val got = operators.Decontaminate.contaminatedIds(
+      train, evalSet, "doc_id", "text").as[Long].collect().toSet
+    assert(got == Set(10L), got)
+    // non-broadcast path selects the same rows
+    val got2 = operators.Decontaminate.contaminatedIds(
+      train, evalSet, "doc_id", "text", broadcastEval = false)
+      .as[Long].collect().toSet
+    assert(got2 == Set(10L), got2)
+  }
+
   test("streaming sessionization == batch; idle sessions flush on event-time timeout") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftsess").toString

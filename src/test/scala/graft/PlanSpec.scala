@@ -139,6 +139,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(rawJoin).contains("Exchange"), plan(rawJoin))
   }
 
+  test("quota sample and decontamination keep the big side unshuffled (broadcast semi-joins)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pq = plan(operators.Sampling.quotaSample(docs, "lang", "doc_id", 5))
+    // selected keys (≤ quota × #strata) broadcast back onto the table
+    assert(pq.contains("BroadcastHashJoin") && pq.contains("LeftSemi"), pq)
+    val pd = plan(operators.Decontaminate.contaminatedIds(
+      docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),
+      "doc_id", "text"))
+    // eval shingle set broadcasts; the train side never shuffles its text
+    assert(pd.contains("BroadcastHashJoin") && pd.contains("LeftSemi"), pd)
+    assert(!pd.contains("CartesianProduct"), pd)
+  }
+
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
