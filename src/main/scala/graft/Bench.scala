@@ -48,7 +48,7 @@ object Bench {
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_set_ops", "q1_agg", "q3_join",
-      "q_stream_window")
+      "q_stream_window", "q_sessionize", "q_quota_sample", "q_decontaminate")
 
     // Several harness queries ALSO write coalesce(1) oracle dumps (the
     // DuckDB replay reads them); the bench times the underlying OPERATOR
@@ -70,7 +70,11 @@ object Bench {
       "q_ann_lsh" -> (s => Similarity.lshTopK(embDf(s), embDf(s).where(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", 10, dim = 64, planes = 6)),
       "q_ann_ivf" -> (s => Similarity.ivfTopK(embDf(s), embDf(s).where(col("vec_id") < 10),
-        "vec_id", "embedding", "vec_id", 10, nCentroids = 16, nprobe = 4)))
+        "vec_id", "embedding", "vec_id", 10, nCentroids = 16, nprobe = 4)),
+      // production variant: xxhash64 ranking (the harness query uses the
+      // slower portable-md5 ranking only so DuckDB can replay it)
+      "q_quota_sample" -> (s => graft.operators.Sampling.quotaSample(
+        docsDf(s), "lang", "doc_id", quota = 50)))
 
     // Timing via bare count() would let Catalyst prune the final Project
     // (sha2 + keep never computed); hashing every column of every row

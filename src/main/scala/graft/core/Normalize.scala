@@ -69,10 +69,15 @@ object Normalize {
   private val reHashMark = Pattern.compile("[#\uFF03](?=\\w)")
 
   def stripNoise(s: String): String = {
-    var t = reUrl2.matcher(s).replaceAll(" ")
-    t = reMention.matcher(t).replaceAll(" ")
-    t = reRt.matcher(t).replaceAll(" ")
-    t = reHashMark.matcher(t).replaceAll("")
+    // anchor-skip gates (Scrub pattern): each regex needs a literal char /
+    // substring that a plain indexOf finds far cheaper than the regex
+    // engine's scan — absent anchor ⇒ the pattern cannot match, skip it.
+    var t = if (s.contains("http")) reUrl2.matcher(s).replaceAll(" ") else s
+    if (t.indexOf('@') >= 0 || t.indexOf('\uFF20') >= 0)
+      t = reMention.matcher(t).replaceAll(" ")
+    if (t.contains("RT")) t = reRt.matcher(t).replaceAll(" ")
+    if (t.indexOf('#') >= 0 || t.indexOf('\uFF03') >= 0)
+      t = reHashMark.matcher(t).replaceAll("")
     t
   }
 
@@ -194,9 +199,95 @@ object Normalize {
   }
 
   // ---- fused chain ---------------------------------------------------------
+
+  /** Reference composition of the B3–B8 tail — the SPEC the fused scan
+    * below must match byte-for-byte (NormalizeSpec fuzzes them against
+    * each other; the individual step functions stay public as the frozen
+    * normative definitions). */
+  private[core] def tailSequential(s: String): String =
+    squeeze(collapseRepeats(foldDigits(foldCase(rangeFilter(s)))))
+
+  /** B3→B6→B4→B5→B8 in ONE scan / one allocation instead of five:
+    * per char: range-filter, case-fold, digit-run fold, then a run-collapse
+    * + whitespace-squeeze state machine on the emitted stream. Safe to fuse
+    * because each step is per-char or per-run and the later steps' run
+    * structure is only ever CREATED by earlier steps (digits are unchanged
+    * by folding; post-rangeFilter the only whitespace char is ' '). */
+  private def tailFused(s: String): String = {
+    val n = s.length
+    // Turkish evidence (foldCase contract): evidence chars are all inside
+    // the Latin ranges, so scanning the unfiltered input is equivalent to
+    // scanning the range-filtered string.
+    var turkish = false
+    var i = 0
+    while (i < n && !turkish) {
+      if (turkishEvidence(s.charAt(i))) turkish = true
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var last = '\u0000'   // last emitted char
+    var runLen = 0        // how many of `last` emitted consecutively
+    var inDigits = false  // current input position inside a digit run
+    i = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      // B3 range filter
+      val c1 = if (inLatinRange(c0)) c0 else ' '
+      // B6 case fold (Turkish I rules)
+      val c2 =
+        if (c1 == '\u0130') 'i'
+        else if (c1 == 'I') { if (turkish) '\u0131' else 'i' }
+        else Character.toLowerCase(c1)
+      // B4 digit fold: emit a single '0' per maximal digit run
+      if (c2 >= '0' && c2 <= '9') {
+        if (!inDigits) {
+          inDigits = true
+          // emit '0' through B5+B8 (non-letter: keep 1 per run)
+          if (pendingSpace) {
+            if (sb.length > 0) { sb.append(' '); last = ' ' }
+            pendingSpace = false
+            sb.append('0'); last = '0'; runLen = 1
+          } else if (last == '0') {
+            // adjacent '0' emissions can only come from separate digit
+            // runs, which cannot be adjacent — kept for B5 parity
+            ()
+          } else { sb.append('0'); last = '0'; runLen = 1 }
+        }
+      } else {
+        inDigits = false
+        if (c2 == ' ') pendingSpace = true // B8 squeeze (+ B5 space collapse)
+        else {
+          if (pendingSpace) {
+            if (sb.length > 0) { sb.append(' '); last = ' ' }
+            pendingSpace = false
+            sb.append(c2); last = c2; runLen = 1
+          } else if (c2 == last) {
+            // B5: 3+ Latin-letter repeats -> 2; 2+ non-letter repeats -> 1
+            val keep = if (isLatinLetter(c2)) 2 else 1
+            if (runLen < keep) { sb.append(c2); runLen += 1 }
+          } else { sb.append(c2); last = c2; runLen = 1 }
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  @inline private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
   def apply(raw: String): String = {
     if (raw == null) return ""
-    squeeze(collapseRepeats(foldDigits(foldCase(rangeFilter(recompose(stripNoise(decodeEntities(raw))))))))
+    // gate each allocating pass on a cheap scan: most comment lines carry
+    // no entities and are pure ASCII (NFC is the identity there)
+    val decoded = if (raw.indexOf('&') < 0) raw else decodeEntities(raw)
+    val stripped = stripNoise(decoded)
+    val nfc = if (isAscii(stripped)) stripped else recompose(stripped)
+    tailFused(nfc)
   }
 
   // ---- B9: label/text line split ------------------------------------------

@@ -72,4 +72,33 @@ class NormalizeSpec extends AnyFunSuite {
     val samples = Synth.corpus(perLang = 8).map(_._2)
     samples.foreach { s => assert(Normalize(s) == Normalize(s)) }
   }
+
+  test("fused tail == sequential B3-B8 composition (adversarial fuzz)") {
+    // Normalize.apply fuses rangeFilter/foldCase/foldDigits/collapseRepeats/
+    // squeeze into one scan and gates decode/strip/NFC on cheap anchors;
+    // this property pins it byte-for-byte to the frozen step functions.
+    def sequential(raw: String): String = {
+      if (raw == null) ""
+      else Normalize.squeeze(Normalize.collapseRepeats(Normalize.foldDigits(
+        Normalize.foldCase(Normalize.rangeFilter(Normalize.recompose(
+          Normalize.stripNoise(Normalize.decodeEntities(raw))))))))
+    }
+    val alphabet: Array[String] = Array(
+      "a", "b", "Z", "I", "i", "İ", "ı", "ğ", "Ş", // Turkish material
+      "0", "1", "42", "999", " ", "  ", "\t", "\n", "!", "!!", "...",
+      "é", "é", "ş", "ñ", "ā", "Ḁ", "—", "漢", "😀", // NFC + out-of-range
+      "&amp;", "&#65;", "&#x1F600;", "&bogus;", "&", ";",
+      "http://x.io/a b", "https://", "@bob", "＠user:", "RT", "RT:",
+      "#tag", "＃tag", "# loose", "aaa", "aaaa", "ZZZ", "ooOO")
+    val rnd = new scala.util.Random(11)
+    (0 until 3000).foreach { _ =>
+      val s = (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Normalize(s) == sequential(s), s"input: ${s.toList}")
+    }
+    // plus fully random chars including surrogates and controls
+    (0 until 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(0x3000).toChar).mkString
+      assert(Normalize(s) == sequential(s), s"input: ${s.toList}")
+    }
+  }
 }
