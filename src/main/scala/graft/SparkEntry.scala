@@ -265,6 +265,10 @@ object SparkEntry {
           sum(TextAnalysis.subwordCount(col("text"))).as("total_subwords"),
           count(lit(1)).as("n_docs"))
     }),
+    "q_repetition" -> ((s, dir) =>
+      // Gopher repetition signals: one narrow typed map, zero shuffles;
+      // all-integer outputs so the DuckDB replay hash-matches exactly
+      Repetition.signals(docs(s, dir), "doc_id", "text")),
     "q_lang_dist" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))),
     "q_exact_dedup" -> ((s, dir) =>
@@ -272,6 +276,10 @@ object SparkEntry {
     "q_dedup_rows" -> ((s, dir) =>
       Dedup.dropExactDuplicates(docs(s, dir), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")),
+    "q_para_dedup" -> ((s, dir) =>
+      // C4-style global paragraph dedup: duplicate paragraphs keep only
+      // their first (doc_id, pos) occurrence; docs rebuilt in order
+      Dedup.dropDuplicateParagraphs(docs(s, dir), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
@@ -689,6 +697,83 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_para_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), chr(10) || chr(10)) AS arr
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i - 1 AS pos, arr[i] AS para
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM p)),
+        |content AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras WHERE trim(para) <> ''),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM content WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, para FROM paras WHERE trim(para) = ''),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "q_repetition" -> {
+      // count CTEs per signal family; the keep verdict is rendered by
+      // Repetition.duckKeepSql from the SAME threshold atoms as the Scala
+      // decision (KeepRule pattern — no hand-duplicated expression).
+      val keep = Repetition.duckKeepSql(
+        "dup_lines", "n_lines", "dup_line_chars", "line_chars",
+        "dup_paras", "n_paras", "dup_para_chars", "para_chars",
+        "top_2gram_cnt", "n_2grams", "dup_5grams", "n_5grams")
+      s"""WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS part
+        |  FROM documents),
+        |lg AS (SELECT doc_id, part, count(*) AS c FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_lines,
+        |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_line_chars,
+        |    CAST(sum(len(part) * c) AS BIGINT) AS line_chars
+        |  FROM lg GROUP BY 1),
+        |paras AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10) || chr(10))) AS part
+        |  FROM documents),
+        |pg AS (SELECT doc_id, part, count(*) AS c FROM paras GROUP BY 1, 2),
+        |ps AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_paras,
+        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_paras,
+        |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_para_chars,
+        |    CAST(sum(len(part) * c) AS BIGINT) AS para_chars
+        |  FROM pg GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |g2s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |    CAST(max(c) AS BIGINT) AS top_2gram_cnt
+        |  FROM g2c GROUP BY 1),
+        |g5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |g5s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5grams
+        |  FROM g5c GROUP BY 1),
+        |counts AS (
+        |  SELECT d.doc_id, n_lines, dup_lines, dup_line_chars, line_chars,
+        |    n_paras, dup_paras, dup_para_chars, para_chars,
+        |    coalesce(n_2grams, 0) AS n_2grams,
+        |    coalesce(top_2gram_cnt, 0) AS top_2gram_cnt,
+        |    coalesce(n_5grams, 0) AS n_5grams,
+        |    coalesce(dup_5grams, 0) AS dup_5grams
+        |  FROM documents d
+        |    JOIN ls USING (doc_id) JOIN ps USING (doc_id)
+        |    LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id))
+        |SELECT *, $keep AS rep_keep FROM counts""".stripMargin
+    },
     "q_lang_dist" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
     "q_distinct_users" ->

@@ -36,6 +36,53 @@ object Dedup {
       .select(cols.map(c => col(s"row.$c")): _*)
   }
 
+  /** C4-style paragraph-level exact dedup (Raffel et al. 2020 §2.2 —
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once", here at paragraph granularity): across the WHOLE corpus,
+    * every exact-duplicate paragraph keeps only its first occurrence
+    * (minimal (id, pos)); documents are reassembled from their surviving
+    * paragraphs in original order.
+    *
+    * FROZEN semantics (mirrored in the q_para_dedup oracle):
+    *  - paragraphs = split on "\n\n" keeping empty segments, 0-based pos;
+    *  - paragraphs that are empty after (space-only) trim are formatting,
+    *    not content — always kept, never deduped;
+    *  - survivor of a duplicate group = lexicographically minimal
+    *    (id, pos) instance;
+    *  - rebuilt text joins kept paragraphs with "\n\n"; a document whose
+    *    content was entirely first-seen elsewhere rebuilds to "".
+    *
+    * Scale shape: one groupBy(para) whose min(struct(id,pos)) partial-
+    * aggregates map-side (a boilerplate paragraph seen 10^9 times sends
+    * ONE candidate per map partition, so key skew is absorbed in the
+    * combiners), one equi-join of survivors back onto instances (AQE
+    * skew-split handles hot paragraph values), one groupBy(id) to
+    * reassemble. At 10^12 rows key the shuffle on sha256(para) instead of
+    * the full text to shrink payloads (2^-128 collision risk); kept exact
+    * here so DuckDB replays it verbatim. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n\n", -1))
+          .as(Seq("pos", "para")))
+    val content = paras.where(trim(col("para")) =!= "")
+    val firsts = content.groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val keptContent = content.join(firsts, Seq("para"))
+      .where(col("id") === col("f.id") && col("pos") === col("f.pos"))
+      .select("id", "pos", "para")
+    val kept = keptContent.unionByName(
+      paras.where(trim(col("para")) === "").select("id", "pos", "para"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")),
+        "\n\n").as("text_dedup"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Gopher-family repetition signals (Rae et al. 2021, "Scaling Language
+  * Models", Table A1) — the repetition-based quality filters a training
+  * corpus needs beyond [[graft.functions.Quality]]'s per-char rules:
+  * duplicate line / paragraph fractions (count- and character-weighted),
+  * most-frequent word-2-gram share, duplicated word-5-gram share.
+  *
+  * Scale shape: every signal is a pure function of ONE document, so the
+  * whole operator is a narrow typed map — zero shuffles, embarrassingly
+  * parallel at 10^12 rows; a per-doc HashMap is bounded by document size.
+  * The explode→groupBy(doc,line) formulation would shuffle ~every token
+  * of the corpus for statistics each row can compute locally.
+  *
+  * Cross-engine exactness: all outputs are COUNTS (longs) and the keep
+  * verdict uses integer cross-multiplication, so the DuckDB oracle
+  * (q_repetition) hash-matches bit-for-bit — no float thresholds on the
+  * comparison path. Character counts are Unicode code points (DuckDB
+  * `len` semantics), not UTF-16 units.
+  *
+  * FROZEN semantics (this engine's spec, mirrored in the oracle SQL):
+  *  - lines  = split on '\n' keeping empty trailing segments;
+  *  - paras  = split on "\n\n" the same way;
+  *  - tokens = trim.split("\\s+") (the [[Dedup.wordShingles]] tokenizer);
+  *    k-grams exist only when tokens >= k and join with a single space;
+  *  - a "duplicate" group is a value occurring >= 2 times in the doc and
+  *    dup counts include ALL its instances (the DataTrove/NeMo reading
+  *    of Gopher's "fraction of lines that are duplicates").
+  */
+object Repetition {
+
+  /** Per-document repetition counts. Fractions are derivable:
+    * dup_line_frac = dup_lines / n_lines, etc. */
+  final case class RepStats(
+      n_lines: Long, dup_lines: Long, dup_line_chars: Long, line_chars: Long,
+      n_paras: Long, dup_paras: Long, dup_para_chars: Long, para_chars: Long,
+      n_2grams: Long, top_2gram_cnt: Long,
+      n_5grams: Long, dup_5grams: Long)
+
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** (total, dupInstances, dupChars, totalChars) over exact-match groups. */
+  private def groupCounts(parts: Array[String]): (Long, Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < parts.length) {
+      counts.merge(parts(i), 1, Integer.sum)
+      i += 1
+    }
+    var dup = 0L; var dupChars = 0L; var total = 0L; var totalChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      val ch = cp(e.getKey) * c
+      total += c; totalChars += ch
+      if (c >= 2) { dup += c; dupChars += ch }
+    }
+    (total, dup, dupChars, totalChars)
+  }
+
+  /** (nGrams, topCount, dupInstances) for word k-grams. */
+  private def gramCounts(toks: Array[String], k: Int): (Long, Long, Long) = {
+    if (toks.length < k) return (0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, 1, Integer.sum)
+      i += 1
+    }
+    var top = 0L; var dup = 0L; var total = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      total += c
+      if (c > top) top = c
+      if (c >= 2) dup += c
+    }
+    (total, top, dup)
+  }
+
+  /** SQL `trim` strips ONLY the space character (Spark and DuckDB agree);
+    * Java's String.trim strips all ctrl chars <= U+0020 and would desync
+    * the tokenizer from the wordShingles/oracle contract. */
+  private def spaceTrim(s: String): String = {
+    var from = 0; var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  /** One pass over a document. Splits keep trailing empty segments
+    * (limit -1) — Spark's `split` and DuckDB's split functions both do. */
+  def repStats(text0: String): RepStats = {
+    val text = if (text0 == null) "" else text0
+    val (nl, dl, dlc, lc) = groupCounts(text.split("\n", -1))
+    val (np, dp, dpc, pc) = groupCounts(text.split("\n\n", -1))
+    val toks = spaceTrim(text).split("\\s+", -1)
+    val (n2, top2, _) = gramCounts(toks, 2)
+    val (n5, _, dup5) = gramCounts(toks, 5)
+    RepStats(nl, dl, dlc, lc, np, dp, dpc, pc, n2, top2, n5, dup5)
+  }
+
+  /** Frozen thresholds (Gopher Table A1 values): a doc is repetition-kept
+    * iff every fraction is within bounds. Checked with integer
+    * cross-multiplication so both engines decide identically. */
+  final val MaxDupLineFrac = (3, 10)      // 0.30
+  final val MaxDupLineCharFrac = (1, 5)   // 0.20
+  final val MaxDupParaFrac = (3, 10)      // 0.30
+  final val MaxDupParaCharFrac = (1, 5)   // 0.20
+  final val MaxTop2GramFrac = (1, 5)      // 0.20
+  final val MaxDup5GramFrac = (3, 20)     // 0.15
+
+  /** Gram-fraction rules need support to be meaningful — a 3-token doc has
+    * 2 bigrams and its top one is trivially 50%. They fire only when the
+    * doc has at least this many k-grams (Gopher targets full web pages;
+    * this guard freezes that intent for arbitrary-length rows). */
+  final val MinGramSupport = 16
+
+  private def within(num: Long, den: Long, t: (Int, Int), minDen: Long = 1L): Boolean =
+    den < minDen || num * t._2 <= den * t._1
+
+  def repKeep(s: RepStats): Boolean =
+    within(s.dup_lines, s.n_lines, MaxDupLineFrac) &&
+      within(s.dup_line_chars, s.line_chars, MaxDupLineCharFrac) &&
+      within(s.dup_paras, s.n_paras, MaxDupParaFrac) &&
+      within(s.dup_para_chars, s.para_chars, MaxDupParaCharFrac) &&
+      within(s.top_2gram_cnt, s.n_2grams, MaxTop2GramFrac, MinGramSupport) &&
+      within(s.dup_5grams, s.n_5grams, MaxDup5GramFrac, MinGramSupport)
+
+  /** id + the 12 counts + rep_keep, as a narrow typed map (no shuffle). */
+  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out: Dataset[(Long, RepStats, Boolean)] = df
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val s = repStats(text)
+        (id, s, repKeep(s))
+      }
+    out.select(
+      col("_1").as(idCol),
+      col("_2.n_lines").as("n_lines"), col("_2.dup_lines").as("dup_lines"),
+      col("_2.dup_line_chars").as("dup_line_chars"),
+      col("_2.line_chars").as("line_chars"),
+      col("_2.n_paras").as("n_paras"), col("_2.dup_paras").as("dup_paras"),
+      col("_2.dup_para_chars").as("dup_para_chars"),
+      col("_2.para_chars").as("para_chars"),
+      col("_2.n_2grams").as("n_2grams"),
+      col("_2.top_2gram_cnt").as("top_2gram_cnt"),
+      col("_2.n_5grams").as("n_5grams"), col("_2.dup_5grams").as("dup_5grams"),
+      col("_3").as("rep_keep"))
+  }
+
+  /** The same decision rendered for DuckDB over the same counts — single
+    * source for the threshold atoms (KeepRule pattern): callers embed
+    * `duckKeepSql` into the oracle's SELECT over the count CTEs. */
+  def duckKeepSql(
+      dl: String, nl: String, dlc: String, lc: String,
+      dp: String, np: String, dpc: String, pc: String,
+      top2: String, n2: String, dup5: String, n5: String): String = {
+    def w(num: String, den: String, t: (Int, Int), minDen: Long = 1L) =
+      s"($den < $minDen OR $num * ${t._2} <= $den * ${t._1})"
+    Seq(
+      w(dl, nl, MaxDupLineFrac), w(dlc, lc, MaxDupLineCharFrac),
+      w(dp, np, MaxDupParaFrac), w(dpc, pc, MaxDupParaCharFrac),
+      w(top2, n2, MaxTop2GramFrac, MinGramSupport),
+      w(dup5, n5, MaxDup5GramFrac, MinGramSupport)
+    ).mkString("(", " AND ", ")")
+  }
+}

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[graft.operators.Dedup.dropExactDuplicates]]: the
+  * first occurrence of each content hash passes, later replays are
+  * dropped — Spark's built-in stateful dedup
+  * (`dropDuplicatesWithinWatermark`), which expires state once the
+  * event-time watermark passes, so state is O(distinct docs inside the
+  * horizon) instead of growing forever. That bound is the ONLY way
+  * streaming dedup survives an unbounded 10^12-row ingest; global exact
+  * dedup across all history belongs to the batch operator (or an
+  * external keyed store).
+  *
+  * Keyed on sha2(content) — 32 bytes of state per doc, never the text —
+  * the same key the batch operator groups on, so batch and stream agree
+  * on what "duplicate" means.
+  */
+object DedupStream {
+
+  /** `rows` must be a STREAMING DataFrame with an event-time column
+    * `tsCol` and a text column. Emits first-seen rows only (append mode),
+    * with their `content_hash` attached. */
+  def firstOccurrences(rows: DataFrame, textCol: String, tsCol: String,
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+}

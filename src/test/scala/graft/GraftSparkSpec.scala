@@ -196,6 +196,24 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(dup.getLong(1) == 1L) // min id representative
   }
 
+  test("paragraph dedup: first (doc,pos) occurrence survives, blanks preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A\n\nB\n\nA"),  // trailing A is a repeat of (1,0)
+      (2L, "B\n\nC"),        // B first seen at (1,1)
+      (3L, "  \n\nA"),       // blank para always kept; A dropped
+      (4L, "D"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A\n\nB", 2L -> "C", 3L -> "  ",
+      4L -> "D", 5L -> ""))
+    // layout-independent
+    val out2 = Dedup.dropDuplicateParagraphs(df.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == out)
+  }
+
   test("minhash LSH finds near-duplicates, skips dissimilar") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
@@ -616,5 +634,42 @@ class GraftSparkSpec extends AnyFunSuite {
         r.getDouble(3), r.getLong(4))).toSet
     assert(batch.size == 3, batch) // u1 x2 (n=3 then n=1), u2 x1 (n=2)
     assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
+  }
+
+  test("streaming exact dedup: first occurrence passes, replays drop, == batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString
+    val t0 = 1700000000L
+    def row(id: Long, text: String, sec: Long) =
+      (id, text, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + sec)))
+    val b1 = Seq(row(1, "aaa", 0), row(2, "bbb", 1), row(3, "aaa", 2))
+    val b2 = Seq(row(4, "bbb", 5), row(5, "ccc", 6))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    write(b1)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val deduped = graft.streaming.DedupStream.firstOccurrences(
+      stream, "text", "ts", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // arrival order == id order here, so the streaming first-occurrence
+    // set must equal the batch min-id survivor set
+    val batchIds = operators.Dedup.dropExactDuplicates(
+        (b1 ++ b2).toDF("doc_id", "text", "ts"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 2L, 5L), streamed)
+    assert(batchIds == streamed)
   }
 }

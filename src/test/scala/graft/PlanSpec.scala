@@ -152,6 +152,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("CartesianProduct"), pd)
   }
 
+  test("repetition signals are a narrow map: ZERO exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Repetition.signals(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("paragraph dedup: min-survivor aggregate is partial+final (skew absorbed map-side)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Dedup.dropDuplicateParagraphs(docs, "doc_id", "text"))
+    // the groupBy(para) min(struct) must partial-aggregate so a hot
+    // boilerplate paragraph sends one candidate per map partition
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gopher repetition signals: hand-computed goldens, a fuzz property
+  * against an independent Scala-collections reimplementation (covering
+  * the SQL-trim/split edge cases the oracle contract depends on), and
+  * partition-layout independence of the Spark operator. */
+class RepetitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hand golden: lines, paragraphs, grams, keep verdict") {
+    val s = Repetition.repStats("a\nb\na\n\nc d c d c d")
+    assert(s.n_lines == 5 && s.dup_lines == 2)
+    assert(s.dup_line_chars == 2 && s.line_chars == 14)
+    assert(s.n_paras == 2 && s.dup_paras == 0 && s.para_chars == 16)
+    assert(s.n_2grams == 8 && s.top_2gram_cnt == 3) // "c d" x3
+    assert(s.n_5grams == 5 && s.dup_5grams == 0)
+    // dup_line_frac = 2/5 > 0.30 -> dropped
+    assert(!Repetition.repKeep(s))
+  }
+
+  test("gram rules need MinGramSupport; below it short docs stay kept") {
+    // 4 bigrams, top covers half -- under support, no flag
+    val tiny = Repetition.repStats("x y x y x")
+    assert(tiny.n_2grams == 4 && tiny.top_2gram_cnt == 2)
+    assert(Repetition.repKeep(tiny))
+    // 39 bigrams, top "w1 w2" = 20/39 > 0.20 -> dropped
+    val loop = Repetition.repStats(Seq.fill(20)("w1 w2").mkString(" "))
+    assert(loop.n_2grams == 39 && loop.top_2gram_cnt == 20)
+    assert(!Repetition.repKeep(loop))
+  }
+
+  test("tokenizer matches the SQL contract: space-only trim, kept empties") {
+    // leading \n and trailing \t are NOT trimmed (SQL trim strips spaces
+    // only), so they produce empty boundary tokens exactly as
+    // regexp_split_to_array does in DuckDB
+    val s = Repetition.repStats("\na b\t")
+    assert(s.n_2grams == 3) // ["", a, b, ""] -> " a", "a b", "b "
+    assert(s.n_lines == 2)  // ["", "a b\t"]
+    // empty + null
+    assert(Repetition.repStats("").n_2grams == 0)
+    assert(Repetition.repStats(null).n_lines == 1)
+  }
+
+  /** Independent reimplementation via Scala collections. */
+  private def naive(text0: String): Repetition.RepStats = {
+    val text = Option(text0).getOrElse("")
+    def cp(s: String) = s.codePointCount(0, s.length).toLong
+    def grp(parts: Seq[String]) = {
+      val g = parts.groupBy(identity).values.toSeq
+      (parts.size.toLong,
+        g.filter(_.size >= 2).map(_.size.toLong).sum,
+        g.filter(_.size >= 2).map(v => cp(v.head) * v.size).sum,
+        g.map(v => cp(v.head) * v.size).sum)
+    }
+    val (nl, dl, dlc, lc) = grp(text.split("\n", -1).toSeq)
+    val (np, dp, dpc, pc) = grp(text.split("\n\n", -1).toSeq)
+    val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .split("\\s+", -1).toSeq
+    def grams(k: Int) = if (t.size < k) Seq.empty
+      else t.sliding(k).map(_.mkString(" ")).toSeq
+    val g2 = grams(2).groupBy(identity).values.map(_.size.toLong).toSeq
+    val g5 = grams(5).groupBy(identity).values.map(_.size.toLong).toSeq
+    Repetition.RepStats(nl, dl, dlc, lc, np, dp, dpc, pc,
+      g2.sum, if (g2.isEmpty) 0L else g2.max,
+      g5.sum, g5.filter(_ >= 2).sum)
+  }
+
+  test("fuzz: repStats == independent reimplementation on 2000 adversarial strings") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "ab \n\t\ré😀" // incl. accent + astral emoji
+    for (i <- 0 until 2000) {
+      val len = rnd.nextInt(60)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) { sb.append(alphabet(rnd.nextInt(alphabet.length))); j += 1 }
+      // avoid splitting the surrogate pair
+      val s = sb.toString.replace("\uDE00\uD83D", "..")
+        .replaceAll("\uD83D(?!\uDE00)", "x").replaceAll("(?<!\uD83D)\uDE00", "y")
+      assert(Repetition.repStats(s) == naive(s), s"mismatch on ${s.map(_.toInt)}")
+    }
+  }
+
+  test("Spark signals: partition-layout independent, matches driver repStats") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Repetition.signals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val b = Repetition.signals(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(a == b)
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.nonEmpty && a.size == local.size)
+    local.foreach { case (id, text) =>
+      val s = Repetition.repStats(text)
+      val expect = Seq(s.n_lines, s.dup_lines, s.dup_line_chars, s.line_chars,
+        s.n_paras, s.dup_paras, s.dup_para_chars, s.para_chars,
+        s.n_2grams, s.top_2gram_cnt, s.n_5grams, s.dup_5grams,
+        Repetition.repKeep(s))
+      assert(a(id) == expect, s"doc $id")
+    }
+  }
+}
