@@ -269,6 +269,32 @@ object SparkEntry {
       // Gopher repetition signals: one narrow typed map, zero shuffles;
       // all-integer outputs so the DuckDB replay hash-matches exactly
       Repetition.signals(docs(s, dir), "doc_id", "text")),
+    "q_vocab" -> ((s, dir) =>
+      // corpus vocabulary: global top-k runs as TakeOrdered, no full sort
+      TextAnalysis.topWords(docs(s, dir), "text", 100)),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", minTf = 3)
+        .withColumnRenamed("id", "doc_id")),
+    "q_packing" -> ((s, dir) =>
+      // GPT-style sequence packing: distributed two-pass prefix sum
+      // (never a single-task global window); DuckDB replays with one
+      Packing.packSequences(docs(s, dir), "doc_id", "text", budget = 256)),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time join: each order picks up the user's latest event
+      // at or before the order date; right side deduped per (user, ts)
+      // so "latest" is well-defined in both engines
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("ots"))
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+          col("event_id")).as("e"))
+        .select(col("user_id"), col("ts"),
+          col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
+      AsOfJoin.lastRightAsOf(orders, events, "o_custkey", "user_id",
+        "ots", "ts", Seq("event_id", "event_type"))
+    }),
     "q_lang_dist" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))),
     "q_exact_dedup" -> ((s, dir) =>
@@ -774,6 +800,48 @@ object SparkEntry {
         |    LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id))
         |SELECT *, $keep AS rep_keep FROM counts""".stripMargin
     },
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+        |    arg_max(event_type, event_id) AS event_type
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ots FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.ots,
+        |  e.event_id AS asof_event_id, e.event_type AS asof_event_type
+        |FROM o ASOF LEFT JOIN ev e
+        |  ON o.o_custkey = e.user_id AND e.ts <= o.ots""".stripMargin,
+    "q_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, s // 256 AS seq_id, s % 256 AS seq_offset,
+        |  s % 256 + n_tokens > 256 AS straddles
+        |FROM c""".stripMargin,
+    "q_vocab" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS n FROM w WHERE word <> ''
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf
+        |  FROM w WHERE word <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT t.doc_id, t.word, CAST(t.tf AS BIGINT) AS tf,
+        |  CAST(d.df AS BIGINT) AS df,
+        |  round(t.tf * ln(n_total * 1.0 / d.df), 4) AS tfidf
+        |FROM tf t JOIN dfq d USING (word) CROSS JOIN tot
+        |WHERE t.tf >= 3""".stripMargin,
     "q_lang_dist" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
     "q_distinct_users" ->

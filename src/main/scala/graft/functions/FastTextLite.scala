@@ -42,18 +42,6 @@ object FastTextLite {
 
   final val DefaultBuckets = 1 << 16
 
-  /** FNV-1a over chars, folded into [0, buckets). */
-  @inline private def hash(s: String, from: Int, until: Int, buckets: Int): Int = {
-    var h = 0x811c9dc5
-    var i = from
-    while (i < until) {
-      h ^= s.charAt(i)
-      h *= 0x01000193
-      i += 1
-    }
-    math.floorMod(h, buckets)
-  }
-
   /** Packed hashed n-gram (2..4) count events over `<text>`, ascending
     * bucket id (see Lr.packEvent). Collect → sort → run-length encode:
     * the events must come out sorted anyway, and a primitive-array sort
@@ -67,15 +55,25 @@ object FastTextLite {
     if (total == 0) return Array.emptyLongArray
     val hs = new Array[Long](total)
     var j = 0
-    var n = 2
-    while (n <= 4) {
-      var i = 0
-      while (i + n <= len) {
-        hs(j) = hash(s, i, i + n, buckets).toLong
-        j += 1
-        i += 1
+    // FNV-1a is prefix-extendable (h_{n+1} = (h_n ^ c) * prime), so the
+    // 2/3/4-gram hashes at each start position share one incremental
+    // computation — 4 char-ops per position instead of 9, bit-identical
+    // to hashing each n-gram from scratch (property-spec'd).
+    var p = 0
+    while (p + 2 <= len) {
+      var h = 0x811c9dc5
+      h ^= s.charAt(p); h *= 0x01000193
+      h ^= s.charAt(p + 1); h *= 0x01000193
+      hs(j) = math.floorMod(h, buckets).toLong; j += 1
+      if (p + 3 <= len) {
+        h ^= s.charAt(p + 2); h *= 0x01000193
+        hs(j) = math.floorMod(h, buckets).toLong; j += 1
+        if (p + 4 <= len) {
+          h ^= s.charAt(p + 3); h *= 0x01000193
+          hs(j) = math.floorMod(h, buckets).toLong; j += 1
+        }
       }
-      n += 1
+      p += 1
     }
     java.util.Arrays.sort(hs, 0, j)
     // run-length encode the sorted buckets into packed (fid, count) events

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF (point-in-time) join — for every left row, the latest right row
+  * with `rightTs <= leftTs` on the same key. Spark has no native as-of
+  * join (the brief's canonical example of an operator to compose from
+  * existing ops): the naive formulations are a range join that explodes
+  * into O(|L|·|R|) per key, or a per-left correlated scan. This is the
+  * single-pass composition instead:
+  *
+  *   tag both sides → union → one shuffle keyed on the join key →
+  *   sort within partition by (ts, side) → running
+  *   `last(right_payload, ignoreNulls)` window → keep left rows.
+  *
+  * Cost is exactly a sort-merge join's shuffle+sort (each input row
+  * crosses the wire once; the window carries O(1) state per row, never a
+  * buffer), so it scales to 10^12 rows the way SMJ does. Right rows sort
+  * BEFORE left rows at equal ts (side 0 < 1), so a right row at exactly
+  * leftTs matches — the `<=` convention, same as DuckDB's ASOF JOIN
+  * (which the q_asof_join oracle uses verbatim). A hot key serializes
+  * into one partition's sort — same as any SMJ; pre-aggregate the right
+  * side per (key, ts) (as the oracle query does) to cut the heaviest
+  * input first.
+  *
+  * Determinism: callers must make (key, ts) unique on the RIGHT side
+  * (dedupe with max_by first) — otherwise "the" latest row is undefined
+  * in any engine. */
+object AsOfJoin {
+
+  def lastRightAsOf(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTs: String, rightTs: String,
+                    rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    def structOf(df: DataFrame, cols: Seq[String]) =
+      struct(cols.map(df(_)): _*)
+    val lType = left.select(structOf(left, leftCols).as("s")).schema("s").dataType
+    val rType = right.select(structOf(right, rightVals).as("s")).schema("s").dataType
+    val l = left.select(
+      left(leftKey).cast("long").as("k"),
+      left(leftTs).cast("timestamp").as("ts"),
+      lit(1).as("side"),
+      structOf(left, leftCols).as("lrow"),
+      lit(null).cast(rType).as("rrow"))
+    val r = right.select(
+      right(rightKey).cast("long").as("k"),
+      right(rightTs).cast("timestamp").as("ts"),
+      lit(0).as("side"),
+      lit(null).cast(lType).as("lrow"),
+      structOf(right, rightVals).as("rrow"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out: Seq[Column] =
+      leftCols.map(c => col(s"lrow.$c").as(c)) ++
+        rightVals.map(c => col(s"asof.$c").as(s"asof_$c"))
+    l.unionByName(r)
+      .withColumn("asof", last(col("rrow"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(out: _*)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the last step of a pretraining data pipeline:
+  * documents, taken in a canonical order, are packed into consecutive
+  * fixed-budget token sequences (GPT-style context windows). Each doc is
+  * assigned the sequence containing its cumulative start offset, plus its
+  * offset within that sequence and whether it straddles the boundary
+  * (the consumer then splits or pads; the assignment itself is the
+  * distributed part).
+  *
+  * The core is a GLOBAL ordered prefix sum. `Window.orderBy` without a
+  * partition key collapses to ONE task — the classic scale trap — so this
+  * is the textbook two-pass form instead: range-partition by the order
+  * key, per-partition totals to the driver (one long per partition),
+  * prefix offsets broadcast back, second pass adds the local running sum.
+  * This is one of the few places imperative per-partition logic is
+  * genuinely forced (the input_hint's "no RDD unless forced" exception):
+  * Catalyst has no distributed ordered-prefix-sum operator.
+  *
+  * Determinism: the output is a pure function of (id order, token
+  * counts, budget) — partition boundaries cancel out of the math — so
+  * the q_packing oracle replays it with a plain window in DuckDB.
+  * The cache() pins one consistent partitioning across the two passes
+  * (they must see the SAME boundaries; at 10^12 rows use
+  * StorageLevel.MEMORY_AND_DISK_SER, or persist the sorted table).
+  */
+object Packing {
+
+  /** (idCol, n_tokens, seq_id, seq_offset, straddles) for every doc.
+    * Token counts follow [[TextAnalysis.tokenCount]]'s frozen contract. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .as[(Long, Long)]
+    val p = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = toks.repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id").cache()
+    val totals = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val out = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { case (id, n) =>
+        val start = cum
+        cum += n
+        (id, n, start / budget, start % budget, start % budget + n > budget)
+      }
+    }.toDF(idCol, "n_tokens", "seq_id", "seq_offset", "straddles")
+    out
+  }
+}

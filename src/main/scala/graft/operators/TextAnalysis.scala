@@ -42,6 +42,53 @@ object TextAnalysis {
         .otherwise(0.0), 4))
   }
 
+  // ------------------------------------------------------------------
+  // Corpus vocabulary / TF-IDF
+  // ------------------------------------------------------------------
+
+  /** (id, word, tf) term frequencies; the [[graft.operators.Dedup.wordShingles]]
+    * tokenizer contract (space-only SQL trim, `\s+` split), empty tokens
+    * dropped. One shuffle keyed (id, word), partial-aggregated map-side. */
+  def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("id", "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary: the k most frequent words, ties broken by word.
+    * Partial agg bounds the shuffle at vocab size; the global top-k runs
+    * as TakeOrdered (per-partition heaps → driver merge), never a full
+    * sort — the heavy-hitter shape that survives a 10^12-token corpus. */
+  def topWords(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  /** TF-IDF weights per (doc, word): tf * ln(N / df_word), docs counted
+    * over the WHOLE input (token-less docs included in N). `minTf` prunes
+    * the long tail early. At web scale the document-frequency side is
+    * vocab-sized — far smaller than the corpus — so AQE picks a broadcast
+    * join when it fits and an equi shuffle join otherwise; nothing here
+    * ever carries document text past tokenization. Emitted un-ranked:
+    * tfidf is rounded for cross-engine comparison, and rank order between
+    * near-equal floats would not be (oracle-stability note, FIXTURES §5). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            minTf: Int = 1): DataFrame = {
+    val tf = wordCounts(df, idCol, textCol).where(col("tf") >= minTf)
+    val dfreq = wordCounts(df, idCol, textCol)
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
+
   /** Stopword tables for the heuristic language ID — tiny function-word
     * lists (public common words). */
   private val stopwords: Map[String, Set[String]] = Map(

@@ -636,6 +636,27 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
   }
 
+  test("as-of join: latest right at-or-before each left ts; no match -> null") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val left = Seq((100L, 1L, t(10)), (101L, 1L, t(5)), (102L, 2L, t(7)),
+      (103L, 3L, t(4))).toDF("order_id", "k", "lts")
+    val right = Seq((1L, t(5), "a"), (1L, t(8), "b"), (2L, t(9), "c"))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.lastRightAsOf(left, right, "k", "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      100L -> Some("b"), // ts 8 <= 10
+      101L -> Some("a"), // equal ts matches (<= convention)
+      102L -> None,      // only right event is later
+      103L -> None))     // key never on the right
+    // partition-layout independent
+    val out2 = AsOfJoin.lastRightAsOf(left.repartition(4), right.repartition(3),
+        "k", "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out2 == out)
+  }
+
   test("streaming exact dedup: first occurrence passes, replays drop, == batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString

@@ -167,6 +167,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("vocab top-k is TakeOrdered over a partial-aggregated count, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.TextAnalysis.topWords(docs, "text", 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(!p.contains("\nSort "), p) // no full sort operator
+  }
+
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

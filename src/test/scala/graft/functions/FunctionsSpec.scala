@@ -28,6 +28,30 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("FastTextLite.featurize: incremental FNV == from-scratch hashing (property)") {
+    def naive(normalized: String, buckets: Int): Array[Long] = {
+      val s = "<" + normalized + ">"
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      for (n <- 2 to 4; i <- 0 to s.length - n) {
+        var h = 0x811c9dc5
+        var k = i
+        while (k < i + n) { h ^= s.charAt(k); h *= 0x01000193; k += 1 }
+        out += math.floorMod(h, buckets)
+      }
+      out.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (b, v) => graft.core.Lr.packEvent(b, v.size) }.toArray
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 1000) {
+      val s = (0 until rnd.nextInt(12)).map(_ =>
+        "aé日😀 z".charAt(rnd.nextInt(7))).mkString
+      val got = FastTextLite.featurize(s)
+      val want = naive(s, FastTextLite.DefaultBuckets)
+      assert(got.sameElements(want),
+        s"mismatch on '${s.map(_.toInt)}': ${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
   test("NGramLM: text has lower perplexity under its own language") {
     val lm = NGramLM.train(train)
     var correct = 0

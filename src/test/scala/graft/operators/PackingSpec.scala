@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing: the two-pass distributed prefix sum must equal the
+  * naive driver-side running sum at every parallelism. */
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+
+  test("hand golden: offsets, sequence ids, straddle flags") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, " "),
+      (4L, "t u v w x y z")).toDF("doc_id", "text")
+    val out = collect(Packing.packSequences(df, "doc_id", "text", budget = 4))
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, false),
+      (2L, 2L, 0L, 3L, true),  // 3 + 2 > 4: straddles into seq 1
+      (3L, 0L, 1L, 1L, false),
+      (4L, 7L, 1L, 1L, true)))
+  }
+
+  test("partition-count independent and equals the naive running sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = (1L to 500L).map(id =>
+      (id, Seq.fill(rnd.nextInt(20))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val a = collect(Packing.packSequences(df, "doc_id", "text", 64, partitions = 1))
+    val b = collect(Packing.packSequences(df.repartition(13), "doc_id", "text", 64, partitions = 7))
+    assert(a == b)
+    // naive reference
+    var cum = 0L
+    val naive = rows.map { case (id, text) =>
+      val n = if (text.trim.isEmpty) 0L
+        else text.trim.split("\\s+").length.toLong
+      val start = cum
+      cum += n
+      (id, n, start / 64, start % 64, start % 64 + n > 64)
+    }
+    assert(a == naive)
+  }
+}

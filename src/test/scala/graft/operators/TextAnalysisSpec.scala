@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vocabulary and TF-IDF: hand-computed goldens on a tiny corpus and
+  * deterministic tie-breaking at the top-k boundary. */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("topWords: counts and (n desc, word asc) tie-break at the boundary") {
+    import spark.implicits._
+    val df = Seq("b a a", "c b", "d").toDF("text")
+    // counts: a=2, b=2, c=1, d=1 -> top-3 = a, b, c (tie c<d)
+    val out = TextAnalysis.topWords(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("tfIdf: hand-computed weights; df from unfiltered tf; N includes empty docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3 (token-less doc 3 counted); df: a=2, b=1, c=1
+    assert(out == Set(
+      (1L, "a", 2L, 2L, r4(2 * math.log(1.5))),
+      (1L, "b", 1L, 1L, r4(math.log(3.0))),
+      (2L, "a", 1L, 2L, r4(math.log(1.5))),
+      (2L, "c", 1L, 1L, r4(math.log(3.0)))))
+    // minTf prunes the tf side but df stays corpus-wide
+    val pruned = TextAnalysis.tfIdf(df, "doc_id", "text", minTf = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(pruned == Set((1L, "a", 2L)))
+  }
+}
