@@ -279,6 +279,12 @@ object SparkEntry {
       // GPT-style sequence packing: distributed two-pass prefix sum
       // (never a single-task global window); DuckDB replays with one
       Packing.packSequences(docs(s, dir), "doc_id", "text", budget = 256)),
+    "q_curation" -> ((s, dir) =>
+      // the composed training-data pipeline, hash-checked END-TO-END:
+      // exact dedup -> paragraph dedup -> repetition gate -> per-lang
+      // quota -> sequence packing, one lazy DAG
+      Curate.pipeline(docs(s, dir), "doc_id", "text", "lang",
+        quota = 100, budget = 256)),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time join: each order picks up the user's latest event
       // at or before the order date; right side deduped per (user, ts)
@@ -744,61 +750,60 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup
         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q_repetition" -> {
-      // count CTEs per signal family; the keep verdict is rendered by
-      // Repetition.duckKeepSql from the SAME threshold atoms as the Scala
-      // decision (KeepRule pattern — no hand-duplicated expression).
+      // count CTEs rendered by Repetition.duckCountsSql and the keep
+      // verdict by Repetition.duckKeepSql — both from the SAME atoms as
+      // the Scala decision (KeepRule pattern — no hand-duplicated SQL).
+      val counts = Repetition.duckCountsSql("documents", "doc_id", "text")
       val keep = Repetition.duckKeepSql(
         "dup_lines", "n_lines", "dup_line_chars", "line_chars",
         "dup_paras", "n_paras", "dup_para_chars", "para_chars",
         "top_2gram_cnt", "n_2grams", "dup_5grams", "n_5grams")
-      s"""WITH lines AS (
-        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS part
-        |  FROM documents),
-        |lg AS (SELECT doc_id, part, count(*) AS c FROM lines GROUP BY 1, 2),
-        |ls AS (SELECT doc_id,
-        |    CAST(sum(c) AS BIGINT) AS n_lines,
-        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_lines,
-        |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_line_chars,
-        |    CAST(sum(len(part) * c) AS BIGINT) AS line_chars
-        |  FROM lg GROUP BY 1),
-        |paras AS (
-        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10) || chr(10))) AS part
-        |  FROM documents),
-        |pg AS (SELECT doc_id, part, count(*) AS c FROM paras GROUP BY 1, 2),
-        |ps AS (SELECT doc_id,
-        |    CAST(sum(c) AS BIGINT) AS n_paras,
-        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_paras,
-        |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_para_chars,
-        |    CAST(sum(len(part) * c) AS BIGINT) AS para_chars
-        |  FROM pg GROUP BY 1),
-        |toks AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS t
-        |  FROM documents),
-        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |        FROM toks WHERE len(t) >= 2)),
-        |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-        |g2s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
-        |    CAST(max(c) AS BIGINT) AS top_2gram_cnt
-        |  FROM g2c GROUP BY 1),
-        |g5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
-        |        FROM toks WHERE len(t) >= 5)),
-        |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
-        |g5s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
-        |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5grams
-        |  FROM g5c GROUP BY 1),
-        |counts AS (
-        |  SELECT d.doc_id, n_lines, dup_lines, dup_line_chars, line_chars,
-        |    n_paras, dup_paras, dup_para_chars, para_chars,
-        |    coalesce(n_2grams, 0) AS n_2grams,
-        |    coalesce(top_2gram_cnt, 0) AS top_2gram_cnt,
-        |    coalesce(n_5grams, 0) AS n_5grams,
-        |    coalesce(dup_5grams, 0) AS dup_5grams
-        |  FROM documents d
-        |    JOIN ls USING (doc_id) JOIN ps USING (doc_id)
-        |    LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id))
-        |SELECT *, $keep AS rep_keep FROM counts""".stripMargin
+      s"WITH $counts\nSELECT *, $keep AS rep_keep FROM rep_counts"
+    },
+    "q_curation" -> {
+      // every stage replayed in one WITH chain; repetition counts + keep
+      // rendered from the shared single-source atoms
+      val counts = Repetition.duckCountsSql("rebuilt", "doc_id", "text_dedup")
+      val keep = Repetition.duckKeepSql(
+        "dup_lines", "n_lines", "dup_line_chars", "line_chars",
+        "dup_paras", "n_paras", "dup_para_chars", "para_chars",
+        "top_2gram_cnt", "n_2grams", "dup_5grams", "n_5grams")
+      s"""WITH ex AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |p AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10) || chr(10)) AS arr FROM ex),
+        |paras AS (SELECT doc_id, i - 1 AS pos, arr[i] AS para
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM p)),
+        |content AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras WHERE trim(para) <> ''),
+        |keptp AS (
+        |  SELECT doc_id, pos, para FROM content WHERE rn = 1
+        |  UNION ALL SELECT doc_id, pos, para FROM paras WHERE trim(para) = ''),
+        |rebuilt AS (SELECT e.doc_id, e.lang, coalesce(r.text_dedup, '') AS text_dedup
+        |  FROM ex e LEFT JOIN (
+        |    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+        |    FROM keptp GROUP BY 1) r USING (doc_id)),
+        |$counts,
+        |kept AS (SELECT r.doc_id, r.lang, r.text_dedup
+        |  FROM rebuilt r JOIN rep_counts USING (doc_id) WHERE $keep),
+        |sampled AS (SELECT doc_id, lang, text_dedup FROM (
+        |    SELECT doc_id, lang, text_dedup,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rn
+        |    FROM kept) WHERE rn <= 100),
+        |toks AS (SELECT doc_id, lang, CAST(CASE WHEN length(trim(text_dedup)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text_dedup), '\\s+')) END AS BIGINT) AS n_tokens
+        |  FROM sampled),
+        |cc AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, s // 256 AS seq_id, s % 256 AS seq_offset,
+        |  s % 256 + n_tokens > 256 AS straddles, lang
+        |FROM cc""".stripMargin
     },
     "q_asof_join" ->
       """WITH ev AS (

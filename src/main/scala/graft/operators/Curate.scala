@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed training-data pipeline:
+  *
+  *   exact dedup → global paragraph dedup → Gopher repetition gate →
+  *   per-language quota sampling → token-budget sequence packing.
+  *
+  * Every stage is an existing operator; the value of the composition is
+  * that the WHOLE chain stays one lazy DataFrame DAG (Catalyst sees
+  * through all five stages — no materialization barriers between them)
+  * and that every stage is individually DuckDB-replayable, so the
+  * q_curation oracle hash-checks the ENTIRE pipeline end-to-end
+  * cross-engine: same survivors, same rebuilt texts, same keep verdicts,
+  * same sampled set, same sequence assignment.
+  *
+  * Scale shape is the sum of its parts (each documented on its
+  * operator): hash-keyed shuffles for the dedups (skew absorbed
+  * map-side), a zero-shuffle typed map for the repetition gate, a
+  * partial-agg top-k + broadcast semi-join for the quota, and the
+  * two-pass prefix sum for packing. The only driver-side data ever
+  * materialized is one long per partition (packing offsets).
+  */
+object Curate {
+
+  /** (doc_id, n_tokens, seq_id, seq_offset, straddles, lang) of the
+    * curated, sampled, packed corpus. `portableQuota = true` ranks the
+    * quota by md5 (DuckDB-replayable); production uses xxhash64. */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, quota: Int = 100, budget: Long = 256,
+               portableQuota: Boolean = true): DataFrame = {
+    val ex = Dedup.dropExactDuplicates(docs, idCol, textCol)
+    val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol)
+      .join(ex.select(col(idCol), col(langCol)), Seq(idCol))
+    val keepIds = Repetition.signals(
+        pd.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol)
+      .where(col("rep_keep"))
+      .select(col(idCol))
+    val kept = pd.join(keepIds, Seq(idCol), "left_semi")
+    val sampled = Sampling.quotaSample(kept, langCol, idCol, quota,
+      portable = portableQuota)
+    Packing.packSequences(sampled, idCol, "text_dedup", budget)
+      .join(sampled.select(col(idCol), col(langCol)), Seq(idCol))
+  }
+}

@@ -134,6 +134,14 @@ object Repetition {
       within(s.top_2gram_cnt, s.n_2grams, MaxTop2GramFrac, MinGramSupport) &&
       within(s.dup_5grams, s.n_5grams, MaxDup5GramFrac, MinGramSupport)
 
+  /** The keep verdict as a single boolean Column (UDF — the per-doc
+    * HashMap counting is genuinely beyond Catalyst expressions). Lets the
+    * gate compose into wider projections and STREAMING plans without the
+    * signals() reshape; same frozen semantics. */
+  def keepColumn(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf((t: String) => repKeep(repStats(t)))
+      .apply(textCol)
+
   /** id + the 12 counts + rep_keep, as a narrow typed map (no shuffle). */
   def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -162,6 +170,60 @@ object Repetition {
   /** The same decision rendered for DuckDB over the same counts — single
     * source for the threshold atoms (KeepRule pattern): callers embed
     * `duckKeepSql` into the oracle's SELECT over the count CTEs. */
+  /** DuckDB CTE fragment computing the 12 counts for every row of `src`
+    * (`idCol`, `textCol`) into a CTE named `rep_counts` — the same
+    * single-source pattern as duckKeepSql, shared by the q_repetition
+    * oracle and the end-to-end q_curation replay. CTE names are
+    * rep_-prefixed so the fragment composes into larger WITH chains. */
+  def duckCountsSql(src: String, idCol: String, textCol: String): String =
+    s"""rep_lines AS (
+       |  SELECT $idCol, unnest(string_split(coalesce($textCol, ''), chr(10))) AS part
+       |  FROM $src),
+       |rep_lg AS (SELECT $idCol, part, count(*) AS c FROM rep_lines GROUP BY 1, 2),
+       |rep_ls AS (SELECT $idCol,
+       |    CAST(sum(c) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_lines,
+       |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_line_chars,
+       |    CAST(sum(len(part) * c) AS BIGINT) AS line_chars
+       |  FROM rep_lg GROUP BY 1),
+       |rep_paras AS (
+       |  SELECT $idCol, unnest(string_split(coalesce($textCol, ''), chr(10) || chr(10))) AS part
+       |  FROM $src),
+       |rep_pg AS (SELECT $idCol, part, count(*) AS c FROM rep_paras GROUP BY 1, 2),
+       |rep_ps AS (SELECT $idCol,
+       |    CAST(sum(c) AS BIGINT) AS n_paras,
+       |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_paras,
+       |    CAST(coalesce(sum(len(part) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_para_chars,
+       |    CAST(sum(len(part) * c) AS BIGINT) AS para_chars
+       |  FROM rep_pg GROUP BY 1),
+       |rep_toks AS (SELECT $idCol,
+       |    regexp_split_to_array(trim(coalesce($textCol, '')), '\\s+') AS t
+       |  FROM $src),
+       |rep_g2 AS (SELECT $idCol, array_to_string(t[i:i+1], ' ') AS g
+       |  FROM (SELECT $idCol, t, unnest(range(1, len(t))) AS i
+       |        FROM rep_toks WHERE len(t) >= 2)),
+       |rep_g2c AS (SELECT $idCol, g, count(*) AS c FROM rep_g2 GROUP BY 1, 2),
+       |rep_g2s AS (SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_2grams,
+       |    CAST(max(c) AS BIGINT) AS top_2gram_cnt
+       |  FROM rep_g2c GROUP BY 1),
+       |rep_g5 AS (SELECT $idCol, array_to_string(t[i:i+4], ' ') AS g
+       |  FROM (SELECT $idCol, t, unnest(range(1, len(t) - 3)) AS i
+       |        FROM rep_toks WHERE len(t) >= 5)),
+       |rep_g5c AS (SELECT $idCol, g, count(*) AS c FROM rep_g5 GROUP BY 1, 2),
+       |rep_g5s AS (SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_5grams,
+       |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5grams
+       |  FROM rep_g5c GROUP BY 1),
+       |rep_counts AS (
+       |  SELECT d.$idCol, n_lines, dup_lines, dup_line_chars, line_chars,
+       |    n_paras, dup_paras, dup_para_chars, para_chars,
+       |    coalesce(n_2grams, 0) AS n_2grams,
+       |    coalesce(top_2gram_cnt, 0) AS top_2gram_cnt,
+       |    coalesce(n_5grams, 0) AS n_5grams,
+       |    coalesce(dup_5grams, 0) AS dup_5grams
+       |  FROM $src d
+       |    JOIN rep_ls USING ($idCol) JOIN rep_ps USING ($idCol)
+       |    LEFT JOIN rep_g2s USING ($idCol) LEFT JOIN rep_g5s USING ($idCol))""".stripMargin
+
   def duckKeepSql(
       dl: String, nl: String, dlc: String, lc: String,
       dp: String, np: String, dpc: String, pc: String,

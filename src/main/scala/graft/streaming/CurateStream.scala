@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.operators.{Repetition, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the curation pipeline's per-row prefix — the stages
+  * that survive an unbounded stream: watermark-bounded exact dedup →
+  * Gopher repetition gate → deterministic hash sampling. (The global
+  * stages — paragraph dedup across all history, per-stratum quotas,
+  * sequence packing — are inherently batch: they need a full pass or a
+  * keyed external store, so the stream ends where [[graft.operators.Curate]]
+  * picks up.)
+  *
+  * All three stages are stateless or watermark-bounded, so the stream
+  * runs at ingest speed with O(distinct-in-horizon) state and restarts
+  * exactly-once from the checkpoint like every other sink in this
+  * engine. Membership decisions (dedup key, repetition verdict, sample
+  * bucket) are pure functions of row content — replaying the same rows
+  * through the batch operators yields the identical keep set, which is
+  * what the spec asserts. */
+object CurateStream {
+
+  /** `rows`: streaming DataFrame with `textCol` and event-time `tsCol`.
+    * Keeps first occurrences that pass the repetition gate and fall in
+    * the num/den hash sample; adds `content_hash`. */
+  def filtered(rows: DataFrame, textCol: String, tsCol: String,
+               num: Int, den: Int,
+               watermarkDelay: String = "10 minutes"): DataFrame =
+    Sampling.hashSample(
+      DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
+        .where(Repetition.keepColumn(col(textCol))),
+      Seq(col("content_hash")), num, den)
+}

@@ -636,6 +636,60 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
   }
 
+  test("streaming curation filter == batch composition on the same rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcurst").toString
+    val t0 = 1700000000L
+    def row(id: Long, text: String, sec: Long) =
+      (id, text, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + sec)))
+    val rows = Seq(
+      row(1, "alpha beta gamma", 0),
+      row(2, "alpha beta gamma", 1),                      // dup of 1
+      row(3, Seq.fill(30)("spam ham").mkString(" "), 2),  // repetition-dropped
+      row(4, "delta epsilon zeta", 3),
+      row(5, "eta theta iota", 4))
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream.filtered(stream, "text", "ts", 1, 1)
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cur_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // batch composition of the same stages over the same rows
+    val batch = operators.Sampling.hashSample(
+        operators.Dedup.dropExactDuplicates(
+            rows.toDF("doc_id", "text", "ts"), "doc_id", "text")
+          .where(operators.Repetition.keepColumn(col("text"))),
+        Seq(sha2(col("text"), 256)), 1, 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 4L, 5L), streamed)
+    assert(batch == streamed)
+  }
+
+  test("curation pipeline end-to-end: dedup -> para-dedup -> rep gate -> quota -> pack") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta\n\ngamma delta"),          // kept intact
+      (2L, "en", "alpha beta\n\ngamma delta"),          // exact dup of 1
+      (3L, "en", "alpha beta\n\nepsilon zeta"),         // loses its first para
+      (4L, "en", Seq.fill(30)("spam ham").mkString(" ")), // repetition-dropped
+      (5L, "de", "eins zwei drei")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curate.pipeline(docs, "doc_id", "text", "lang",
+        quota = 2, budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5))).sortBy(_._1).toSeq
+    // doc1 keeps 4 tokens; doc3 rebuilds to "epsilon zeta" (2); doc5 3
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L, false, "en"),
+      (3L, 2L, 1L, 0L, false, "en"),
+      (5L, 3L, 1L, 2L, true, "de")), out)
+  }
+
   test("as-of join: latest right at-or-before each left ts; no match -> null") {
     import spark.implicits._
     def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
