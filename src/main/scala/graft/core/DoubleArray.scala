@@ -79,6 +79,43 @@ final class DoubleArray private (
     counts
   }
 
+  /** Same multiset as [[extractFeatures]] but straight into sorted packed
+    * (fid, count) events: hit fids go to a primitive array, one sort, one
+    * run-length pass — no LongMap (whose Int values box on every update;
+    * the same shape won 1.4× in FastTextLite.featurize). Bit-identical to
+    * packing+sorting the map (CoreSpec property). */
+  def extractFeatureEvents(text: CharSequence): Array[Long] = {
+    var buf = new Array[Long](128)
+    var n = 0
+    var i = 0
+    while (i < text.length) {
+      commonPrefixWalk(text, i) { fid =>
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+        buf(n) = fid.toLong
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(buf, 0, n)
+    var distinct = 1
+    i = 1
+    while (i < n) { if (buf(i) != buf(i - 1)) distinct += 1; i += 1 }
+    val arr = new Array[Long](distinct)
+    var out = 0
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || buf(i) != buf(runStart)) {
+        arr(out) = Lr.packEvent(buf(runStart).toInt, i - runStart)
+        out += 1
+        runStart = i
+      }
+      i += 1
+    }
+    arr
+  }
+
   def arraySize: Int = base.length
 }
 

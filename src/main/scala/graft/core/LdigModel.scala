@@ -33,12 +33,7 @@ final class LdigModel(
     * allocation; no boxing. */
   def featurize(normalized: String): Array[Long] = {
     val wrapped = "\u0001" + normalized + "\u0001"
-    val counts = trie.extractFeatures(wrapped)
-    val arr = new Array[Long](counts.size)
-    var i = 0
-    counts.foreach { case (k, v) => arr(i) = Lr.packEvent(k.toInt, v); i += 1 }
-    java.util.Arrays.sort(arr)
-    arr
+    trie.extractFeatureEvents(wrapped)
   }
 
   /** Probability vector over `labels` for a *raw* text. */

@@ -111,4 +111,29 @@ class RobustnessSpec extends AnyFunSuite {
       assert(scored.lang_pred == again.lang_pred)
     }
   }
+
+  test("round-3 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val lempty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    // all-empty tables flow through without throwing and produce 0 rows
+    assert(graft.operators.Repetition.signals(empty, "doc_id", "text").count() == 0)
+    assert(graft.operators.Dedup.dropDuplicateParagraphs(empty, "doc_id", "text").count() == 0)
+    assert(graft.operators.TextAnalysis.topWords(empty, "text", 5).count() == 0)
+    assert(graft.operators.TextAnalysis.tfIdf(empty, "doc_id", "text").count() == 0)
+    assert(graft.operators.Packing.packSequences(empty, "doc_id", "text", 16).count() == 0)
+    assert(graft.operators.Curate.pipeline(lempty, "doc_id", "text", "lang").count() == 0)
+    // null text everywhere
+    val nulls = Seq((1L, "en", null.asInstanceOf[String]),
+      (2L, "de", "")).toDF("doc_id", "lang", "text")
+    val cur = graft.operators.Curate.pipeline(nulls, "doc_id", "text", "lang")
+      .collect()
+    assert(cur.forall(_.getLong(1) == 0L)) // zero tokens, still packed
+    // as-of join with an empty right side: every left row, null payload
+    val left = Seq((1L, 1L, new java.sql.Timestamp(0L))).toDF("id", "k", "lts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, String)].toDF("k", "rts", "v")
+    val aj = graft.operators.AsOfJoin.lastRightAsOf(
+      left, right, "k", "k", "lts", "rts", Seq("v")).collect()
+    assert(aj.length == 1 && aj(0).isNullAt(3))
+  }
 }

@@ -44,6 +44,22 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("extractFeatureEvents == pack+sort of extractFeatures (seeded property)") {
+    val rnd = new Random(23)
+    (0 until 60).foreach { _ =>
+      val alphabet = "abcde"
+      val keys = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct.sorted.toArray
+      val da = DoubleArray.buildSorted(keys)
+      val text = (0 until rnd.nextInt(200)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val viaMap = da.extractFeatures(text).toSeq
+        .map { case (k, v) => Lr.packEvent(k.toInt, v) }.sorted.toArray
+      val direct = da.extractFeatureEvents(text)
+      assert(direct.sameElements(viaMap), s"text=$text")
+    }
+  }
+
   test("trie handles larger random key sets") {
     val rnd = new Random(13)
     val keys = (0 until 2000).map { _ =>
