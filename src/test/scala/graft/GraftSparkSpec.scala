@@ -711,6 +711,28 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("as-of join == naive per-left scan (seeded property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val left = (1L to 300L).map(id => (id, rnd.nextInt(8).toLong, t(rnd.nextInt(100))))
+    // unique (k, ts) on the right, as the operator contract requires
+    val right = rnd.shuffle((0L until 8L).flatMap(k =>
+        rnd.shuffle((0 until 100).toList).take(30).map(s => (k, t(s), s"v$k-$s"))))
+    val out = AsOfJoin.lastRightAsOf(
+        left.toDF("id", "k", "lts"), right.toDF("k", "rts", "v"),
+        "k", "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (id, k, lts) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(lts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      assert(out(id) == expect, s"id=$id k=$k lts=$lts")
+    }
+  }
+
   test("streaming exact dedup: first occurrence passes, replays drop, == batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString

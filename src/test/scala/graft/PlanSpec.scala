@@ -175,6 +175,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("\nSort "), p) // no full sort operator
   }
 
+  test("as-of join plan: exactly one exchange feeding sort+window") {
+    val spark2 = spark
+    import spark2.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val l = Seq((1L, 1L, t(1))).toDF("id", "k", "lts")
+    val r = Seq((1L, t(0), "x")).toDF("k", "rts", "v")
+    val p = plan(operators.AsOfJoin.lastRightAsOf(l, r, "k", "k", "lts", "rts", Seq("v")))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("curation DAG: no cartesian products, quota semi-join broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Curate.pipeline(docs, "doc_id", "text", "lang",
+      quota = 10, budget = 64))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
