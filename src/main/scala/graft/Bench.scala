@@ -99,21 +99,39 @@ object Bench {
 
     var pipelineRows = 0L
     var pipelineSec = 0.0
+    var pipelineMed = 0.0
+    // Interference-robust per-query timing (round-3 verdict #1): this
+    // VM's hypervisor steal arrives in multi-second bursts (BENCH_r03
+    // recorded q_decontaminate at 134.5 s where a quiet window runs it
+    // in 5.0 s), so EVERY headline query is timed min-of-N (default 3;
+    // identical cached inputs, CPU-bound work — min is the standard
+    // interference-robust estimator) and BOTH min and median go into the
+    // JSON so the spread is in the artifact, not only on stderr.
+    val qRepeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val n = try {
-        val df = operatorOverrides.get(name)
-          .map(_(spark))
-          .getOrElse(SparkEntry.queries(name)(spark, sfDir))
-        if (forced(name)) forceAll(df) else df.count()
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1L
+      var rows = -1L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        rows = try {
+          val df = operatorOverrides.get(name)
+            .map(_(spark))
+            .getOrElse(SparkEntry.queries(name)(spark, sfDir))
+          if (forced(name)) forceAll(df) else df.count()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1L
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-16s ${sec}%8.2fs  rows=$n")
-      name -> sec
+      val samples = (1 to qRepeats).map(_ => once())
+      val mn = samples.min
+      val med = samples.sorted.apply(samples.size / 2)
+      medians(name) = med
+      System.err.println(f"[bench] $name%-20s min ${mn}%7.2fs med ${med}%7.2fs rows=$rows " +
+        samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
+      name -> mn
     } ++ {
       // flagship throughput on a synthetic FileRow table staged as parquet
       // (the documents fixture is only 5k rows at sf0.1 — too small to
@@ -121,11 +139,12 @@ object Bench {
       // local[8] vs local[32] scaling-efficiency comparison sees the
       // identical input. This is the files/sec metric.
       import spark.implicits._
-      // 400k (~1.6 GB content) matches the ScalingBench campaign size, so
-      // this artifact number and BASELINE.md's campaign medians are the
-      // same experiment; 100k finished in ~1 s at 32 threads, where fixed
-      // per-job overhead still colors the rate
-      val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toInt
+      // 1.6M rows (~6.4 GB content): at 400k a 32-thread sample finished
+      // in ~2 s and fixed per-job overhead (codegen, scheduling, cache
+      // ramp) was creeping back toward ~10% of the measurement; 1.6M puts
+      // a local[8] sample past the >=10 s ScalingBench floor so the same
+      // staged input serves both artifacts (round-3 verdict #7)
+      val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
       // bodyScale 8 ~= real source-file sizes (few KB); keeps the bench
       // compute-dominated like the production workload instead of
       // per-row-overhead-dominated
@@ -169,16 +188,20 @@ object Bench {
       // sample is printed above so the spread stays disclosed.
       val med = samples.sorted.apply(samples.size / 2)
       val sec = samples.min
-      pipelineRows = n; pipelineSec = sec
+      pipelineRows = n; pipelineSec = sec; pipelineMed = med
+      medians("pipeline_synth") = med
       System.err.println(f"[bench] pipeline_synth min ${sec}%8.2fs / median ${med}%8.2fs over $repeats (${n/sec}%.0f rows/s best)")
       Seq("pipeline_synth" -> sec)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
+    val qsMed = jsonMap(medians)
     val total = results.map(_._2).sum
     val rps = if (pipelineSec > 0) pipelineRows / pipelineSec else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"rows_per_sec":${f"$rps%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")
+    val rpsMed = if (pipelineMed > 0) pipelineRows / pipelineMed else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_median":$qsMed,"samples_per_query":$qRepeats,"pipeline_synth_median":${f"$pipelineMed%.3f"},"rows_per_sec":${f"$rps%.1f"},"rows_per_sec_median":${f"$rpsMed%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

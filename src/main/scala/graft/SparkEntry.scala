@@ -89,6 +89,14 @@ object SparkEntry {
   def langidDumpPath(dir: String): String =
     s"/tmp/graft_langid_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** Fired-feature dump for the q_feature_debug oracle: the MODEL half
+    * (trie walk -> feature map) is engine-specific and is dumped as a
+    * parquet MAP column; the relational tail — the map->rows explode —
+    * is replayed on both sides (Spark `explode`, DuckDB zip-unnest of
+    * map_keys/map_values), hash-checking the generator step. */
+  def featureDumpPath(dir: String): String =
+    s"/tmp/graft_feature_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** Bucketed-table layout for the co-located join query (q_bucketed_join). */
   def bucketedPath(dir: String, table: String): String =
     s"/tmp/graft_bucketed_${dir.split('/').filter(_.nonEmpty).last}_$table"
@@ -417,11 +425,15 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     }),
     "q_feature_debug" -> ((s, dir) => {
-      // the reference's --debug view: per-text fired features + counts,
-      // exploded via the built-in generator (SURVEY §2 I; rows-only)
+      // the reference's --debug view: per-text fired features + counts.
+      // The model half (trie walk) is dumped as a MAP column; the
+      // explode tail is replayed from the dump on both sides, so the
+      // generator step is hash-checked (q_eval_confusion pattern).
       val bundle = ScoreStage.defaultBundle
       val bc = s.sparkContext.broadcast(bundle)
       import s.implicits._
+      oracleDir = dir
+      val path = featureDumpPath(dir)
       docs(s, dir).where(col("doc_id") < 20)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
@@ -432,7 +444,10 @@ object SparkEntry {
               graft.core.Lr.eventCnt(e)).toMap)
           }
         }.toDF("doc_id", "features")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .select(col("doc_id"), explode(col("features")).as(Seq("feature", "cnt")))
+        .select(col("doc_id"), col("feature"), col("cnt").cast("long").as("cnt"))
     }),
     "q_langid_heuristic" -> ((s, dir) => {
       // guesses (JVM heuristic) dumped once; DuckDB replays the aggregation
@@ -754,20 +769,14 @@ object SparkEntry {
       // verdict by Repetition.duckKeepSql — both from the SAME atoms as
       // the Scala decision (KeepRule pattern — no hand-duplicated SQL).
       val counts = Repetition.duckCountsSql("documents", "doc_id", "text")
-      val keep = Repetition.duckKeepSql(
-        "dup_lines", "n_lines", "dup_line_chars", "line_chars",
-        "dup_paras", "n_paras", "dup_para_chars", "para_chars",
-        "top_2gram_cnt", "n_2grams", "dup_5grams", "n_5grams")
+      val keep = Repetition.duckKeepSql
       s"WITH $counts\nSELECT *, $keep AS rep_keep FROM rep_counts"
     },
     "q_curation" -> {
       // every stage replayed in one WITH chain; repetition counts + keep
       // rendered from the shared single-source atoms
       val counts = Repetition.duckCountsSql("rebuilt", "doc_id", "text_dedup")
-      val keep = Repetition.duckKeepSql(
-        "dup_lines", "n_lines", "dup_line_chars", "line_chars",
-        "dup_paras", "n_paras", "dup_para_chars", "para_chars",
-        "top_2gram_cnt", "n_2grams", "dup_5grams", "n_5grams")
+      val keep = Repetition.duckKeepSql
       s"""WITH ex AS (
         |  SELECT doc_id, text, lang FROM (
         |    SELECT doc_id, text, lang,
@@ -965,6 +974,11 @@ object SparkEntry {
       s"""SELECT lang, lang_guess, count(*) AS n
          |FROM read_parquet('${langidDumpPath(oracleDir)}/*.parquet')
          |GROUP BY 1, 2""".stripMargin,
+    "q_feature_debug" ->
+      // zip-unnest of the dumped MAP column == Spark's explode tail
+      s"""SELECT doc_id, unnest(map_keys(features)) AS feature,
+         |  CAST(unnest(map_values(features)) AS BIGINT) AS cnt
+         |FROM read_parquet('${featureDumpPath(oracleDir)}/*.parquet')""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: callers must make (key, ts) unique on the RIGHT side
   * (dedupe with max_by first) — otherwise "the" latest row is undefined
-  * in any engine. */
+  * in any engine.
+  *
+  * Key contract: the join key must CAST cleanly to long (a non-numeric
+  * key casts to null). SQL equality-join semantics — and DuckDB's ASOF
+  * JOIN oracle — never match on null, so right rows with a null cast
+  * key or null timestamp are dropped up front (they could otherwise
+  * collect in the null partition and be picked up as "matches" by
+  * null-key left rows). Left rows are ALWAYS kept (left-join shape);
+  * a null-key or null-ts left row simply gets a null match. */
 object AsOfJoin {
 
   def lastRightAsOf(left: DataFrame, right: DataFrame,
@@ -46,11 +54,15 @@ object AsOfJoin {
       structOf(left, leftCols).as("lrow"),
       lit(null).cast(rType).as("rrow"))
     val r = right.select(
-      right(rightKey).cast("long").as("k"),
-      right(rightTs).cast("timestamp").as("ts"),
-      lit(0).as("side"),
-      lit(null).cast(lType).as("lrow"),
-      structOf(right, rightVals).as("rrow"))
+        right(rightKey).cast("long").as("k"),
+        right(rightTs).cast("timestamp").as("ts"),
+        lit(0).as("side"),
+        lit(null).cast(lType).as("lrow"),
+        structOf(right, rightVals).as("rrow"))
+      // null never matches (SQL equality-join / DuckDB ASOF semantics):
+      // without this, null-key right rows share the null partition with
+      // null-key left rows and the running-last window would "match" them
+      .where(col("k").isNotNull && col("ts").isNotNull)
     val w = Window.partitionBy("k").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out: Seq[Column] =

@@ -471,10 +471,21 @@ object Dedup {
     * deterministic canonical representative. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           driverLocalMaxEdges: Long = 5000000L): DataFrame = {
-    val edgeCount = pairs.limit((driverLocalMaxEdges + 1).toInt).count()
-    if (edgeCount <= driverLocalMaxEdges)
-      return connectedComponentsLocal(pairs)
-    connectedComponentsDistributed(pairs, maxIter)
+    // persist BEFORE the size probe: `pairs` is typically the minhash /
+    // banding join — the dominant cost of the whole dedup — and without
+    // the persist the probe's partial evaluation and the chosen branch
+    // would each run the full candidate-pair plan (2x the dominant cost
+    // at web scale). Partitions the limit-probe touches land in the
+    // cache; the branch computes only the remainder, so the pair plan is
+    // evaluated exactly once end-to-end. Both branches consume `pairs`
+    // EAGERLY (local collects; distributed materializes every round via
+    // localCheckpoint), so the unpersist below is safe for callers.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edgeCount = p.limit((driverLocalMaxEdges + 1).toInt).count()
+      if (edgeCount <= driverLocalMaxEdges) connectedComponentsLocal(p)
+      else connectedComponentsDistributed(p, maxIter)
+    } finally p.unpersist()
   }
 
   /** Exact union-find (path halving + union by min) over a collected edge

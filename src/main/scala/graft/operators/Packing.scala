@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   * Determinism: the output is a pure function of (id order, token
   * counts, budget) — partition boundaries cancel out of the math — so
   * the q_packing oracle replays it with a plain window in DuckDB.
-  * The cache() pins one consistent partitioning across the two passes
-  * (they must see the SAME boundaries; at 10^12 rows use
-  * StorageLevel.MEMORY_AND_DISK_SER, or persist the sorted table).
+  *
+  * Boundary consistency is STRUCTURAL, not cache-dependent: the sorted
+  * input is eagerly `localCheckpoint(true)`-materialized before the
+  * totals pass, which truncates lineage — there is no recompute path
+  * that could re-run repartitionByRange's range sampler between the two
+  * passes, so the passes cannot disagree on partition boundaries. (With
+  * a plain cache(), eviction under memory pressure would silently fall
+  * back to recomputation and correctness would rest on the range
+  * sampler's seed determinism — an implicit dependency. A lost
+  * checkpoint block instead fails the job loudly; at 10^12 rows persist
+  * the sorted table to reliable storage and read it back.)
   */
 object Packing {
 
@@ -41,8 +49,11 @@ object Packing {
       .as[(Long, Long)]
     val p = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    // eager materialization + lineage truncation: both passes below read
+    // these exact blocks; recomputation (and thus boundary re-sampling)
+    // is structurally impossible (see scaladoc)
     val sorted = toks.repartitionByRange(p, col("id"))
-      .sortWithinPartitions("id").cache()
+      .sortWithinPartitions("id").localCheckpoint(true)
     val totals = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)

@@ -28,17 +28,31 @@ import org.apache.spark.sql.functions._
   *    k-grams exist only when tokens >= k and join with a single space;
   *  - a "duplicate" group is a value occurring >= 2 times in the doc and
   *    dup counts include ALL its instances (the DataTrove/NeMo reading
-  *    of Gopher's "fraction of lines that are duplicates").
+  *    of Gopher's "fraction of lines that are duplicates");
+  *  - the GRAM rules are CHARACTER-weighted, as Gopher Table A1 defines
+  *    them ("fraction of characters in the most common 2-gram" /
+  *    "...in duplicated 5-grams"): numerators/denominators are sums of
+  *    code points over gram instances (cp(gram) x count), with the
+  *    denominator the total gram characters. Deviation from DataTrove
+  *    noted: DataTrove divides by document length and de-overlaps
+  *    duplicated-gram characters positionally; this engine divides by
+  *    total gram chars and counts every instance — simpler, exactly
+  *    SQL-replayable, and monotone in the same signal. The "most
+  *    common" 2-gram tie-breaks deterministically by (count, chars)
+  *    lexicographic max — both engines compute max(struct(c, chars)).
   */
 object Repetition {
 
   /** Per-document repetition counts. Fractions are derivable:
-    * dup_line_frac = dup_lines / n_lines, etc. */
+    * dup_line_frac = dup_lines / n_lines,
+    * top_2gram_char_frac = top_2gram_chars / gram2_chars, etc. */
   final case class RepStats(
       n_lines: Long, dup_lines: Long, dup_line_chars: Long, line_chars: Long,
       n_paras: Long, dup_paras: Long, dup_para_chars: Long, para_chars: Long,
       n_2grams: Long, top_2gram_cnt: Long,
-      n_5grams: Long, dup_5grams: Long)
+      gram2_chars: Long, top_2gram_chars: Long,
+      n_5grams: Long, dup_5grams: Long,
+      gram5_chars: Long, dup_5gram_chars: Long)
 
   private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
 
@@ -62,9 +76,14 @@ object Repetition {
     (total, dup, dupChars, totalChars)
   }
 
-  /** (nGrams, topCount, dupInstances) for word k-grams. */
-  private def gramCounts(toks: Array[String], k: Int): (Long, Long, Long) = {
-    if (toks.length < k) return (0L, 0L, 0L)
+  /** (nGrams, topCount, dupInstances, totalChars, topChars, dupChars)
+    * for word k-grams. Chars are code points summed over INSTANCES
+    * (cp(gram) x count); topChars belongs to the (count, chars)
+    * lexicographic-max gram — the deterministic tie-break the DuckDB
+    * rendering mirrors with max(struct(c, ch)). */
+  private def gramCounts(toks: Array[String], k: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    if (toks.length < k) return (0L, 0L, 0L, 0L, 0L, 0L)
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
     while (i + k <= toks.length) {
@@ -74,15 +93,18 @@ object Repetition {
       counts.merge(sb.toString, 1, Integer.sum)
       i += 1
     }
-    var top = 0L; var dup = 0L; var total = 0L
-    val it = counts.values().iterator()
+    var top = 0L; var topCh = 0L; var dup = 0L; var dupCh = 0L
+    var total = 0L; var totalCh = 0L
+    val it = counts.entrySet().iterator()
     while (it.hasNext) {
-      val c = it.next().toLong
-      total += c
-      if (c > top) top = c
-      if (c >= 2) dup += c
+      val e = it.next()
+      val c = e.getValue.toLong
+      val ch = cp(e.getKey) * c
+      total += c; totalCh += ch
+      if (c > top || (c == top && ch > topCh)) { top = c; topCh = ch }
+      if (c >= 2) { dup += c; dupCh += ch }
     }
-    (total, top, dup)
+    (total, top, dup, totalCh, topCh, dupCh)
   }
 
   /** SQL `trim` strips ONLY the space character (Spark and DuckDB agree);
@@ -102,9 +124,10 @@ object Repetition {
     val (nl, dl, dlc, lc) = groupCounts(text.split("\n", -1))
     val (np, dp, dpc, pc) = groupCounts(text.split("\n\n", -1))
     val toks = spaceTrim(text).split("\\s+", -1)
-    val (n2, top2, _) = gramCounts(toks, 2)
-    val (n5, _, dup5) = gramCounts(toks, 5)
-    RepStats(nl, dl, dlc, lc, np, dp, dpc, pc, n2, top2, n5, dup5)
+    val (n2, top2, _, g2ch, top2ch, _) = gramCounts(toks, 2)
+    val (n5, _, dup5, g5ch, _, dup5ch) = gramCounts(toks, 5)
+    RepStats(nl, dl, dlc, lc, np, dp, dpc, pc,
+      n2, top2, g2ch, top2ch, n5, dup5, g5ch, dup5ch)
   }
 
   /** Frozen thresholds (Gopher Table A1 values): a doc is repetition-kept
@@ -120,19 +143,26 @@ object Repetition {
   /** Gram-fraction rules need support to be meaningful — a 3-token doc has
     * 2 bigrams and its top one is trivially 50%. They fire only when the
     * doc has at least this many k-grams (Gopher targets full web pages;
-    * this guard freezes that intent for arbitrary-length rows). */
+    * this guard freezes that intent for arbitrary-length rows). The
+    * support guard stays COUNT-based even though the fractions are
+    * char-weighted: "enough grams to be meaningful" is a count notion. */
   final val MinGramSupport = 16
 
-  private def within(num: Long, den: Long, t: (Int, Int), minDen: Long = 1L): Boolean =
-    den < minDen || num * t._2 <= den * t._1
+  /** num/den <= t as integer cross-multiplication (identical decisions in
+    * both engines — no float thresholds). den = 0 only when the doc is
+    * empty of that unit (0 <= 0 keeps). */
+  private def frac(num: Long, den: Long, t: (Int, Int)): Boolean =
+    num * t._2 <= den * t._1
 
   def repKeep(s: RepStats): Boolean =
-    within(s.dup_lines, s.n_lines, MaxDupLineFrac) &&
-      within(s.dup_line_chars, s.line_chars, MaxDupLineCharFrac) &&
-      within(s.dup_paras, s.n_paras, MaxDupParaFrac) &&
-      within(s.dup_para_chars, s.para_chars, MaxDupParaCharFrac) &&
-      within(s.top_2gram_cnt, s.n_2grams, MaxTop2GramFrac, MinGramSupport) &&
-      within(s.dup_5grams, s.n_5grams, MaxDup5GramFrac, MinGramSupport)
+    frac(s.dup_lines, s.n_lines, MaxDupLineFrac) &&
+      frac(s.dup_line_chars, s.line_chars, MaxDupLineCharFrac) &&
+      frac(s.dup_paras, s.n_paras, MaxDupParaFrac) &&
+      frac(s.dup_para_chars, s.para_chars, MaxDupParaCharFrac) &&
+      (s.n_2grams < MinGramSupport ||
+        frac(s.top_2gram_chars, s.gram2_chars, MaxTop2GramFrac)) &&
+      (s.n_5grams < MinGramSupport ||
+        frac(s.dup_5gram_chars, s.gram5_chars, MaxDup5GramFrac))
 
   /** The keep verdict as a single boolean Column (UDF — the per-doc
     * HashMap counting is genuinely beyond Catalyst expressions). Lets the
@@ -163,14 +193,15 @@ object Repetition {
       col("_2.para_chars").as("para_chars"),
       col("_2.n_2grams").as("n_2grams"),
       col("_2.top_2gram_cnt").as("top_2gram_cnt"),
+      col("_2.gram2_chars").as("gram2_chars"),
+      col("_2.top_2gram_chars").as("top_2gram_chars"),
       col("_2.n_5grams").as("n_5grams"), col("_2.dup_5grams").as("dup_5grams"),
+      col("_2.gram5_chars").as("gram5_chars"),
+      col("_2.dup_5gram_chars").as("dup_5gram_chars"),
       col("_3").as("rep_keep"))
   }
 
-  /** The same decision rendered for DuckDB over the same counts — single
-    * source for the threshold atoms (KeepRule pattern): callers embed
-    * `duckKeepSql` into the oracle's SELECT over the count CTEs. */
-  /** DuckDB CTE fragment computing the 12 counts for every row of `src`
+  /** DuckDB CTE fragment computing the 16 counts for every row of `src`
     * (`idCol`, `textCol`) into a CTE named `rep_counts` — the same
     * single-source pattern as duckKeepSql, shared by the q_repetition
     * oracle and the end-to-end q_curation replay. CTE names are
@@ -204,37 +235,49 @@ object Repetition {
        |        FROM rep_toks WHERE len(t) >= 2)),
        |rep_g2c AS (SELECT $idCol, g, count(*) AS c FROM rep_g2 GROUP BY 1, 2),
        |rep_g2s AS (SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_2grams,
-       |    CAST(max(c) AS BIGINT) AS top_2gram_cnt
+       |    CAST(max(c) AS BIGINT) AS top_2gram_cnt,
+       |    CAST(sum(len(g) * c) AS BIGINT) AS gram2_chars,
+       |    CAST((max(struct_pack(c := c, ch := len(g) * c))).ch AS BIGINT) AS top_2gram_chars
        |  FROM rep_g2c GROUP BY 1),
        |rep_g5 AS (SELECT $idCol, array_to_string(t[i:i+4], ' ') AS g
        |  FROM (SELECT $idCol, t, unnest(range(1, len(t) - 3)) AS i
        |        FROM rep_toks WHERE len(t) >= 5)),
        |rep_g5c AS (SELECT $idCol, g, count(*) AS c FROM rep_g5 GROUP BY 1, 2),
        |rep_g5s AS (SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_5grams,
-       |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5grams
+       |    CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5grams,
+       |    CAST(sum(len(g) * c) AS BIGINT) AS gram5_chars,
+       |    CAST(coalesce(sum(len(g) * c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_5gram_chars
        |  FROM rep_g5c GROUP BY 1),
        |rep_counts AS (
        |  SELECT d.$idCol, n_lines, dup_lines, dup_line_chars, line_chars,
        |    n_paras, dup_paras, dup_para_chars, para_chars,
        |    coalesce(n_2grams, 0) AS n_2grams,
        |    coalesce(top_2gram_cnt, 0) AS top_2gram_cnt,
+       |    coalesce(gram2_chars, 0) AS gram2_chars,
+       |    coalesce(top_2gram_chars, 0) AS top_2gram_chars,
        |    coalesce(n_5grams, 0) AS n_5grams,
-       |    coalesce(dup_5grams, 0) AS dup_5grams
+       |    coalesce(dup_5grams, 0) AS dup_5grams,
+       |    coalesce(gram5_chars, 0) AS gram5_chars,
+       |    coalesce(dup_5gram_chars, 0) AS dup_5gram_chars
        |  FROM $src d
        |    JOIN rep_ls USING ($idCol) JOIN rep_ps USING ($idCol)
        |    LEFT JOIN rep_g2s USING ($idCol) LEFT JOIN rep_g5s USING ($idCol))""".stripMargin
 
-  def duckKeepSql(
-      dl: String, nl: String, dlc: String, lc: String,
-      dp: String, np: String, dpc: String, pc: String,
-      top2: String, n2: String, dup5: String, n5: String): String = {
-    def w(num: String, den: String, t: (Int, Int), minDen: Long = 1L) =
-      s"($den < $minDen OR $num * ${t._2} <= $den * ${t._1})"
+  /** The keep verdict over the rep_counts column names — the exact SQL
+    * twin of [[repKeep]] (same frozen atoms: thresholds, support guard,
+    * char-weighted gram fractions, integer cross-multiplication). */
+  def duckKeepSql: String = {
+    def w(num: String, den: String, t: (Int, Int)) =
+      s"($num * ${t._2} <= $den * ${t._1})"
+    def g(num: String, den: String, support: String, t: (Int, Int)) =
+      s"($support < $MinGramSupport OR $num * ${t._2} <= $den * ${t._1})"
     Seq(
-      w(dl, nl, MaxDupLineFrac), w(dlc, lc, MaxDupLineCharFrac),
-      w(dp, np, MaxDupParaFrac), w(dpc, pc, MaxDupParaCharFrac),
-      w(top2, n2, MaxTop2GramFrac, MinGramSupport),
-      w(dup5, n5, MaxDup5GramFrac, MinGramSupport)
+      w("dup_lines", "n_lines", MaxDupLineFrac),
+      w("dup_line_chars", "line_chars", MaxDupLineCharFrac),
+      w("dup_paras", "n_paras", MaxDupParaFrac),
+      w("dup_para_chars", "para_chars", MaxDupParaCharFrac),
+      g("top_2gram_chars", "gram2_chars", "n_2grams", MaxTop2GramFrac),
+      g("dup_5gram_chars", "gram5_chars", "n_5grams", MaxDup5GramFrac)
     ).mkString("(", " AND ", ")")
   }
 }

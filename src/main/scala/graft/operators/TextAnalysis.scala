@@ -75,11 +75,27 @@ object TextAnalysis {
     * join when it fits and an equi shuffle join otherwise; nothing here
     * ever carries document text past tokenization. Emitted un-ranked:
     * tfidf is rounded for cross-engine comparison, and rank order between
-    * near-equal floats would not be (oracle-stability note, FIXTURES §5). */
+    * near-equal floats would not be (oracle-stability note, FIXTURES §5).
+    *
+    * The corpus is tokenized ONCE: both branches (tf and document
+    * frequency) derive from the same `wc` DataFrame, so their physical
+    * plans share an identical tokenize→partial-agg→Exchange(id, word)
+    * subtree and Spark's ReuseExchange rule evaluates it a single time
+    * (PlanSpec asserts the ReusedExchange node). The minTf filter is
+    * applied AFTER the shared aggregate — it must not leak into the
+    * document-frequency branch, and a filter above the exchange keeps the
+    * two subtrees byte-identical for reuse. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             minTf: Int = 1): DataFrame = {
-    val tf = wordCounts(df, idCol, textCol).where(col("tf") >= minTf)
-    val dfreq = wordCounts(df, idCol, textCol)
+    val wc = wordCounts(df, idCol, textCol)
+    val tf = wc.where(col("tf") >= minTf)
+    // the `tf >= 1` filter is semantically a no-op (a (doc, word) group
+    // exists only if the word occurs), but Catalyst cannot prove that —
+    // without it the optimizer prunes the unused inner count out of this
+    // branch, rewriting it to a bare distinct whose exchange subtree no
+    // longer matches the tf branch's (no reuse -> the corpus would be
+    // tokenized and shuffled twice)
+    val dfreq = wc.where(col("tf") >= 1)
       .groupBy("word").agg(count(lit(1)).as("df"))
     val total = df.agg(count(lit(1)).as("n_total"))
     tf.join(dfreq, Seq("word"))

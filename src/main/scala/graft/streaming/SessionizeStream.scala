@@ -22,6 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch; an event no later than the open session's last-seen merges into
   * it (late data cannot re-open an already-emitted session — standard
   * watermark semantics, same contract as Spark's own session windows).
+  *
+  * Cross-BATCH disorder caveat (exact batch-equality contract): equality
+  * with [[graft.operators.Sessionize]].batch is guaranteed when each
+  * user's events arrive in order ACROSS microbatches (any disorder
+  * within a batch is sorted away). A within-watermark event that arrives
+  * in a later batch and predates the open session by more than the gap
+  * becomes its own singleton session (it belongs to an earlier, possibly
+  * already-emitted session that streaming can neither reopen nor merge
+  * into — batch would have grouped it with its true neighbors); one that
+  * lands within the gap of the open session's start extends that session
+  * backwards. Both are the closest approximation one-pass streaming
+  * state admits; only the in-order-across-batches case is bit-equal.
   */
 object SessionizeStream {
 
@@ -52,6 +64,12 @@ object SessionizeStream {
         case Some(s) if t - s.lastUs > gapUs =>
           closed += s
           cur = Some(OpenSession(t, t, 1, v))
+        case Some(s) if s.startUs - t > gapUs =>
+          // cross-batch straggler predating the open session by more than
+          // the gap: it cannot belong to the open session, and its true
+          // session may already be emitted — close it as a singleton
+          // rather than corrupting the open session's span (see scaladoc)
+          closed += OpenSession(t, t, 1, v)
         case Some(s) =>
           cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.lastUs, t),
             s.n + 1, s.total + v))

@@ -55,7 +55,10 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toInt
+    // 1.6M x ~4 KB (~6.4 GB content): a local[8] sample runs >=10 s, the
+    // floor below which fixed per-job overhead contaminates the ratio
+    // (same staged input as graft.Bench's flagship)
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
     val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val inputPath = s"/tmp/graft_bench_filerows_${rows}_x$bodyScale"

@@ -711,6 +711,41 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("approx_count_distinct tracks exact countDistinct (E2 scale path)") {
+    // the sketch variant a 10^12-row table needs (exact countDistinct
+    // shuffles every distinct value; HLL++ merges fixed-size sketches).
+    // Cross-engine hash-parity is impossible for a sketch, so this is
+    // spec-checked against the exact answer instead of DuckDB-oracled.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("as-of join: null keys/timestamps never match (SQL equality semantics)") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // right side carries a null-key and a null-ts row; without the
+    // null-drop they collapse into the null partition / sort front and
+    // get picked up as "matches" — DuckDB ASOF never matches null
+    val left = Seq((100L, Some(1L), Some(t(10))), (101L, None, Some(t(10))),
+      (102L, Some(1L), None)).toDF("order_id", "k", "lts")
+    val right = Seq((Some(1L), Some(t(5)), "real"),
+      (Option.empty[Long], Some(t(1)), "nullkey"),
+      (Some(1L), Option.empty[java.sql.Timestamp], "nullts"))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.lastRightAsOf(left, right, "k", "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      100L -> Some("real"), // the non-null right row still matches
+      101L -> None,         // null-key left: kept, but matches nothing
+      102L -> None))        // null-ts left: kept, but matches nothing
+  }
+
   test("as-of join == naive per-left scan (seeded property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

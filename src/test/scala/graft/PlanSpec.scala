@@ -158,6 +158,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("tfIdf tokenizes ONCE: tf and document-frequency share a ReusedExchange") {
+    // both branches derive from the same wordCounts DataFrame; their
+    // identical tokenize->partial-agg->Exchange(id, word) subtrees must
+    // physically dedupe, or a 10^12-token corpus is tokenized+shuffled
+    // twice (round-3 verdict #2)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = operators.TextAnalysis.tfIdf(docs, "doc_id", "text", minTf = 3)
+    df.collect() // under AQE, exchange reuse lands in the FINAL plan
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("paragraph dedup: min-survivor aggregate is partial+final (skew absorbed map-side)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(operators.Dedup.dropDuplicateParagraphs(docs, "doc_id", "text"))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Benchmark decontamination: the broadcast default and the
+  * `broadcastEval = false` fallback (the path a 100 TB run hits when the
+  * eval shingle set outgrows executor memory) must find the IDENTICAL
+  * contaminated-id set, and the fallback's plan must be a shuffled — not
+  * broadcast — semi-join. */
+class DecontaminateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("broadcastEval=false: identical contaminated set, shuffled (non-BHJ) plan") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    // AQE + auto-broadcast pinned off: AQE would re-broadcast the tiny
+    // spec fixture at runtime and vacate the plan assertion
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def ids(bcast: Boolean) = Decontaminate.contaminatedIds(
+        docs, evalSet, "doc_id", "text", k = 5, broadcastEval = bcast)
+      val viaBroadcast = ids(true).as[Long].collect().toSet
+      val viaShuffle = ids(false).as[Long].collect().toSet
+      assert(viaBroadcast == viaShuffle)
+      // the eval docs contaminate themselves, so the set is non-empty
+      assert(viaShuffle.nonEmpty)
+      val p = ids(false).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("LeftSemi"), p) // still an equi semi-join, never all-pairs
+      val pb = ids(true).queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"), pb) // non-vacuity: hint wins
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+}

@@ -30,6 +30,32 @@ class PackingSpec extends AnyFunSuite {
       (4L, 7L, 1L, 1L, true)))
   }
 
+  test("second pass after a full cache purge still matches (checkpointed boundaries)") {
+    // The totals pass runs eagerly inside packSequences; the OUTPUT pass
+    // is lazy and evaluates at collect time. Purging every cached plan in
+    // between is exactly the eviction that would have sent a cache()-based
+    // implementation back through repartitionByRange's range sampler for
+    // pass 2 (boundary consistency then resting on sampler seed
+    // determinism); the eager localCheckpoint makes pass 2 read the same
+    // materialized blocks instead — structurally immune to the purge.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(id =>
+      (id, Seq.fill(rnd.nextInt(15))("t").mkString(" ")))
+    val packed = Packing.packSequences(
+      rows.toDF("doc_id", "text").repartition(11), "doc_id", "text", 32,
+      partitions = 5)
+    spark.catalog.clearCache()
+    var cum = 0L
+    val naive = rows.map { case (id, text) =>
+      val n = if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong
+      val start = cum
+      cum += n
+      (id, n, start / 32, start % 32, start % 32 + n > 32)
+    }
+    assert(collect(packed) == naive)
+  }
+
   test("partition-count independent and equals the naive running sum") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

@@ -22,9 +22,21 @@ class RepetitionSpec extends AnyFunSuite {
     assert(s.dup_line_chars == 2 && s.line_chars == 14)
     assert(s.n_paras == 2 && s.dup_paras == 0 && s.para_chars == 16)
     assert(s.n_2grams == 8 && s.top_2gram_cnt == 3) // "c d" x3
+    assert(s.gram2_chars == 24 && s.top_2gram_chars == 9) // 8x3cp; "c d"x3
     assert(s.n_5grams == 5 && s.dup_5grams == 0)
+    assert(s.gram5_chars == 45 && s.dup_5gram_chars == 0)
     // dup_line_frac = 2/5 > 0.30 -> dropped
     assert(!Repetition.repKeep(s))
+  }
+
+  test("top-2-gram tie-break: equal counts pick the char-heavier gram") {
+    // "aa bb" and "bb aa" both occur twice -> chars tie-breaks (both 10
+    // here), then a longer gram at the same count must win the chars slot
+    val s = Repetition.repStats("aa bb aa bb aa")
+    assert(s.top_2gram_cnt == 2 && s.top_2gram_chars == 10)
+    val t = Repetition.repStats("xyzzy q xyzzy q xyzzy")
+    // "xyzzy q" x2 (7 cp each = 14) vs "q xyzzy" x2 (14): tie at 14
+    assert(t.top_2gram_cnt == 2 && t.top_2gram_chars == 14)
   }
 
   test("gram rules need MinGramSupport; below it short docs stay kept") {
@@ -32,9 +44,10 @@ class RepetitionSpec extends AnyFunSuite {
     val tiny = Repetition.repStats("x y x y x")
     assert(tiny.n_2grams == 4 && tiny.top_2gram_cnt == 2)
     assert(Repetition.repKeep(tiny))
-    // 39 bigrams, top "w1 w2" = 20/39 > 0.20 -> dropped
+    // 39 bigrams, top "w1 w2" covers 100/195 gram chars > 0.20 -> dropped
     val loop = Repetition.repStats(Seq.fill(20)("w1 w2").mkString(" "))
     assert(loop.n_2grams == 39 && loop.top_2gram_cnt == 20)
+    assert(loop.gram2_chars == 195 && loop.top_2gram_chars == 100)
     assert(!Repetition.repKeep(loop))
   }
 
@@ -67,11 +80,18 @@ class RepetitionSpec extends AnyFunSuite {
       .split("\\s+", -1).toSeq
     def grams(k: Int) = if (t.size < k) Seq.empty
       else t.sliding(k).map(_.mkString(" ")).toSeq
-    val g2 = grams(2).groupBy(identity).values.map(_.size.toLong).toSeq
-    val g5 = grams(5).groupBy(identity).values.map(_.size.toLong).toSeq
+    // (count, instanceChars) per distinct gram
+    def gstats(k: Int) = grams(k).groupBy(identity).values
+      .map(v => (v.size.toLong, cp(v.head) * v.size)).toSeq
+    val g2 = gstats(2)
+    val g5 = gstats(5)
+    val (top2, top2ch) =
+      if (g2.isEmpty) (0L, 0L)
+      else g2.maxBy { case (c, ch) => (c, ch) } // lexicographic (count, chars)
     Repetition.RepStats(nl, dl, dlc, lc, np, dp, dpc, pc,
-      g2.sum, if (g2.isEmpty) 0L else g2.max,
-      g5.sum, g5.filter(_ >= 2).sum)
+      g2.map(_._1).sum, top2, g2.map(_._2).sum, top2ch,
+      g5.map(_._1).sum, g5.filter(_._1 >= 2).map(_._1).sum,
+      g5.map(_._2).sum, g5.filter(_._1 >= 2).map(_._2).sum)
   }
 
   test("fuzz: repStats == independent reimplementation on 2000 adversarial strings") {
@@ -104,7 +124,8 @@ class RepetitionSpec extends AnyFunSuite {
       val s = Repetition.repStats(text)
       val expect = Seq(s.n_lines, s.dup_lines, s.dup_line_chars, s.line_chars,
         s.n_paras, s.dup_paras, s.dup_para_chars, s.para_chars,
-        s.n_2grams, s.top_2gram_cnt, s.n_5grams, s.dup_5grams,
+        s.n_2grams, s.top_2gram_cnt, s.gram2_chars, s.top_2gram_chars,
+        s.n_5grams, s.dup_5grams, s.gram5_chars, s.dup_5gram_chars,
         Repetition.repKeep(s))
       assert(a(id) == expect, s"doc $id")
     }

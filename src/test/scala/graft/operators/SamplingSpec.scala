@@ -36,6 +36,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hashSample(df, Seq(col("id")), 0, 4).count() == 0)
   }
 
+  test("quotaSample broadcastSelected=false: identical rows, shuffled (non-BHJ) plan") {
+    // the path a 100 TB run takes when quota x #strata outgrows the
+    // broadcast budget — must select the SAME rows through a shuffled
+    // semi-join instead of the broadcast one. AQE + auto-broadcast are
+    // pinned off so the asserted plans are the static ones (AQE would
+    // otherwise re-broadcast the small spec fixture at runtime and
+    // vacate the assertion).
+    import spark.implicits._
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = (1L to 3000L).map(i => (i, s"lang${i % 5}")).toDF("id", "lang")
+      def sampled(bcast: Boolean) =
+        Sampling.quotaSample(df, "lang", "id", quota = 20, broadcastSelected = bcast)
+      val viaBroadcast = sampled(true).select("id").as[Long].collect().toSet
+      val viaShuffle = sampled(false).select("id").as[Long].collect().toSet
+      assert(viaBroadcast == viaShuffle)
+      assert(viaShuffle.size == 100) // 20 per stratum x 5 strata
+      val p = sampled(false).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // non-vacuity: the default path broadcasts (explicit hint wins
+      // even with the threshold pinned to -1)
+      val pb = sampled(true).queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"), pb)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("portableHashSample == independent JVM md5 of the same key, row for row") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, i % 7)).toDF("k1", "k2")
