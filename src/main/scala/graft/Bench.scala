@@ -152,8 +152,11 @@ object Bench {
       val inputPath = s"/tmp/graft_bench_filerows_${benchRows}_x$bodyScale"
       if (!graft.sources.ParquetTableIO.exists(spark, inputPath)) {
         System.err.println(s"[bench] staging $benchRows synthetic FileRows (bodyScale=$bodyScale) -> $inputPath")
-        spark.createDataset(graft.core.Synth.fileRows(benchRows, bodyScale = bodyScale))
-          .repartition(64).write.mode("overwrite").parquet(inputPath)
+        // distributed generation: executors synthesize their own
+        // partitions (the driver-side generator held the whole ~6.4 GB
+        // table and shipped ~90 MB tasks at 1.6M rows)
+        graft.core.Synth.fileRowsDistributed(spark, benchRows.toLong, bodyScale = bodyScale)
+          .write.mode("overwrite").parquet(inputPath)
       }
       // Repeated-median methodology (same as ScalingBench): this VM's
       // wall clock drifts 2-4x with hypervisor contention, so a single

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway probe: time q_asof_join variants at sf0.1 to isolate a
+  * bench regression. */
+object AsofProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"[probe] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+    def forceAll(df: org.apache.spark.sql.DataFrame): Long = {
+      val all = struct(df.columns.map(col): _*)
+      df.select(xxhash64(all).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("double")))
+        .collect()(0).getLong(0)
+    }
+    // reproduce the bench context: stream-window sinks + decontaminate
+    // broadcasts live in the session before as-of runs
+    (1 to 3).foreach { i =>
+      time(s"q_stream_window[$i]") {
+        graft.SparkEntry.queries("q_stream_window")(spark, dir).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"q_decontaminate[$i]") {
+        graft.SparkEntry.queries("q_decontaminate")(spark, dir).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"q_asof_join[$i]") {
+        forceAll(graft.SparkEntry.queries("q_asof_join")(spark, dir))
+      }
+    }
+    // variant without the right-side null filter (pre-round-4 shape)
+    import graft.operators.AsOfJoin
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(struct(col("event_id"), col("event_type")), col("event_id")).as("e"))
+      .select(col("user_id"), col("ts"),
+        col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
+    (1 to 3).foreach { i =>
+      time(s"count_only[$i]") {
+        AsOfJoin.lastRightAsOf(orders, events, "o_custkey", "user_id",
+          "ots", "ts", Seq("event_id", "event_type")).count()
+      }
+    }
+    spark.stop()
+  }
+}

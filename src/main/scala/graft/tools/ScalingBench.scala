@@ -67,9 +67,9 @@ object ScalingBench {
     locally {
       val s = sessionFor(32)
       if (!graft.sources.ParquetTableIO.exists(s, inputPath)) {
-        import s.implicits._
-        s.createDataset(graft.core.Synth.fileRows(rows, bodyScale = bodyScale))
-          .repartition(64).write.mode("overwrite").parquet(inputPath)
+        // distributed generation — same staged file as graft.Bench
+        graft.core.Synth.fileRowsDistributed(s, rows.toLong, bodyScale = bodyScale)
+          .write.mode("overwrite").parquet(inputPath)
       }
       graft.operators.ScoreStage.defaultBundle // build the model bundle once
       s.stop()
