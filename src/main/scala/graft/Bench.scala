@@ -47,7 +47,7 @@ object Bench {
       "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-      "q_doc_stats", "q_repetition", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
+      "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation")
 
@@ -94,8 +94,8 @@ object Bench {
     // prune every stats column and time only the scan; q_para_dedup's
     // text reassembly is likewise prunable under a bare count
     // q_asof_join: a bare count would prune the unused window column
-    val forced = Set("q_doc_stats", "q_repetition", "q_para_dedup", "q_asof_join",
-      "q_tfidf", "q_packing", "q_curation")
+    val forced = Set("q_doc_stats", "q_repetition", "q_gopher_quality",
+      "q_para_dedup", "q_asof_join", "q_tfidf", "q_packing", "q_curation")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -277,6 +277,10 @@ object SparkEntry {
       // Gopher repetition signals: one narrow typed map, zero shuffles;
       // all-integer outputs so the DuckDB replay hash-matches exactly
       Repetition.signals(docs(s, dir), "doc_id", "text")),
+    "q_gopher_quality" -> ((s, dir) =>
+      // Gopher lexical rules: pure Catalyst (no UDF), zero shuffles;
+      // integer counts + cross-multiplied keep -> exact DuckDB replay
+      GopherLexical.signals(docs(s, dir), "doc_id", "text")),
     "q_vocab" -> ((s, dir) =>
       // corpus vocabulary: global top-k runs as TakeOrdered, no full sort
       TextAnalysis.topWords(docs(s, dir), "text", 100)),
@@ -771,6 +775,11 @@ object SparkEntry {
       val counts = Repetition.duckCountsSql("documents", "doc_id", "text")
       val keep = Repetition.duckKeepSql
       s"WITH $counts\nSELECT *, $keep AS rep_keep FROM rep_counts"
+    },
+    "q_gopher_quality" -> {
+      // counts + keep rendered from GopherLexical's frozen atoms
+      val counts = GopherLexical.duckCountsSql("documents", "doc_id", "text")
+      s"WITH $counts\nSELECT *, ${GopherLexical.duckKeepSql} AS gq_keep FROM gq_counts"
     },
     "q_curation" -> {
       // every stage replayed in one WITH chain; repetition counts + keep

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher LEXICAL quality rules (Rae et al. 2021, Table A1) — the
+  * natural-language document filters that complement [[Repetition]]'s
+  * repetition signals and [[graft.functions.Quality]]'s code-aware rules:
+  * word-count bounds, mean-word-length bounds, symbol-to-word ratios
+  * (hash, ellipsis), bullet-line and ellipsis-line fractions, the
+  * alphabetic-word fraction, and the ≥2-English-stopwords test.
+  *
+  * Scale shape: every signal is a pure Catalyst expression over one row —
+  * zero shuffles, whole-stage-codegen, no UDF barrier — so the operator
+  * composes into scans with pushdown intact and costs one narrow pass at
+  * 10^12 rows (PlanSpec asserts no Exchange).
+  *
+  * Cross-engine exactness (the Repetition pattern): every output is an
+  * integer COUNT and the keep verdict uses integer cross-multiplication;
+  * the DuckDB rendering is GENERATED from the same threshold/stopword
+  * atoms below, so the q_gopher_quality oracle hash-matches bit-for-bit.
+  *
+  * FROZEN semantics:
+  *  - words  = trim.split("\\s+") dropping empty tokens (the
+  *    [[TextAnalysis.wordCounts]] contract); word chars are code points;
+  *  - lines  = split on '\n' keeping empty segments;
+  *  - a bullet line starts with '-', '*' or '•' (no left-trim); an
+  *    ellipsis line ends with the 3-dot ASCII ellipsis "...";
+  *  - '#' and "..." occurrence counts are non-overlapping (replace
+  *    semantics, identical in both engines);
+  *  - the stopword test counts DISTINCT stopwords present (Gopher:
+  *    "contain at least two of: the, be, to, of, and, that, have, with").
+  */
+object GopherLexical {
+
+  /** Gopher Table A1 thresholds, frozen as (num, den) rational bounds. */
+  final val MinWords = 50L
+  final val MaxWords = 100000L
+  final val MinMeanWordLen = 3L   // word_chars >= 3 * n_words
+  final val MaxMeanWordLen = 10L  // word_chars <= 10 * n_words
+  final val MaxHashRatio = (1, 10)          // n_hash / n_words <= 0.1
+  final val MaxEllipsisRatio = (1, 10)      // n_ellipsis / n_words <= 0.1
+  final val MaxBulletLineFrac = (9, 10)     // bullet lines / lines <= 0.9
+  final val MaxEllipsisLineFrac = (3, 10)   // "..." lines / lines <= 0.3
+  final val MinAlphaWordFrac = (4, 5)       // alpha words / words >= 0.8
+  final val MinStopwords = 2L
+  final val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The 9 counts as named Catalyst columns over `textCol` (null text
+    * counts as empty — the oracle coalesces identically). */
+  def countColumns(textCol0: Column): Seq[(String, Column)] = {
+    val textCol = coalesce(textCol0, lit(""))
+    val words = filter(split(trim(textCol), "\\s+"), w => w =!= "")
+    val lines = split(textCol, "\n")
+    Seq(
+      "n_words" -> size(words).cast("long"),
+      "word_chars" -> aggregate(words, lit(0L), (acc, w) => acc + length(w)),
+      "n_alpha_words" ->
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "n_stopwords_present" ->
+        size(filter(array(Stopwords.map(lit): _*),
+          sw => array_contains(words, sw))).cast("long"),
+      "n_hash" ->
+        (length(textCol) - length(regexp_replace(textCol, "#", ""))).cast("long"),
+      // non-overlapping "..." count via replace-length delta / 3
+      "n_ellipsis" ->
+        ((length(textCol) - length(replace(textCol, lit("..."), lit("")))) / 3)
+          .cast("long"),
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" ->
+        size(filter(lines, l =>
+          l.like("-%") || l.like("*%") || l.like("•%"))).cast("long"),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => l.like("%..."))).cast("long"))
+  }
+
+  /** The keep verdict over the count columns — integer math only. */
+  def keepColumn: Column = {
+    val w = col("n_words")
+    (w >= MinWords) && (w <= MaxWords) &&
+      (col("word_chars") >= w * MinMeanWordLen) &&
+      (col("word_chars") <= w * MaxMeanWordLen) &&
+      (col("n_hash") * MaxHashRatio._2 <= w * MaxHashRatio._1) &&
+      (col("n_ellipsis") * MaxEllipsisRatio._2 <= w * MaxEllipsisRatio._1) &&
+      (col("n_bullet_lines") * MaxBulletLineFrac._2 <=
+        col("n_lines") * MaxBulletLineFrac._1) &&
+      (col("n_ellipsis_lines") * MaxEllipsisLineFrac._2 <=
+        col("n_lines") * MaxEllipsisLineFrac._1) &&
+      (col("n_alpha_words") * MinAlphaWordFrac._2 >= w * MinAlphaWordFrac._1) &&
+      (col("n_stopwords_present") >= MinStopwords)
+  }
+
+  /** id + the 9 counts + gq_keep — one narrow Catalyst projection. */
+  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = countColumns(col(textCol)).foldLeft(
+      df.select(col(idCol), col(textCol))) { case (d, (n, c)) => d.withColumn(n, c) }
+    base.drop(textCol).withColumn("gq_keep", keepColumn)
+  }
+
+  /** DuckDB rendering of the SAME counts over `src`(idCol, textCol),
+    * generated from the frozen atoms (single source — the Repetition
+    * duckCountsSql pattern). Emits a CTE chain ending in `gq_counts`. */
+  def duckCountsSql(src: String, idCol: String, textCol: String): String = {
+    val sw = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""gq_base AS (
+       |  SELECT $idCol, coalesce($textCol, '') AS t,
+       |    list_filter(regexp_split_to_array(trim(coalesce($textCol, '')), '\\s+'),
+       |                w -> w <> '') AS words,
+       |    string_split(coalesce($textCol, ''), chr(10)) AS lines
+       |  FROM $src),
+       |gq_counts AS (
+       |  SELECT $idCol,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_filter($sw, sw -> list_contains(words, sw))) AS BIGINT) AS n_stopwords_present,
+       |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines
+       |  FROM gq_base)""".stripMargin
+  }
+
+  /** The keep verdict for DuckDB over the gq_counts column names — the
+    * exact SQL twin of [[keepColumn]]. */
+  def duckKeepSql: String =
+    Seq(
+      s"(n_words >= $MinWords)",
+      s"(n_words <= $MaxWords)",
+      s"(word_chars >= n_words * $MinMeanWordLen)",
+      s"(word_chars <= n_words * $MaxMeanWordLen)",
+      s"(n_hash * ${MaxHashRatio._2} <= n_words * ${MaxHashRatio._1})",
+      s"(n_ellipsis * ${MaxEllipsisRatio._2} <= n_words * ${MaxEllipsisRatio._1})",
+      s"(n_bullet_lines * ${MaxBulletLineFrac._2} <= n_lines * ${MaxBulletLineFrac._1})",
+      s"(n_ellipsis_lines * ${MaxEllipsisLineFrac._2} <= n_lines * ${MaxEllipsisLineFrac._1})",
+      s"(n_alpha_words * ${MinAlphaWordFrac._2} >= n_words * ${MinAlphaWordFrac._1})",
+      s"(n_stopwords_present >= $MinStopwords)"
+    ).mkString("(", " AND ", ")")
+}

@@ -158,6 +158,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("gopher lexical rules are pure Catalyst: zero exchanges, no UDF barrier") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.GopherLexical.signals(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("tfIdf tokenizes ONCE: tf and document-frequency share a ReusedExchange") {
     // both branches derive from the same wordCounts DataFrame; their
     // identical tokenize->partial-agg->Exchange(id, word) subtrees must

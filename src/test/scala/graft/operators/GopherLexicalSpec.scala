@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gopher lexical rules: hand-computed count goldens, keep-verdict edge
+  * cases, and null/empty safety. The operator is pure Catalyst, so the
+  * spec collects small DataFrames (the DuckDB-parity half is the
+  * q_gopher_quality oracle). */
+class GopherLexicalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def signalsOf(text: String): Map[String, Any] = {
+    import spark.implicits._
+    val row = GopherLexical.signals(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("hand golden: words, chars, stopwords, symbols, lines") {
+    val s = signalsOf("the cat sat...\n- with a hat #tag\n* and that")
+    // tokens: [the cat sat... - with a hat #tag * and that]
+    assert(s("n_words") == 11L)
+    // 3+3+6+1+4+1+3+4+1+3+4
+    assert(s("word_chars") == 33L)
+    assert(s("n_alpha_words") == 9L)     // "-" and "*" have no letter
+    assert(s("n_stopwords_present") == 4L) // the, with, and, that ("a" not in list)
+    assert(s("n_hash") == 1L)
+    assert(s("n_ellipsis") == 1L)
+    assert(s("n_lines") == 3L)
+    assert(s("n_bullet_lines") == 2L)    // "- with..." and "* and that"
+    assert(s("n_ellipsis_lines") == 1L)  // first line ends with "..."
+    assert(s("gq_keep") == false)        // 11 words < MinWords
+  }
+
+  test("distinct stopwords: repeats count once") {
+    val s = signalsOf("the the the the be")
+    assert(s("n_stopwords_present") == 2L) // {the, be}
+  }
+
+  test("non-overlapping ellipsis count (5 dots = one match)") {
+    assert(signalsOf("w.....")("n_ellipsis") == 1L)
+    assert(signalsOf("a...b...c")("n_ellipsis") == 2L)
+  }
+
+  test("keep verdict: a clean 60-word doc passes; violations flip it") {
+    val clean = (Seq.fill(13)("the cat sat with that dog and") :+ "be").mkString(" ")
+    val sc = signalsOf(clean)
+    assert(sc("n_words") == 92L && sc("gq_keep") == true)
+    // same doc drowned in hashes -> hash ratio rule fires
+    // (11 hash tokens: 11/103 > 0.1; hash tokens count as words)
+    val hashy = clean + " " + Seq.fill(11)("#").mkString(" ")
+    assert(signalsOf(hashy)("gq_keep") == false)
+    // mean word length out of bounds (all 1-char words)
+    val tiny = Seq.fill(60)("a").mkString(" ") + " the be"
+    assert(signalsOf(tiny)("gq_keep") == false)
+  }
+
+  test("null and empty text are safe and dropped") {
+    assert(signalsOf("")("n_words") == 0L)
+    assert(signalsOf("")("gq_keep") == false)
+    import spark.implicits._
+    val r = GopherLexical.signals(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 0L && !r.getAs[Boolean]("gq_keep"))
+  }
+}
