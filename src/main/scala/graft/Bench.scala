@@ -45,7 +45,7 @@ object Bench {
     // repeated-median over Pipeline.scoreAndDecide directly.
     val headline = Seq(
       "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
-      "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard",
+      "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard", "q_dup_spans",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_sessionize", "q_quota_sample", "q_decontaminate",
@@ -75,7 +75,11 @@ object Bench {
       // production variant: xxhash64 ranking (the harness query uses the
       // slower portable-md5 ranking only so DuckDB can replay it)
       "q_quota_sample" -> (s => graft.operators.Sampling.quotaSample(
-        docsDf(s), "lang", "doc_id", quota = 50)))
+        docsDf(s), "lang", "doc_id", quota = 50)),
+      // production variant: 8-byte xxhash64 span keys on the shuffle (the
+      // harness query keeps raw strings only so DuckDB can replay it)
+      "q_dup_spans" -> (s => Dedup.duplicatedSpanStats(
+        docsDf(s), "doc_id", "text", k = 5, hashKeys = true)))
 
     // Timing via bare count() would let Catalyst prune the final Project
     // (sha2 + keep never computed); hashing every column of every row
@@ -95,7 +99,8 @@ object Bench {
     // text reassembly is likewise prunable under a bare count
     // q_asof_join: a bare count would prune the unused window column
     val forced = Set("q_doc_stats", "q_repetition", "q_gopher_quality",
-      "q_para_dedup", "q_asof_join", "q_tfidf", "q_packing", "q_curation")
+      "q_para_dedup", "q_asof_join", "q_tfidf", "q_packing", "q_curation",
+      "q_dup_spans")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -327,6 +327,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
+    "q_dup_spans" -> ((s, dir) =>
+      // ExactSubstr-lite: per-doc corpus-duplicated span statistics.
+      // hashKeys=false keeps raw span strings so DuckDB replays the
+      // identical join; the bench times the xxhash64 production variant
+      Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text",
+        k = 5, hashKeys = false)),
     "q_dedup_cluster" -> ((s, dir) => {
       // fuzzy dedup END-TO-END, hash-checked: exact-Jaccard pairs →
       // connected components → one survivor (min id) per component.
@@ -903,6 +909,26 @@ object SparkEntry {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5""".stripMargin,
+    "q_dup_spans" ->
+      // k=5 spans: t[i:i+4] over range(1, len-3) == len-4 shingles
+      // (the q_ngram_jaccard slicing); keep rendered from Dedup's atoms
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |gc AS (SELECT span, count(*) AS n FROM sh GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_spans
+        |  FROM sh JOIN gc USING (span) GROUP BY 1)
+        |SELECT doc_id, n_spans, dup_spans,
+        |  ${Dedup.duckSpanKeepSql} AS span_keep
+        |FROM (SELECT d.doc_id,
+        |    CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans
+        |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

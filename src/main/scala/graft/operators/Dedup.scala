@@ -373,6 +373,61 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  // ------------------------------------------------------------------
+  // Inter-document duplicated spans (ExactSubstr-lite)
+  // ------------------------------------------------------------------
+
+  /** Span-keep thresholds, frozen: a doc passes when at most half of its
+    * span instances are corpus-duplicated; the rule needs support
+    * (boilerplate-heavy SHORT docs are legitimate — license stubs). */
+  final val MaxDupSpanFrac = (1, 2)
+  final val MinSpanSupport = 16L
+
+  /** The keep verdict over (n_spans, dup_spans) — integer math only. */
+  def spanKeepColumn: Column =
+    col("n_spans") < MinSpanSupport ||
+      col("dup_spans") * MaxDupSpanFrac._2 <= col("n_spans") * MaxDupSpanFrac._1
+
+  /** The DuckDB twin of [[spanKeepColumn]], from the same atoms. */
+  def duckSpanKeepSql: String =
+    s"(n_spans < $MinSpanSupport OR dup_spans * ${MaxDupSpanFrac._2}" +
+      s" <= n_spans * ${MaxDupSpanFrac._1})"
+
+  /** Per-document INTER-document duplicated-span statistics — the
+    * corpus-level complement of [[Repetition]]'s intra-doc signals and a
+    * lightweight form of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": spans
+    * duplicated ACROSS documents are the memorization vector): for every
+    * doc, how many of its word-`k`-gram span instances occur >= 2 times
+    * in the whole corpus (counting all instances, own repeats included).
+    *
+    * Plan at 10^12 tokens: explode spans → global span counts (partial
+    * aggregation absorbs hot boilerplate spans map-side) → equi-join back
+    * on the span key → per-doc count. With `hashKeys = true` (production
+    * default) every shuffled key is xxhash64's 8 bytes, never the span
+    * text; `hashKeys = false` keeps raw span strings so the q_dup_spans
+    * oracle replays the identical computation in DuckDB (the
+    * Sampling.portableHashSample pattern; a spec asserts both variants
+    * produce identical statistics). Docs with < k tokens emit no spans
+    * and report (0, 0, keep). */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, hashKeys: Boolean = true): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), k)).as("shingle"))
+    val keyed = (if (hashKeys) sh.select(col("id"), xxhash64(col("shingle")).as("span"))
+                 else sh.select(col("id"), col("shingle").as("span")))
+    val counts = keyed.groupBy("span").agg(count(lit(1)).as("n"))
+    val perDoc = keyed.join(counts, "span")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_spans"))
+      .select(col("id").as(idCol), col("n_spans"), col("dup_spans"),
+        spanKeepColumn.as("span_keep"))
+  }
+
   /** Embedding near-dup mining: all pairs with cosine >= `minCosine`,
     * candidates generated by IVF bucketing (the same deterministic k-means
     * coarse quantizer as Similarity.ivfTopK): each vector is exploded into

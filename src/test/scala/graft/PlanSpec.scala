@@ -158,6 +158,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("dup-span stats: partial-aggregated span counts, equi-join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Dedup.duplicatedSpanStats(docs, "doc_id", "text"))
+    // hot boilerplate spans must combine map-side before the shuffle
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("gopher lexical rules are pure Catalyst: zero exchanges, no UDF barrier") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(operators.GopherLexical.signals(docs, "doc_id", "text"))

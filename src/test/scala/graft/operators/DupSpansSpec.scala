@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inter-document duplicated spans (ExactSubstr-lite): hand goldens, the
+  * production-hash vs portable-string key equivalence, and short-doc /
+  * empty-doc safety. */
+class DupSpansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def stats(rows: Seq[(Long, String)], hashKeys: Boolean)
+      : Map[Long, (Long, Long, Boolean)] = {
+    import spark.implicits._
+    Dedup.duplicatedSpanStats(rows.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, hashKeys = hashKeys)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+  }
+
+  test("hand golden: cross-doc duplicated spans counted per instance") {
+    // doc 1 and doc 2 share the span "a b c"; doc 3 has no 3-gram
+    val rows = Seq(
+      (1L, "a b c d"),   // spans: "a b c", "b c d"
+      (2L, "x a b c"),   // spans: "x a b", "a b c"
+      (3L, "too short")) // 2 tokens -> no spans
+    val out = stats(rows, hashKeys = false)
+    assert(out(1L) == ((2L, 1L, true)))  // "a b c" duplicated
+    assert(out(2L) == ((2L, 1L, true)))
+    assert(out(3L) == ((0L, 0L, true)))  // no spans: kept (support)
+  }
+
+  test("within-doc repeats count toward global duplication") {
+    val rows = Seq((1L, "p q r p q r p q"))
+    // spans: [p q r][q r p][r p q][p q r][q r p][r p q] -> 6 spans,
+    // every span value occurs twice -> all 6 duplicated
+    val out = stats(rows, hashKeys = false)
+    assert(out(1L)._1 == 6L && out(1L)._2 == 6L)
+    // 6 < MinSpanSupport -> kept despite 100% duplication
+    assert(out(1L)._3 == true)
+  }
+
+  test("keep flips when a long doc is mostly corpus-duplicated spans") {
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens -> 28 spans
+    val rows = Seq((1L, boiler), (2L, boiler), (3L, "u v w x y z u2 v2 w2 x2"))
+    val out = stats(rows, hashKeys = false)
+    assert(out(1L) == ((28L, 28L, false))) // 28 >= support, 100% dup
+    assert(out(2L) == ((28L, 28L, false)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == true)
+  }
+
+  test("hashKeys=true (production) == hashKeys=false (portable), fixture-wide") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = stats(docs, hashKeys = true)
+    val b = stats(docs, hashKeys = false)
+    assert(a == b)
+    assert(a.values.exists(_._2 > 0L), "fixture should contain shared spans")
+  }
+}
