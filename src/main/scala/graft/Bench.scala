@@ -116,9 +116,12 @@ object Bench {
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = headline.map { name =>
       var rows = -1L
-      def once(): Double = {
+      // (seconds, succeeded): a failed sample must NOT contribute its
+      // (short) elapsed time to the min, or a fast transient failure
+      // would deflate the query's headline number while looking healthy
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        rows = try {
+        val n = try {
           val df = operatorOverrides.get(name)
             .map(_(spark))
             .getOrElse(SparkEntry.queries(name)(spark, sfDir))
@@ -128,14 +131,20 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1L
         }
-        (System.nanoTime() - t0) / 1e9
+        if (n >= 0) rows = n
+        ((System.nanoTime() - t0) / 1e9, n >= 0)
       }
-      val samples = (1 to qRepeats).map(_ => once())
-      val mn = samples.min
-      val med = samples.sorted.apply(samples.size / 2)
+      val all = (1 to qRepeats).map(_ => once())
+      val ok = all.filter(_._2).map(_._1)
+      // all samples failed -> publish -1 so the artifact shows the
+      // failure instead of a meaningless fast-crash time
+      val mn = if (ok.nonEmpty) ok.min else -1.0
+      val med = if (ok.nonEmpty) ok.sorted.apply(ok.size / 2) else -1.0
       medians(name) = med
+      val failures = all.count(!_._2)
       System.err.println(f"[bench] $name%-20s min ${mn}%7.2fs med ${med}%7.2fs rows=$rows " +
-        samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
+        all.map { case (s, o) => f"$s%.2f${if (o) "" else "!"}" }.mkString("[", " ", "]") +
+        (if (failures > 0) s" ($failures failed)" else ""))
       name -> mn
     } ++ {
       // flagship throughput on a synthetic FileRow table staged as parquet

@@ -401,26 +401,41 @@ object Dedup {
     * doc, how many of its word-`k`-gram span instances occur >= 2 times
     * in the whole corpus (counting all instances, own repeats included).
     *
-    * Plan at 10^12 tokens: explode spans → global span counts (partial
-    * aggregation absorbs hot boilerplate spans map-side) → equi-join back
-    * on the span key → per-doc count. With `hashKeys = true` (production
-    * default) every shuffled key is xxhash64's 8 bytes, never the span
-    * text; `hashKeys = false` keeps raw span strings so the q_dup_spans
-    * oracle replays the identical computation in DuckDB (the
-    * Sampling.portableHashSample pattern; a spec asserts both variants
-    * produce identical statistics). Docs with < k tokens emit no spans
-    * and report (0, 0, keep). */
+    * Plan at 10^12 tokens — the corpus is tokenized and exploded ONCE:
+    * both consumers (the global span count and the per-doc rollup)
+    * derive from the same (span, doc, c) pair-count aggregate, so their
+    * plans share one identical Exchange(span, id) subtree and Spark's
+    * ReuseExchange evaluates the explode exactly once (PlanSpec asserts
+    * the ReusedExchange — the same single-tokenization discipline as
+    * tfIdf; `sum(c)` genuinely needs c, so Catalyst cannot prune the
+    * inner count and break subtree identity the way a count(1) would).
+    * The pair-count aggregate also shrinks the span-keyed join to
+    * DISTINCT (span, doc) pairs — hot boilerplate spans collapse
+    * map-side instead of crossing the wire per instance. With `hashKeys
+    * = true` (production default) every shuffled key is xxhash64's 8
+    * bytes, never the span text; `hashKeys = false` keeps raw span
+    * strings so the q_dup_spans oracle replays the identical
+    * computation in DuckDB (the Sampling.portableHashSample pattern; a
+    * spec asserts both variants produce identical statistics). Docs
+    * with < k tokens emit no spans and report (0, 0, keep). */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, hashKeys: Boolean = true): DataFrame = {
+    // explicit isNotNull on the key: the final left-join infers it onto
+    // the probe branch only, which would make the two shared-subtree
+    // scans differ and break ReuseExchange; stating it at the source
+    // keeps both branches byte-identical (id is a key — null ids carry
+    // no stats either way)
     val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), k)).as("shingle"))
+        explode(wordShingles(col(textCol), k)).as("shingle"))
+      .where(col("id").isNotNull)
     val keyed = (if (hashKeys) sh.select(col("id"), xxhash64(col("shingle")).as("span"))
                  else sh.select(col("id"), col("shingle").as("span")))
-    val counts = keyed.groupBy("span").agg(count(lit(1)).as("n"))
-    val perDoc = keyed.join(counts, "span")
+    val pairCounts = keyed.groupBy("span", "id").agg(count(lit(1)).as("c"))
+    val global = pairCounts.groupBy("span").agg(sum(col("c")).as("n"))
+    val perDoc = pairCounts.join(global, "span")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("n") >= 2, col("c")).otherwise(0L)).as("dup_spans"))
     df.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_spans", "dup_spans"))

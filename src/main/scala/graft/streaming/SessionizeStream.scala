@@ -26,14 +26,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Cross-BATCH disorder caveat (exact batch-equality contract): equality
   * with [[graft.operators.Sessionize]].batch is guaranteed when each
   * user's events arrive in order ACROSS microbatches (any disorder
-  * within a batch is sorted away). A within-watermark event that arrives
-  * in a later batch and predates the open session by more than the gap
-  * becomes its own singleton session (it belongs to an earlier, possibly
-  * already-emitted session that streaming can neither reopen nor merge
-  * into — batch would have grouped it with its true neighbors); one that
-  * lands within the gap of the open session's start extends that session
-  * backwards. Both are the closest approximation one-pass streaming
-  * state admits; only the in-order-across-batches case is bit-equal.
+  * within a batch is sorted away). Within-watermark events that arrive
+  * in a later batch and predate the open session by more than the gap
+  * are sessionized among THEMSELVES with normal gap semantics (the
+  * straggler chain), and merge into the open session if the chain
+  * reaches within the gap of its start — so a single batch is always
+  * handled batch-equivalently. What remains divergent is inherent to
+  * one-pass streaming: a straggler whose true neighbors were already
+  * EMITTED in an earlier batch closes as its own (possibly split)
+  * session — batch would have grouped them.
   */
 object SessionizeStream {
 
@@ -58,6 +59,14 @@ object SessionizeStream {
   def fold(open: Option[OpenSession], evs: Seq[(Long, Double)], gapUs: Long)
       : (Seq[OpenSession], Option[OpenSession]) = {
     var cur = open
+    // chain of cross-batch stragglers that predate the open session by
+    // more than the gap: they session among THEMSELVES with normal gap
+    // semantics (events are sorted, so the chain grows in order), and if
+    // the chain reaches within the gap of the open session's start it
+    // merges into it at the end — same-batch handling is then fully
+    // batch-equivalent; only disorder against already-EMITTED sessions
+    // remains inherently divergent (see scaladoc)
+    var straggler: Option[OpenSession] = None
     val closed = Seq.newBuilder[OpenSession]
     evs.sortBy(_._1).foreach { case (t, v) =>
       cur match {
@@ -65,16 +74,30 @@ object SessionizeStream {
           closed += s
           cur = Some(OpenSession(t, t, 1, v))
         case Some(s) if s.startUs - t > gapUs =>
-          // cross-batch straggler predating the open session by more than
-          // the gap: it cannot belong to the open session, and its true
-          // session may already be emitted — close it as a singleton
-          // rather than corrupting the open session's span (see scaladoc)
-          closed += OpenSession(t, t, 1, v)
+          straggler match {
+            case Some(st) if t - st.lastUs > gapUs =>
+              closed += st
+              straggler = Some(OpenSession(t, t, 1, v))
+            case Some(st) =>
+              straggler = Some(OpenSession(st.startUs, math.max(st.lastUs, t),
+                st.n + 1, st.total + v))
+            case None =>
+              straggler = Some(OpenSession(t, t, 1, v))
+          }
         case Some(s) =>
           cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.lastUs, t),
             s.n + 1, s.total + v))
         case None =>
           cur = Some(OpenSession(t, t, 1, v))
+      }
+    }
+    straggler.foreach { st =>
+      cur match {
+        case Some(s) if s.startUs - st.lastUs <= gapUs =>
+          // the chain reached the open session: one contiguous session
+          cur = Some(OpenSession(math.min(st.startUs, s.startUs), s.lastUs,
+            s.n + st.n, s.total + st.total))
+        case _ => closed += st
       }
     }
     (closed.result(), cur)

@@ -636,6 +636,32 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(streamed == batch, s"\nstreamed=$streamed\nbatch=$batch")
   }
 
+  test("sessionize fold: cross-batch straggler chain sessions, merges when connected") {
+    import graft.streaming.SessionizeStream.{fold, OpenSession}
+    val gap = 30L
+    val open = OpenSession(1000L, 1010L, 2, 5.0)
+    // two stragglers within the gap of EACH OTHER but far before the open
+    // session: one merged session (not two singletons)
+    val (closed1, cur1) = fold(Some(open), Seq((10L, 1.0), (20L, 2.0)), gap)
+    assert(closed1 == Seq(OpenSession(10L, 20L, 2, 3.0)), closed1)
+    assert(cur1.contains(open))
+    // straggler chain REACHES the open session's start: everything merges
+    // into one contiguous session (batch-equivalent), nothing closes
+    val (closed2, cur2) = fold(Some(open), Seq((945L, 1.0), (975L, 2.0)), gap)
+    assert(closed2.isEmpty, closed2)
+    assert(cur2.contains(OpenSession(945L, 1010L, 4, 8.0)), cur2)
+    // two DISCONNECTED straggler chains: first closes, second closes too
+    // (it stays > gap from the open session's start)
+    val (closed3, cur3) = fold(Some(open), Seq((10L, 1.0), (100L, 2.0)), gap)
+    assert(closed3.toSet == Set(OpenSession(10L, 10L, 1, 1.0),
+      OpenSession(100L, 100L, 1, 2.0)), closed3)
+    assert(cur3.contains(open))
+    // straggler chain + a normal late-merging event in the same batch
+    val (closed4, cur4) = fold(Some(open), Seq((10L, 1.0), (980L, 2.0)), gap)
+    assert(closed4 == Seq(OpenSession(10L, 10L, 1, 1.0)), closed4)
+    assert(cur4.contains(OpenSession(980L, 1010L, 3, 7.0)), cur4)
+  }
+
   test("streaming curation filter == batch composition on the same rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcurst").toString

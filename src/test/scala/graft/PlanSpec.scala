@@ -158,9 +158,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("dup-span stats: partial-aggregated span counts, equi-join, no cartesian") {
+  test("dup-span stats: one tokenization (ReusedExchange), partial agg, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(operators.Dedup.duplicatedSpanStats(docs, "doc_id", "text"))
+    val df = operators.Dedup.duplicatedSpanStats(docs, "doc_id", "text")
+    df.collect() // under AQE, exchange reuse lands in the FINAL plan
+    val p = plan(df)
+    // global span count and per-doc rollup must share the pair-count
+    // exchange — the explode/tokenize runs once, not twice
+    assert(p.contains("ReusedExchange"), p)
     // hot boilerplate spans must combine map-side before the shuffle
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -136,4 +136,17 @@ class RobustnessSpec extends AnyFunSuite {
       left, right, "k", "k", "lts", "rts", Seq("v")).collect()
     assert(aj.length == 1 && aj(0).isNullAt(3))
   }
+
+  test("round-4 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.GopherLexical.signals(empty, "doc_id", "text").count() == 0)
+    assert(graft.operators.Dedup.duplicatedSpanStats(empty, "doc_id", "text").count() == 0)
+    // null-text rows flow through both with zero counts
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val gq = graft.operators.GopherLexical.signals(nulls, "doc_id", "text").collect()(0)
+    assert(gq.getAs[Long]("n_words") == 0L)
+    val ds = graft.operators.Dedup.duplicatedSpanStats(nulls, "doc_id", "text").collect()(0)
+    assert(ds.getLong(1) == 0L && ds.getLong(2) == 0L && ds.getBoolean(3))
+  }
 }

@@ -30,13 +30,17 @@ class RepetitionSpec extends AnyFunSuite {
   }
 
   test("top-2-gram tie-break: equal counts pick the char-heavier gram") {
-    // "aa bb" and "bb aa" both occur twice -> chars tie-breaks (both 10
-    // here), then a longer gram at the same count must win the chars slot
+    // equal-count AND equal-chars ties (any tie-break passes these two —
+    // they pin only that a tied gram's chars are reported)
     val s = Repetition.repStats("aa bb aa bb aa")
     assert(s.top_2gram_cnt == 2 && s.top_2gram_chars == 10)
     val t = Repetition.repStats("xyzzy q xyzzy q xyzzy")
-    // "xyzzy q" x2 (7 cp each = 14) vs "q xyzzy" x2 (14): tie at 14
     assert(t.top_2gram_cnt == 2 && t.top_2gram_chars == 14)
+    // the REAL tie-break case: "aaaa b" and "c d" both occur twice with
+    // DIFFERENT instance chars (12 vs 6) — lexicographic (count, chars)
+    // max must pick 12, matching DuckDB's max(struct_pack(c, ch))
+    val u = Repetition.repStats("aaaa b aaaa b c d c d")
+    assert(u.top_2gram_cnt == 2 && u.top_2gram_chars == 12, u.toString)
   }
 
   test("gram rules need MinGramSupport; below it short docs stay kept") {
