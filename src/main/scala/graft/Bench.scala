@@ -79,7 +79,11 @@ object Bench {
       // production variant: 8-byte xxhash64 span keys on the shuffle (the
       // harness query keeps raw strings only so DuckDB can replay it)
       "q_dup_spans" -> (s => Dedup.duplicatedSpanStats(
-        docsDf(s), "doc_id", "text", k = 5, hashKeys = true)))
+        docsDf(s), "doc_id", "text", k = 5, hashKeys = true)),
+      // production variant: xxhash64 quota ranking + hashed span keys
+      "q_curation" -> (s => graft.operators.Curate.pipeline(
+        docsDf(s), "doc_id", "text", "lang", quota = 100, budget = 256,
+        portable = false)))
 
     // Timing via bare count() would let Catalyst prune the final Project
     // (sha2 + keep never computed); hashing every column of every row

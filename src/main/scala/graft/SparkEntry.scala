@@ -813,11 +813,26 @@ object SparkEntry {
         |$counts,
         |kept AS (SELECT r.doc_id, r.lang, r.text_dedup
         |  FROM rebuilt r JOIN rep_counts USING (doc_id) WHERE $keep),
+        |sp_toks AS (SELECT doc_id, regexp_split_to_array(trim(text_dedup), '\\s+') AS t
+        |  FROM kept),
+        |sp_sh AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM sp_toks WHERE len(t) >= 5)),
+        |sp_gc AS (SELECT span, count(*) AS n FROM sp_sh GROUP BY 1),
+        |sp_pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_spans
+        |  FROM sp_sh JOIN sp_gc USING (span) GROUP BY 1),
+        |sp_full AS (SELECT k.doc_id, k.lang, k.text_dedup,
+        |    CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans
+        |  FROM kept k LEFT JOIN sp_pd USING (doc_id)),
+        |kept2 AS (SELECT doc_id, lang, text_dedup FROM sp_full
+        |  WHERE ${Dedup.duckSpanKeepSql}),
         |sampled AS (SELECT doc_id, lang, text_dedup FROM (
         |    SELECT doc_id, lang, text_dedup,
         |      row_number() OVER (PARTITION BY lang
         |        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rn
-        |    FROM kept) WHERE rn <= 100),
+        |    FROM kept2) WHERE rn <= 100),
         |toks AS (SELECT doc_id, lang, CAST(CASE WHEN length(trim(text_dedup)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text_dedup), '\\s+')) END AS BIGINT) AS n_tokens
         |  FROM sampled),

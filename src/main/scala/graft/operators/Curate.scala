@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation — the composed training-data pipeline:
   *
   *   exact dedup → global paragraph dedup → Gopher repetition gate →
-  *   per-language quota sampling → token-budget sequence packing.
+  *   inter-document duplicated-span gate → per-language quota sampling →
+  *   token-budget sequence packing.
   *
   * Every stage is an existing operator; the value of the composition is
   * that the WHOLE chain stays one lazy DataFrame DAG (Catalyst sees
@@ -26,11 +27,12 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** (doc_id, n_tokens, seq_id, seq_offset, straddles, lang) of the
-    * curated, sampled, packed corpus. `portableQuota = true` ranks the
-    * quota by md5 (DuckDB-replayable); production uses xxhash64. */
+    * curated, sampled, packed corpus. `portable = true` ranks the quota
+    * by md5 and keys the span gate on raw span strings (DuckDB-
+    * replayable); production uses xxhash64 for both. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
                langCol: String, quota: Int = 100, budget: Long = 256,
-               portableQuota: Boolean = true): DataFrame = {
+               portable: Boolean = true): DataFrame = {
     val ex = Dedup.dropExactDuplicates(docs, idCol, textCol)
     val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol)
       .join(ex.select(col(idCol), col(langCol)), Seq(idCol))
@@ -39,8 +41,17 @@ object Curate {
       .where(col("rep_keep"))
       .select(col(idCol))
     val kept = pd.join(keepIds, Seq(idCol), "left_semi")
-    val sampled = Sampling.quotaSample(kept, langCol, idCol, quota,
-      portable = portableQuota)
+    // inter-document duplicated-span gate over the repetition-kept,
+    // paragraph-deduped corpus (ExactSubstr-lite: docs that are mostly
+    // corpus-boilerplate spans leave the pool before sampling)
+    val spanIds = Dedup.duplicatedSpanStats(
+        kept.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol,
+        hashKeys = !portable)
+      .where(col("span_keep"))
+      .select(col(idCol))
+    val spanKept = kept.join(spanIds, Seq(idCol), "left_semi")
+    val sampled = Sampling.quotaSample(spanKept, langCol, idCol, quota,
+      portable = portable)
     Packing.packSequences(sampled, idCol, "text_dedup", budget)
       .join(sampled.select(col(idCol), col(langCol)), Seq(idCol))
   }
