@@ -9,13 +9,23 @@ import org.apache.spark.sql.functions._
   *   inter-document duplicated-span gate → per-language quota sampling →
   *   token-budget sequence packing.
   *
-  * Every stage is an existing operator; the value of the composition is
-  * that the WHOLE chain stays one lazy DataFrame DAG (Catalyst sees
-  * through all five stages — no materialization barriers between them)
-  * and that every stage is individually DuckDB-replayable, so the
-  * q_curation oracle hash-checks the ENTIRE pipeline end-to-end
-  * cross-engine: same survivors, same rebuilt texts, same keep verdicts,
-  * same sampled set, same sequence assignment.
+  * Every stage is an existing operator and every stage is individually
+  * DuckDB-replayable, so the q_curation oracle hash-checks the ENTIRE
+  * pipeline end-to-end cross-engine: same survivors, same rebuilt
+  * texts, same keep verdicts, same sampled set, same sequence
+  * assignment.
+  *
+  * Materialization: the chain is NOT one lazy DAG — it has two eager
+  * barriers, deliberately. `kept` (post-repetition survivors) feeds
+  * THREE downstream consumers (span gate, span semi-join, quota), and
+  * quota/packing each evaluate their input more than once; left lazy,
+  * the exact+paragraph dedup chain re-executes multiplicatively (~3x
+  * wall measured at sf0.1 when the span gate was added). `kept` and
+  * `sampled` are therefore localCheckpoint(true)-materialized — the
+  * same barrier packing already creates internally (its offsets
+  * collect makes pipeline() eager regardless). At 10^12 rows stage a
+  * curation pipeline through durable tables between phases instead of
+  * executor-local checkpoint blocks.
   *
   * Scale shape is the sum of its parts (each documented on its
   * operator): hash-keyed shuffles for the dedups (skew absorbed
@@ -40,7 +50,7 @@ object Curate {
         pd.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol)
       .where(col("rep_keep"))
       .select(col(idCol))
-    val kept = pd.join(keepIds, Seq(idCol), "left_semi")
+    val kept = pd.join(keepIds, Seq(idCol), "left_semi").localCheckpoint(true)
     // inter-document duplicated-span gate over the repetition-kept,
     // paragraph-deduped corpus (ExactSubstr-lite: docs that are mostly
     // corpus-boilerplate spans leave the pool before sampling)
@@ -51,7 +61,8 @@ object Curate {
       .select(col(idCol))
     val spanKept = kept.join(spanIds, Seq(idCol), "left_semi")
     val sampled = Sampling.quotaSample(spanKept, langCol, idCol, quota,
-      portable = portable)
+        portable = portable)
+      .localCheckpoint(true) // reused by packing (2 passes) + the lang join
     Packing.packSequences(sampled, idCol, "text_dedup", budget)
       .join(sampled.select(col(idCol), col(langCol)), Seq(idCol))
   }

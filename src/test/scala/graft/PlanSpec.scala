@@ -218,13 +218,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
-  test("curation DAG: no cartesian products, quota semi-join broadcasts") {
+  test("curation stages: no cartesian products, quota semi-join broadcasts") {
+    // Curate.pipeline checkpoints its reused frames (see its scaladoc),
+    // so the returned plan shows only the final join over checkpointed
+    // leaves; the join-shape properties are asserted on the SAME stage
+    // composition pre-barrier (dedup chain -> rep gate -> span gate ->
+    // quota), mirroring pipeline()'s lazy prefix
+    import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(operators.Curate.pipeline(docs, "doc_id", "text", "lang",
-      quota = 10, budget = 64))
+    val ex = operators.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val pd = operators.Dedup.dropDuplicateParagraphs(ex, "doc_id", "text")
+      .join(ex.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val keepIds = operators.Repetition.signals(
+        pd.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
+      .where(col("rep_keep")).select(col("doc_id"))
+    val kept = pd.join(keepIds, Seq("doc_id"), "left_semi")
+    val spanIds = operators.Dedup.duplicatedSpanStats(
+        kept.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
+      .where(col("span_keep")).select(col("doc_id"))
+    val sampled = operators.Sampling.quotaSample(
+      kept.join(spanIds, Seq("doc_id"), "left_semi"), "lang", "doc_id", 10)
+    val p = plan(sampled)
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the full pipeline still plans without any cartesian in its tail
+    val tail = plan(operators.Curate.pipeline(docs, "doc_id", "text", "lang",
+      quota = 10, budget = 64))
+    assert(!tail.contains("CartesianProduct"), tail.take(3000))
   }
 
   test("near-dup candidate joins are equi-joins, never cartesian/nested-loop") {
