@@ -83,7 +83,16 @@ object Bench {
       // production variant: xxhash64 quota ranking + hashed span keys
       "q_curation" -> (s => graft.operators.Curate.pipeline(
         docsDf(s), "doc_id", "text", "lang", quota = 100, budget = 256,
-        portable = false)))
+        portable = false)),
+      // production variant: 8-byte hashed shingles in the broadcast set
+      "q_decontaminate" -> (s => {
+        val d = docsDf(s)
+        graft.operators.Decontaminate.contaminatedIds(
+            d.where(col("doc_id") % 7 =!= 0),
+            d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      }))
 
     // Timing via bare count() would let Catalyst prune the final Project
     // (sha2 + keep never computed); hashing every column of every row

@@ -620,11 +620,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs with doc_id % 7 == 0 play the eval
-      // set; training docs sharing any 5-gram with it are flagged
+      // set; training docs sharing any 5-gram with it are flagged.
+      // hashShingles=false keeps raw strings so DuckDB replays the join
+      // verbatim; the bench times the hashed production variant
       val d = docs(s, dir)
       Decontaminate.contaminatedIds(
           d.where(col("doc_id") % 7 =!= 0),
-          d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5,
+          hashShingles = false)
         .withColumnRenamed("id", "doc_id")
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
     }),

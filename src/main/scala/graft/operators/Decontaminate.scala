@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find training documents that share at least
@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * eval shingle set outgrows executor memory; the join then falls back to
   * a shuffled semi-join on the shingle key (still equi, never all-pairs).
   *
-  * Same shingle construction as [[Dedup.wordShingles]] / q_ngram_jaccard,
-  * so the DuckDB oracle replays it verbatim.
+  * `hashShingles = true` (production default) joins on xxhash64 of the
+  * shingle — the broadcast set is 8 bytes per distinct shingle instead
+  * of the string (~10x smaller for 5-gram text), and a hash collision
+  * can only ADD a contaminated id (flagging an extra doc is safe in
+  * this direction; at 64 bits it is also vanishingly rare).
+  * `hashShingles = false` keeps raw strings so the DuckDB oracle
+  * replays the identical join ([[Dedup.wordShingles]] / q_ngram_jaccard
+  * construction); a spec asserts both variants agree on the fixture.
   */
 object Decontaminate {
 
@@ -24,16 +30,20 @@ object Decontaminate {
     * Output column: `id`. */
   def contaminatedIds(train: DataFrame, evalSet: DataFrame,
                       idCol: String, textCol: String, k: Int = 5,
-                      broadcastEval: Boolean = true): DataFrame = {
+                      broadcastEval: Boolean = true,
+                      hashShingles: Boolean = true): DataFrame = {
+    def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
     val evalShingles = {
       val s = evalSet
-        .select(explode(Dedup.wordShingles(col(textCol), k)).as("shingle"))
+        .select(explode(Dedup.wordShingles(col(textCol), k)).as("sh0"))
+        .select(key(col("sh0")).as("shingle"))
         .distinct()
       if (broadcastEval) broadcast(s) else s
     }
     train
       .select(col(idCol).as("id"),
-        explode(Dedup.wordShingles(col(textCol), k)).as("shingle"))
+        explode(Dedup.wordShingles(col(textCol), k)).as("sh0"))
+      .select(col("id"), key(col("sh0")).as("shingle"))
       .join(evalShingles, Seq("shingle"), "left_semi")
       .select("id")
       .distinct()

@@ -1,16 +1,16 @@
 package graft.streaming
 
-import graft.operators.{Repetition, Sampling}
+import graft.operators.{GopherLexical, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming twin of the curation pipeline's per-row prefix — the stages
   * that survive an unbounded stream: watermark-bounded exact dedup →
-  * Gopher repetition gate → deterministic hash sampling. (The global
-  * stages — paragraph dedup across all history, per-stratum quotas,
-  * sequence packing — are inherently batch: they need a full pass or a
-  * keyed external store, so the stream ends where [[graft.operators.Curate]]
-  * picks up.)
+  * Gopher repetition gate → Gopher lexical gate → deterministic hash
+  * sampling. (The global stages — paragraph dedup across all history,
+  * inter-document span counts, per-stratum quotas, sequence packing —
+  * are inherently batch: they need a full pass or a keyed external
+  * store, so the stream ends where [[graft.operators.Curate]] picks up.)
   *
   * All three stages are stateless or watermark-bounded, so the stream
   * runs at ingest speed with O(distinct-in-horizon) state and restarts
@@ -23,12 +23,25 @@ object CurateStream {
 
   /** `rows`: streaming DataFrame with `textCol` and event-time `tsCol`.
     * Keeps first occurrences that pass the repetition gate and fall in
-    * the num/den hash sample; adds `content_hash`. */
+    * the num/den hash sample; adds `content_hash`. `lexicalGate` also
+    * applies [[GopherLexical]]'s per-row keep (pure Catalyst, so it
+    * composes into the streaming plan with no extra state; off by
+    * default — the gate's 50-word minimum is tuned for full documents,
+    * not arbitrary stream rows). */
   def filtered(rows: DataFrame, textCol: String, tsCol: String,
                num: Int, den: Int,
-               watermarkDelay: String = "10 minutes"): DataFrame =
-    Sampling.hashSample(
-      DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
-        .where(Repetition.keepColumn(col(textCol))),
-      Seq(col("content_hash")), num, den)
+               watermarkDelay: String = "10 minutes",
+               lexicalGate: Boolean = false): DataFrame = {
+    val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
+      .where(Repetition.keepColumn(col(textCol)))
+    val gated =
+      if (!lexicalGate) deduped
+      else {
+        val withCounts = GopherLexical.countColumns(col(textCol))
+          .foldLeft(deduped) { case (d, (n, c)) => d.withColumn(n, c) }
+        withCounts.where(GopherLexical.keepColumn)
+          .drop(GopherLexical.countColumns(col(textCol)).map(_._1): _*)
+      }
+    Sampling.hashSample(gated, Seq(col("content_hash")), num, den)
+  }
 }

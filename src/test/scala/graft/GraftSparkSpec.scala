@@ -696,6 +696,43 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming lexical gate == batch GopherLexical keep on the same rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftlexst").toString
+    val t0 = 1700000000L
+    def row(id: Long, text: String, sec: Long) =
+      (id, text, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + sec)))
+    // one doc passing every gate (60 DISTINCT words — repetitive text
+    // would fall to the upstream repetition gate first), one failing the
+    // lexical word-count minimum (short), one failing the repetition gate
+    val clean = ("the be " + (0 until 58).map(i => f"word$i%02d").mkString(" "))
+    val rows = Seq(
+      row(1, clean, 0),
+      row(2, "short text only", 1),
+      row(3, Seq.fill(30)("spam ham").mkString(" "), 2))
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1, lexicalGate = true)
+      .writeStream.format("memory").queryName("lex_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lex_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L), streamed)
+    // schema contract: the count columns are dropped again after the gate
+    assert(spark.table("lex_stream").columns.count(_ == "n_words") == 0)
+    // batch twin over the same rows agrees
+    val batch = operators.GopherLexical.signals(
+        rows.toDF("doc_id", "text", "ts")
+          .where(operators.Repetition.keepColumn(col("text"))), "doc_id", "text")
+      .where(col("gq_keep")).select("doc_id").as[Long].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("curation pipeline end-to-end: dedup -> para-dedup -> rep gate -> quota -> pack") {
     import spark.implicits._
     val docs = Seq(

@@ -18,6 +18,19 @@ class DecontaminateSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("hashShingles=true (production, 8-byte keys) == raw-string join") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val hashed = Decontaminate.contaminatedIds(
+      docs, evalSet, "doc_id", "text", hashShingles = true).as[Long].collect().toSet
+    val raw = Decontaminate.contaminatedIds(
+      docs, evalSet, "doc_id", "text", hashShingles = false).as[Long].collect().toSet
+    assert(hashed == raw)
+    assert(hashed.nonEmpty)
+  }
+
   test("broadcastEval=false: identical contaminated set, shuffled (non-BHJ) plan") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
