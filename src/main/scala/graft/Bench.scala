@@ -228,7 +228,9 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val qsMed = jsonMap(medians)
-    val total = results.map(_._2).sum
+    // all-failed queries publish -1 per-query; exclude the sentinel from
+    // the headline sum (a broken query must not make "total" look faster)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val rps = if (pipelineSec > 0) pipelineRows / pipelineSec else 0.0
     val rpsMed = if (pipelineMed > 0) pipelineRows / pipelineMed else 0.0
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_median":$qsMed,"samples_per_query":$qRepeats,"pipeline_synth_median":${f"$pipelineMed%.3f"},"rows_per_sec":${f"$rps%.1f"},"rows_per_sec_median":${f"$rpsMed%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")

@@ -817,7 +817,7 @@ object SparkEntry {
         |kept AS (SELECT r.doc_id, r.lang, r.text_dedup
         |  FROM rebuilt r JOIN rep_counts USING (doc_id) WHERE $keep),
         |sp_toks AS (SELECT doc_id, regexp_split_to_array(trim(text_dedup), '\\s+') AS t
-        |  FROM kept),
+        |  FROM kept WHERE doc_id IS NOT NULL),
         |sp_sh AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
         |        FROM sp_toks WHERE len(t) >= 5)),
@@ -932,7 +932,7 @@ object SparkEntry {
       // (the q_ngram_jaccard slicing); keep rendered from Dedup's atoms
       s"""WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |sh AS (
         |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i

@@ -36,13 +36,17 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** (doc_id, n_tokens, seq_id, seq_offset, straddles, lang) of the
-    * curated, sampled, packed corpus. `portable = true` ranks the quota
-    * by md5 and keys the span gate on raw span strings (DuckDB-
-    * replayable); production uses xxhash64 for both. */
-  def pipeline(docs: DataFrame, idCol: String, textCol: String,
-               langCol: String, quota: Int = 100, budget: Long = 256,
-               portable: Boolean = true): DataFrame = {
+  /** The pipeline's stages up to (and including) the quota sample, with
+    * the materialization barrier injectable: pipeline() passes
+    * `localCheckpoint(true)`; PlanSpec passes identity so the join
+    * shapes of the REAL composition stay plan-assertable (a hand-copied
+    * replica in the test would silently drift from this body).
+    * `idCol` must be a non-null key (input_hint contract) — the span
+    * gate's semi-join and packing's cast both treat null as no-match. */
+  private[graft] def sampledStage(docs: DataFrame, idCol: String,
+                                  textCol: String, langCol: String,
+                                  quota: Int, portable: Boolean,
+                                  barrier: DataFrame => DataFrame): DataFrame = {
     val ex = Dedup.dropExactDuplicates(docs, idCol, textCol)
     val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol)
       .join(ex.select(col(idCol), col(langCol)), Seq(idCol))
@@ -50,7 +54,7 @@ object Curate {
         pd.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol)
       .where(col("rep_keep"))
       .select(col(idCol))
-    val kept = pd.join(keepIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    val kept = barrier(pd.join(keepIds, Seq(idCol), "left_semi"))
     // inter-document duplicated-span gate over the repetition-kept,
     // paragraph-deduped corpus (ExactSubstr-lite: docs that are mostly
     // corpus-boilerplate spans leave the pool before sampling)
@@ -60,8 +64,18 @@ object Curate {
       .where(col("span_keep"))
       .select(col(idCol))
     val spanKept = kept.join(spanIds, Seq(idCol), "left_semi")
-    val sampled = Sampling.quotaSample(spanKept, langCol, idCol, quota,
-        portable = portable)
+    Sampling.quotaSample(spanKept, langCol, idCol, quota, portable = portable)
+  }
+
+  /** (doc_id, n_tokens, seq_id, seq_offset, straddles, lang) of the
+    * curated, sampled, packed corpus. `portable = true` ranks the quota
+    * by md5 and keys the span gate on raw span strings (DuckDB-
+    * replayable); production uses xxhash64 for both. */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, quota: Int = 100, budget: Long = 256,
+               portable: Boolean = true): DataFrame = {
+    val sampled = sampledStage(docs, idCol, textCol, langCol, quota, portable,
+        _.localCheckpoint(true))
       .localCheckpoint(true) // reused by packing (2 passes) + the lang join
     Packing.packSequences(sampled, idCol, "text_dedup", budget)
       .join(sampled.select(col(idCol), col(langCol)), Seq(idCol))

@@ -420,11 +420,13 @@ object Dedup {
     * with < k tokens emit no spans and report (0, 0, keep). */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, hashKeys: Boolean = true): DataFrame = {
-    // explicit isNotNull on the key: the final left-join infers it onto
-    // the probe branch only, which would make the two shared-subtree
-    // scans differ and break ReuseExchange; stating it at the source
-    // keeps both branches byte-identical (id is a key — null ids carry
-    // no stats either way)
+    // explicit isNotNull on the key, for two reasons: (a) the final
+    // left-join infers it onto the probe branch only, which would make
+    // the two shared-subtree scans differ and break ReuseExchange;
+    // (b) it is part of the FROZEN semantics — a null-id row's spans do
+    // not contribute to the global duplication counts (the DuckDB twin
+    // filters identically); null-id rows still appear in the output
+    // with (0, 0, keep) via the left join
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), k)).as("shingle"))
       .where(col("id").isNotNull)

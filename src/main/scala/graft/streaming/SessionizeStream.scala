@@ -68,10 +68,26 @@ object SessionizeStream {
     // remains inherently divergent (see scaladoc)
     var straggler: Option[OpenSession] = None
     val closed = Seq.newBuilder[OpenSession]
+    // Resolve the pending straggler chain against session `s` WHENEVER
+    // `s` stops being extendable — both when a later event closes it
+    // mid-batch and at end of fold. Without the mid-batch resolution a
+    // chain that connected to a backward-extended open session would be
+    // emitted separately, splitting what batch computes as one session.
+    def resolveInto(s: OpenSession): OpenSession = straggler match {
+      case Some(st) if s.startUs - st.lastUs <= gapUs =>
+        straggler = None
+        OpenSession(math.min(st.startUs, s.startUs), s.lastUs,
+          s.n + st.n, s.total + st.total)
+      case Some(st) =>
+        closed += st
+        straggler = None
+        s
+      case None => s
+    }
     evs.sortBy(_._1).foreach { case (t, v) =>
       cur match {
         case Some(s) if t - s.lastUs > gapUs =>
-          closed += s
+          closed += resolveInto(s)
           cur = Some(OpenSession(t, t, 1, v))
         case Some(s) if s.startUs - t > gapUs =>
           straggler match {
@@ -91,15 +107,7 @@ object SessionizeStream {
           cur = Some(OpenSession(t, t, 1, v))
       }
     }
-    straggler.foreach { st =>
-      cur match {
-        case Some(s) if s.startUs - st.lastUs <= gapUs =>
-          // the chain reached the open session: one contiguous session
-          cur = Some(OpenSession(math.min(st.startUs, s.startUs), s.lastUs,
-            s.n + st.n, s.total + st.total))
-        case _ => closed += st
-      }
-    }
+    cur = cur.map(resolveInto)
     (closed.result(), cur)
   }
 

@@ -660,6 +660,14 @@ class GraftSparkSpec extends AnyFunSuite {
     val (closed4, cur4) = fold(Some(open), Seq((10L, 1.0), (980L, 2.0)), gap)
     assert(closed4 == Seq(OpenSession(10L, 10L, 1, 1.0)), closed4)
     assert(cur4.contains(OpenSession(980L, 1010L, 3, 7.0)), cur4)
+    // a later event CLOSES the open session mid-batch: the pending
+    // chain, connected via the backward-extended start, must merge into
+    // the closing session — not be emitted separately (batch would
+    // compute ONE session 900..1010)
+    val (closed5, cur5) = fold(Some(open),
+      Seq((900L, 1.0), (925L, 1.0), (950L, 1.0), (975L, 1.0), (2000L, 9.0)), gap)
+    assert(closed5 == Seq(OpenSession(900L, 1010L, 6, 9.0)), closed5)
+    assert(cur5.contains(OpenSession(2000L, 2000L, 1, 9.0)), cur5)
   }
 
   test("streaming curation filter == batch composition on the same rows") {

@@ -221,23 +221,13 @@ class PlanSpec extends AnyFunSuite {
   test("curation stages: no cartesian products, quota semi-join broadcasts") {
     // Curate.pipeline checkpoints its reused frames (see its scaladoc),
     // so the returned plan shows only the final join over checkpointed
-    // leaves; the join-shape properties are asserted on the SAME stage
-    // composition pre-barrier (dedup chain -> rep gate -> span gate ->
-    // quota), mirroring pipeline()'s lazy prefix
-    import org.apache.spark.sql.functions._
+    // leaves; the join-shape properties are asserted on the REAL stage
+    // composition with the barrier swapped for identity — same body,
+    // no checkpointed leaves hiding the stages
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val ex = operators.Dedup.dropExactDuplicates(docs, "doc_id", "text")
-    val pd = operators.Dedup.dropDuplicateParagraphs(ex, "doc_id", "text")
-      .join(ex.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val keepIds = operators.Repetition.signals(
-        pd.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
-      .where(col("rep_keep")).select(col("doc_id"))
-    val kept = pd.join(keepIds, Seq("doc_id"), "left_semi")
-    val spanIds = operators.Dedup.duplicatedSpanStats(
-        kept.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
-      .where(col("span_keep")).select(col("doc_id"))
-    val sampled = operators.Sampling.quotaSample(
-      kept.join(spanIds, Seq("doc_id"), "left_semi"), "lang", "doc_id", 10)
+    val sampled = operators.Curate.sampledStage(
+      docs, "doc_id", "text", "lang", quota = 10, portable = true,
+      barrier = identity)
     val p = plan(sampled)
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
