@@ -32,18 +32,19 @@ object Decontaminate {
                       idCol: String, textCol: String, k: Int = 5,
                       broadcastEval: Boolean = true,
                       hashShingles: Boolean = true): DataFrame = {
-    def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
+    // hashed path: token-wise span hashing, no shingle strings built
+    // (Dedup.wordShingleHashes — key equality == string equality)
+    def spans(df: DataFrame): Column =
+      if (hashShingles) Dedup.wordShingleHashes(col(textCol), k)
+      else Dedup.wordShingles(col(textCol), k)
     val evalShingles = {
       val s = evalSet
-        .select(explode(Dedup.wordShingles(col(textCol), k)).as("sh0"))
-        .select(key(col("sh0")).as("shingle"))
+        .select(explode(spans(evalSet)).as("shingle"))
         .distinct()
       if (broadcastEval) broadcast(s) else s
     }
     train
-      .select(col(idCol).as("id"),
-        explode(Dedup.wordShingles(col(textCol), k)).as("sh0"))
-      .select(col("id"), key(col("sh0")).as("shingle"))
+      .select(col(idCol).as("id"), explode(spans(train)).as("shingle"))
       .join(evalShingles, Seq("shingle"), "left_semi")
       .select("id")
       .distinct()

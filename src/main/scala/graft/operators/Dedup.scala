@@ -102,6 +102,24 @@ object Dedup {
   private def shingleHashes(textCol: Column, k: Int): Column =
     transform(wordShingles(textCol, k), s => xxhash64(s))
 
+  /** 64-bit span keys WITHOUT materializing the shingle strings: each
+    * token is hashed once, then every span key is xxhash64 over the
+    * k-token hash slice — O(tokens) hash work instead of O(tokens x k)
+    * string building. Key-equality is exactly string-shingle equality:
+    * tokens are space-free (split on \s+), so the single-space join is
+    * an injective encoding of the token sequence. NOT the same key
+    * VALUES as xxhash64(string shingle) — use only where the key is an
+    * engine-internal join handle (dup-span stats, decontamination), not
+    * where a frozen signature is replayed (minhash keeps shingleHashes). */
+  private[operators] def wordShingleHashes(textCol: Column, k: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val th = transform(toks, t => xxhash64(t))
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - lit(k)),
+        i => xxhash64(slice(th, i + 1, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Frozen per-permutation mix constants (splitmix64 of the index). */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -427,11 +445,18 @@ object Dedup {
     // not contribute to the global duplication counts (the DuckDB twin
     // filters identically); null-id rows still appear in the output
     // with (0, 0, keep) via the left join
-    val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), k)).as("shingle"))
-      .where(col("id").isNotNull)
-    val keyed = (if (hashKeys) sh.select(col("id"), xxhash64(col("shingle")).as("span"))
-                 else sh.select(col("id"), col("shingle").as("span")))
+    // hashKeys path hashes token-wise (wordShingleHashes) — no span
+    // strings are ever built; the portable path keeps the raw strings
+    // the oracle replays
+    val keyed =
+      if (hashKeys)
+        df.select(col(idCol).as("id"),
+            explode(wordShingleHashes(col(textCol), k)).as("span"))
+          .where(col("id").isNotNull)
+      else
+        df.select(col(idCol).as("id"),
+            explode(wordShingles(col(textCol), k)).as("span"))
+          .where(col("id").isNotNull)
     val pairCounts = keyed.groupBy("span", "id").agg(count(lit(1)).as("c"))
     val global = pairCounts.groupBy("span").agg(sum(col("c")).as("n"))
     val perDoc = pairCounts.join(global, "span")
