@@ -62,6 +62,47 @@ class GopherLexicalSpec extends AnyFunSuite {
     assert(signalsOf(tiny)("gq_keep") == false)
   }
 
+  test("fuzz: Catalyst counts == independent JVM reimplementation on 500 adversarial strings") {
+    import spark.implicits._
+    def cp(s: String) = s.codePointCount(0, s.length).toLong
+    def naive(text: String): Seq[Long] = {
+      val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val words = t.split("\\s+", -1).filterNot(_.isEmpty).toSeq
+      val lines = text.split("\n", -1).toSeq
+      var ne = 0L; var i = 0
+      while (i >= 0) { i = text.indexOf("...", i); if (i >= 0) { ne += 1; i += 3 } }
+      Seq(
+        words.size.toLong,
+        words.map(cp).sum,
+        words.count(_.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong,
+        GopherLexical.Stopwords.count(words.contains).toLong,
+        text.count(_ == '#').toLong,
+        ne,
+        lines.size.toLong,
+        lines.count(l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")).toLong,
+        lines.count(_.endsWith("...")).toLong)
+    }
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "ab #.\n-*•the😀é "
+    val texts = (0 until 500).map { i =>
+      val len = rnd.nextInt(50)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+      // avoid splitting the surrogate pair (RepetitionSpec pattern)
+      sb.toString.replace("\uDE00\uD83D", "..")
+        .replaceAll("\uD83D(?!\uDE00)", "x").replaceAll("(?<!\uD83D)\uDE00", "y")
+    }
+    val got = GopherLexical.signals(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.toSeq.slice(1, 10).map(_.asInstanceOf[Long]))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naive(t), s"mismatch on ${t.map(_.toInt)}")
+    }
+  }
+
   test("null and empty text are safe and dropped") {
     assert(signalsOf("")("n_words") == 0L)
     assert(signalsOf("")("gq_keep") == false)
