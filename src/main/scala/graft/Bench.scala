@@ -48,7 +48,7 @@ object Bench {
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard", "q_dup_spans",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
-      "q_stream_window", "q_sessionize", "q_quota_sample", "q_decontaminate",
+      "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation")
 
     // Several harness queries ALSO write coalesce(1) oracle dumps (the

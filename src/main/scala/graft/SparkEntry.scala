@@ -313,6 +313,34 @@ object SparkEntry {
       AsOfJoin.lastRightAsOf(orders, events, "o_custkey", "user_id",
         "ots", "ts", Seq("event_id", "event_type"))
     }),
+    "q_stream_asof" -> ((s, dir) => {
+      // J: streaming point-in-time enrichment — orders STREAM against the
+      // static deduped events timeline (broadcast binary-search, zero
+      // state); drained synchronously like q_stream_window. Must agree
+      // with DuckDB's native ASOF LEFT JOIN (values compared as VARCHAR
+      // — the stream lookup is type-erased by contract).
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+          col("event_id")).as("e"))
+        .select(col("user_id"), col("ts"),
+          col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
+      val schema = s.read.parquet(s"$dir/orders.parquet").schema
+      val orders = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("ots"))
+      val name = "q_stream_asof_sink"
+      val q = graft.streaming.AsOfStream.lastRightAsOf(s, orders, events,
+          "o_custkey", "user_id", "ots", "ts", Seq("event_id", "event_type"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
     "q_lang_dist" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))),
     "q_exact_dedup" -> ((s, dir) =>
@@ -856,6 +884,20 @@ object SparkEntry {
         |  CAST(o_orderdate AS TIMESTAMP) AS ots FROM orders)
         |SELECT o.o_orderkey, o.o_custkey, o.ots,
         |  e.event_id AS asof_event_id, e.event_type AS asof_event_type
+        |FROM o ASOF LEFT JOIN ev e
+        |  ON o.o_custkey = e.user_id AND e.ts <= o.ots""".stripMargin,
+    "q_stream_asof" ->
+      // same native ASOF join; the stream lookup is type-erased, so
+      // matched values compare as VARCHAR on both sides
+      """WITH ev AS (
+        |  SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+        |    arg_max(event_type, event_id) AS event_type
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ots FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.ots,
+        |  CAST(e.event_id AS VARCHAR) AS asof_event_id,
+        |  CAST(e.event_type AS VARCHAR) AS asof_event_type
         |FROM o ASOF LEFT JOIN ev e
         |  ON o.o_custkey = e.user_id AND e.ts <= o.ots""".stripMargin,
     "q_packing" ->

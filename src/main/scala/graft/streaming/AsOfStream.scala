@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming point-in-time enrichment — the feature-store lookup: for
+  * every event on the STREAM, the latest row of a bounded STATIC right
+  * side with `rightTs <= leftTs` on the same key (the streaming twin of
+  * [[graft.operators.AsOfJoin]]).
+  *
+  * Spark's stream-static joins do not support windowed/as-of semantics,
+  * and stateful two-stream joins would need the right side as a stream.
+  * For the common case — a dimension/feature table that fits the same
+  * budget as any broadcast join — the stateless form is strictly
+  * better: the right side is collected ONCE, sorted per key, broadcast;
+  * each microbatch row binary-searches its key's timeline. O(log n) per
+  * event, ZERO streaming state, no watermark interaction, works under
+  * every output mode.
+  *
+  * Semantics match [[graft.operators.AsOfJoin.lastRightAsOf]] exactly:
+  * `<=` convention, null keys/timestamps never match (right rows with
+  * null key/ts are dropped; left rows always pass through, unmatched →
+  * null), right (key, ts) must be unique (dedupe with max_by first).
+  * Matched values are returned CAST TO STRING (`asof_<col>` columns) —
+  * the broadcast timeline is type-erased; callers needing typed values
+  * cast back, and the q_stream_asof oracle casts identically.
+  */
+object AsOfStream {
+
+  private def toUs(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** `left` must be a STREAMING DataFrame; `right` a bounded static one. */
+  def lastRightAsOf(spark: SparkSession, left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTs: String, rightTs: String,
+                    rightVals: Seq[String]): DataFrame = {
+    // per-key timeline: ts ascending, values stringified
+    val collected = right
+      .select(col(rightKey).cast("long").as("k"),
+        col(rightTs).cast("timestamp").as("ts"),
+        array(rightVals.map(c => col(c).cast("string")): _*).as("vals"))
+      .where(col("k").isNotNull && col("ts").isNotNull)
+      .collect()
+    val timeline: Map[Long, (Array[Long], Array[Seq[String]])] = collected
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        val sorted = rows.map(r => (toUs(r.getTimestamp(1)), r.getSeq[String](2)))
+          .sortBy(_._1)
+        k -> (sorted.map(_._1), sorted.map(_._2))
+      }
+    val bc = spark.sparkContext.broadcast(timeline)
+    val lookup = udf((k: java.lang.Long, ts: java.sql.Timestamp) => {
+      if (k == null || ts == null) null
+      else bc.value.get(k.longValue) match {
+        case None => null
+        case Some((tss, vals)) =>
+          val t = toUs(ts)
+          // rightmost index with tss(i) <= t
+          var lo = 0
+          var hi = tss.length - 1
+          var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans < 0) null else vals(ans)
+      }
+    })
+    val leftCols = left.columns.map(col)
+    val asofCols = rightVals.zipWithIndex.map { case (v, i) =>
+      element_at(col("graft_asof"), i + 1).as(s"asof_$v")
+    }
+    left
+      .withColumn("graft_asof",
+        lookup(col(leftKey).cast("long"), col(leftTs).cast("timestamp")))
+      .select(leftCols ++ asofCols: _*)
+  }
+}

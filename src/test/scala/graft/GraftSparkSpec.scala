@@ -704,6 +704,43 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming as-of enrichment == batch as-of join (stringified), nulls never match") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftasofst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // right timeline incl. a null-key and null-ts row (must never match)
+    val right = Seq((Some(1L), Some(t(5)), 100L, "a"), (Some(1L), Some(t(8)), 101L, "b"),
+      (Some(2L), Some(t(9)), 102L, "c"), (Option.empty[Long], Some(t(1)), 103L, "nk"),
+      (Some(1L), Option.empty[java.sql.Timestamp], 104L, "nt"))
+      .toDF("k", "rts", "rid", "tag")
+    val left = Seq((100L, 1L, t(10)), (101L, 1L, t(5)), (102L, 2L, t(7)),
+      (103L, 3L, t(4))).toDF("id", "k", "lts")
+    left.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("id LONG, k LONG, lts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.AsOfStream.lastRightAsOf(spark, stream, right,
+        "k", "k", "lts", "rts", Seq("rid", "tag"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("asof_stream").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), Option(r.getString(4)))))
+      .toMap
+    assert(streamed == Map(
+      100L -> ((Some("101"), Some("b"))),
+      101L -> ((Some("100"), Some("a"))), // <= convention: equal ts matches
+      102L -> ((None, None)),             // only right event is later
+      103L -> ((None, None))))            // key never on the right
+    // batch twin (values stringified to the stream's type-erased contract)
+    val batch = operators.AsOfJoin.lastRightAsOf(left, right, "k", "k",
+        "lts", "rts", Seq("rid", "tag"))
+      .select(col("id"), col("asof_rid").cast("string"), col("asof_tag"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)))))
+      .toMap
+    assert(batch == streamed)
+  }
+
   test("streaming lexical gate == batch GopherLexical keep on the same rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftlexst").toString
