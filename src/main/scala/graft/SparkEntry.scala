@@ -23,6 +23,24 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Events deduped per (user, ts) via max_by(event_id) — the as-of
+    * right side. SHARED by q_asof_join and q_stream_asof: both oracles
+    * replay the same `WITH ev` shape, so the two queries must build the
+    * identical timeline (a drift here silently diverges one of them). */
+  private def dedupedEvents(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(struct(col("event_id"), col("event_type")),
+        col("event_id")).as("e"))
+      .select(col("user_id"), col("ts"),
+        col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
+
+  /** Orders with the order date as a timestamp — the as-of left side. */
+  private def ordersWithTs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+
   /** The frozen documents→FileRow mapping (FIXTURES.md §3 stand-in): the
     * pipeline's input table shape over driver-provided data. */
   def fileRowsFromDocs(s: SparkSession, dir: String): DataFrame =
@@ -301,17 +319,8 @@ object SparkEntry {
       // point-in-time join: each order picks up the user's latest event
       // at or before the order date; right side deduped per (user, ts)
       // so "latest" is well-defined in both engines
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderdate").cast("timestamp").as("ots"))
-      val events = s.read.parquet(s"$dir/events.parquet")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max_by(struct(col("event_id"), col("event_type")),
-          col("event_id")).as("e"))
-        .select(col("user_id"), col("ts"),
-          col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
-      AsOfJoin.lastRightAsOf(orders, events, "o_custkey", "user_id",
-        "ots", "ts", Seq("event_id", "event_type"))
+      AsOfJoin.lastRightAsOf(ordersWithTs(s, dir), dedupedEvents(s, dir),
+        "o_custkey", "user_id", "ots", "ts", Seq("event_id", "event_type"))
     }),
     "q_stream_asof" -> ((s, dir) => {
       // J: streaming point-in-time enrichment — orders STREAM against the
@@ -319,12 +328,6 @@ object SparkEntry {
       // state); drained synchronously like q_stream_window. Must agree
       // with DuckDB's native ASOF LEFT JOIN (values compared as VARCHAR
       // — the stream lookup is type-erased by contract).
-      val events = s.read.parquet(s"$dir/events.parquet")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max_by(struct(col("event_id"), col("event_type")),
-          col("event_id")).as("e"))
-        .select(col("user_id"), col("ts"),
-          col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
       val schema = s.read.parquet(s"$dir/orders.parquet").schema
       val orders = s.readStream.schema(schema)
         .option("pathGlobFilter", "orders.parquet")
@@ -332,7 +335,8 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate").cast("timestamp").as("ots"))
       val name = "q_stream_asof_sink"
-      val q = graft.streaming.AsOfStream.lastRightAsOf(s, orders, events,
+      val q = graft.streaming.AsOfStream.lastRightAsOf(s, orders,
+          dedupedEvents(s, dir),
           "o_custkey", "user_id", "ots", "ts", Seq("event_id", "event_type"))
         .writeStream.format("memory").queryName(name).outputMode("append")
         .start()

@@ -33,18 +33,19 @@ object Decontaminate {
                       broadcastEval: Boolean = true,
                       hashShingles: Boolean = true): DataFrame = {
     // hashed path: token-wise span hashing, no shingle strings built
-    // (Dedup.wordShingleHashes — key equality == string equality)
-    def spans(df: DataFrame): Column =
+    // (Dedup.wordShingleHashes — key equality == string equality);
+    // unresolved column, bound by whichever select it lands in
+    val spans: Column =
       if (hashShingles) Dedup.wordShingleHashes(col(textCol), k)
       else Dedup.wordShingles(col(textCol), k)
     val evalShingles = {
       val s = evalSet
-        .select(explode(spans(evalSet)).as("shingle"))
+        .select(explode(spans).as("shingle"))
         .distinct()
       if (broadcastEval) broadcast(s) else s
     }
     train
-      .select(col(idCol).as("id"), explode(spans(train)).as("shingle"))
+      .select(col(idCol).as("id"), explode(spans).as("shingle"))
       .join(evalShingles, Seq("shingle"), "left_semi")
       .select("id")
       .distinct()

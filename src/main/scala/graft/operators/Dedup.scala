@@ -447,16 +447,13 @@ object Dedup {
     // with (0, 0, keep) via the left join
     // hashKeys path hashes token-wise (wordShingleHashes) — no span
     // strings are ever built; the portable path keeps the raw strings
-    // the oracle replays
-    val keyed =
-      if (hashKeys)
-        df.select(col(idCol).as("id"),
-            explode(wordShingleHashes(col(textCol), k)).as("span"))
-          .where(col("id").isNotNull)
-      else
-        df.select(col(idCol).as("id"),
-            explode(wordShingles(col(textCol), k)).as("span"))
-          .where(col("id").isNotNull)
+    // the oracle replays. One shared select so the id aliasing and the
+    // semantics-critical isNotNull filter exist exactly once.
+    val spanCol =
+      if (hashKeys) wordShingleHashes(col(textCol), k)
+      else wordShingles(col(textCol), k)
+    val keyed = df.select(col(idCol).as("id"), explode(spanCol).as("span"))
+      .where(col("id").isNotNull)
     val pairCounts = keyed.groupBy("span", "id").agg(count(lit(1)).as("c"))
     val global = pairCounts.groupBy("span").agg(sum(col("c")).as("n"))
     val perDoc = pairCounts.join(global, "span")
