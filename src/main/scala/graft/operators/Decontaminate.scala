@@ -32,11 +32,12 @@ object Decontaminate {
                       idCol: String, textCol: String, k: Int = 5,
                       broadcastEval: Boolean = true,
                       hashShingles: Boolean = true): DataFrame = {
-    // hashed path: token-wise span hashing, no shingle strings built
-    // (Dedup.wordShingleHashes — key equality == string equality);
-    // unresolved column, bound by whichever select it lands in
+    // hashed path: 8-byte xxhash64 keys over the shingle strings (a
+    // token-wise no-string variant measured SLOWER — see
+    // Dedup.shingleHashes note); unresolved column, bound by whichever
+    // select it lands in
     val spans: Column =
-      if (hashShingles) Dedup.wordShingleHashes(col(textCol), k)
+      if (hashShingles) Dedup.shingleHashes(col(textCol), k)
       else Dedup.wordShingles(col(textCol), k)
     val evalShingles = {
       val s = evalSet

@@ -98,27 +98,17 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** Deterministic 64-bit hash per shingle (xxhash64, Spark-native). */
-  private def shingleHashes(textCol: Column, k: Int): Column =
+  /** Deterministic 64-bit hash per shingle (xxhash64, Spark-native).
+    * MEASURED note (round 4): a "token-wise" variant that hashed each
+    * token once and then xxhash64'd the k-token hash SLICE per position
+    * — avoiding the string concatenation entirely — was tried and
+    * REVERTED: in an interleaved same-session A/B over the full
+    * dup-span pipeline at sf0.1, per-position slice allocation +
+    * per-element array hashing lost every round (string 4.3-5.1 s vs
+    * token-wise 5.1-5.2 s, ~10-15%). The concatenated shingle is short
+    * and hashes in one pass; build it. */
+  private[operators] def shingleHashes(textCol: Column, k: Int): Column =
     transform(wordShingles(textCol, k), s => xxhash64(s))
-
-  /** 64-bit span keys WITHOUT materializing the shingle strings: each
-    * token is hashed once, then every span key is xxhash64 over the
-    * k-token hash slice — O(tokens) hash work instead of O(tokens x k)
-    * string building. Key-equality is exactly string-shingle equality:
-    * tokens are space-free (split on \s+), so the single-space join is
-    * an injective encoding of the token sequence. NOT the same key
-    * VALUES as xxhash64(string shingle) — use only where the key is an
-    * engine-internal join handle (dup-span stats, decontamination), not
-    * where a frozen signature is replayed (minhash keeps shingleHashes). */
-  private[operators] def wordShingleHashes(textCol: Column, k: Int): Column = {
-    val toks = split(trim(textCol), "\\s+")
-    val th = transform(toks, t => xxhash64(t))
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - lit(k)),
-        i => xxhash64(slice(th, i + 1, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
-  }
 
   /** Frozen per-permutation mix constants (splitmix64 of the index). */
   private def splitmix64(x0: Long): Long = {
@@ -445,12 +435,12 @@ object Dedup {
     // not contribute to the global duplication counts (the DuckDB twin
     // filters identically); null-id rows still appear in the output
     // with (0, 0, keep) via the left join
-    // hashKeys path hashes token-wise (wordShingleHashes) — no span
-    // strings are ever built; the portable path keeps the raw strings
-    // the oracle replays. One shared select so the id aliasing and the
-    // semantics-critical isNotNull filter exist exactly once.
+    // hashKeys path shuffles 8-byte xxhash64 span keys; the portable
+    // path keeps the raw strings the oracle replays. One shared select
+    // so the id aliasing and the semantics-critical isNotNull filter
+    // exist exactly once.
     val spanCol =
-      if (hashKeys) wordShingleHashes(col(textCol), k)
+      if (hashKeys) shingleHashes(col(textCol), k)
       else wordShingles(col(textCol), k)
     val keyed = df.select(col(idCol).as("id"), explode(spanCol).as("span"))
       .where(col("id").isNotNull)
