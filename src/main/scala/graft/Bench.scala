@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * view), detection, the dedup family, ANN top-k and two relational aggs.
   * Reported metric: total wall seconds; `queries` maps each headline to
   * seconds; `rows_per_sec` is pipeline throughput (decided rows / sec).
+  *
+  * STEAL-AWARE TIMING (round-5; makes the artifact self-defending on a
+  * VM whose hypervisor steal arrives in multi-second bursts — two rounds
+  * of official artifacts recorded 4-10x contended values that a quiet
+  * re-run contradicted): a ~0.25 s pure-CPU probe (cpus threads of
+  * ThreadScale.burn — no Spark, no IO) runs before EVERY timed sample.
+  * The session-wide MINIMUM probe approximates the quiet-machine
+  * constant; each sample's probe/min ratio is the window-quality tag of
+  * that sample. After the min-of-N samples, a query is re-sampled (up to
+  * `SPARK_GRAFT_MAX_RETRIES`, default 2) while EITHER its min/median
+  * spread exceeds 3x OR the probe attached to its minimum sample reads
+  * >1.5x the quiet constant — i.e. while the published number itself was
+  * recorded in a degraded window. The JSON then carries, per query, the
+  * min, the median, the probe ratio under which the min was recorded
+  * (`probes`, ~1.0 = trustworthy quiet-window number) and the retry
+  * count (`retries`), plus `probe_ref_sec` and a `methodology` marker so
+  * drift tooling refuses to compare artifacts with different estimators.
   */
 object Bench {
 
@@ -49,7 +66,26 @@ object Bench {
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
-      "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation")
+      "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation",
+      "q_curation_scale")
+
+    // Staged flagship input (shared by q_curation_scale, pipeline_synth
+    // and ScalingBench): 1.6M synthetic FileRows (~6.4 GB content),
+    // generated DISTRIBUTED (executors synthesize their own partitions —
+    // the driver-side generator held the whole table and shipped ~90 MB
+    // tasks) and exists()-guarded by (rows, bodyScale) path so every CPU
+    // count and every artifact sees the identical bytes.
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
+    // bodyScale 8 ~= real source-file sizes (few KB); keeps the bench
+    // compute-dominated like the production workload instead of
+    // per-row-overhead-dominated
+    val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
+    val inputPath = s"/tmp/graft_bench_filerows_${benchRows}_x$bodyScale"
+    if (!graft.sources.ParquetTableIO.exists(spark, inputPath)) {
+      System.err.println(s"[bench] staging $benchRows synthetic FileRows (bodyScale=$bodyScale) -> $inputPath")
+      graft.core.Synth.fileRowsDistributed(spark, benchRows.toLong, bodyScale = bodyScale)
+        .write.mode("overwrite").parquet(inputPath)
+    }
 
     // Several harness queries ALSO write coalesce(1) oracle dumps (the
     // DuckDB replay reads them); the bench times the underlying OPERATOR
@@ -92,6 +128,20 @@ object Bench {
             d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
           .withColumnRenamed("id", "doc_id")
           .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      }),
+      // the 6-stage curation capstone at FLAGSHIP scale (round-4 verdict
+      // #6): q_curation runs over the 5k-doc fixture; this variant runs
+      // the same production chain (hashed keys, xxhash64 quota rank)
+      // over the staged 1.6M-row FileRow table, where the two
+      // localCheckpoint barriers and the span-gate shuffle are actually
+      // load-bearing. doc_id = xxhash64(repo,path,commit) — commits are
+      // unique per row, so collisions are birthday-negligible at 1.6M.
+      "q_curation_scale" -> (s => {
+        val docs = s.read.parquet(inputPath).select(
+          org.apache.spark.sql.functions.xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"), col("lang"))
+        graft.operators.Curate.pipeline(docs, "doc_id", "text", "lang",
+          quota = 20000, budget = 2048, portable = false)
       }))
 
     // Timing via bare count() would let Catalyst prune the final Project
@@ -118,21 +168,54 @@ object Bench {
     var pipelineRows = 0L
     var pipelineSec = 0.0
     var pipelineMed = 0.0
-    // Interference-robust per-query timing (round-3 verdict #1): this
-    // VM's hypervisor steal arrives in multi-second bursts (BENCH_r03
-    // recorded q_decontaminate at 134.5 s where a quiet window runs it
-    // in 5.0 s), so EVERY headline query is timed min-of-N (default 3;
-    // identical cached inputs, CPU-bound work — min is the standard
-    // interference-robust estimator) and BOTH min and median go into the
-    // JSON so the spread is in the artifact, not only on stderr.
+
+    // ---- pure-CPU window probe (steal detector; round-4 verdict #1) ----
+    // cpus threads x burn(8M) ~= 0.25 s on a quiet machine, zero Spark /
+    // IO — a pure measure of how much CPU the hypervisor is actually
+    // delivering at this instant. The session-wide MIN is the quiet
+    // reference (steal is bursty: the best window observed over a
+    // multi-minute bench is a solid approximation of the uncontended
+    // constant, and using the running min makes a stolen startup window
+    // self-correct as soon as one clean probe lands).
+    val cpuN = cpus.toInt
+    def probeOnce(): Double = {
+      val th = (0 until cpuN).map(_ =>
+        new Thread(() => { graft.tools.ThreadScale.burn(8000000); () }))
+      val t0 = System.nanoTime()
+      th.foreach(_.start()); th.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // JIT warmup, discarded
+    var probeRef = (1 to 5).map(_ => probeOnce()).min
+    // a sample's min is only trusted if its probe was within this factor
+    // of the quiet reference; above it the window was degraded and the
+    // query earns a retry
+    val DegradedRatio = 1.5
+    val maxRetries = math.max(0, sys.env.getOrElse("SPARK_GRAFT_MAX_RETRIES", "2").toInt)
+    System.err.println(f"[bench] probe quiet reference: ${probeRef}%.3fs (cpus=$cpuN)")
+
+    // Interference-robust per-query timing (round-3 verdict #1 + round-4
+    // verdict #1): this VM's hypervisor steal arrives in multi-second
+    // bursts (BENCH_r03 recorded q_decontaminate at 134.5 s where a
+    // quiet window runs it in 5.0 s), so EVERY headline query is timed
+    // min-of-N (identical cached inputs, CPU-bound work — min is the
+    // standard interference-robust estimator), every sample carries the
+    // CPU probe that immediately preceded it, and a query whose spread
+    // OR whose min-sample probe betrays a degraded window is re-sampled
+    // up to maxRetries times. Min+median+probe+retries all go into the
+    // JSON so the artifact grades its own windows.
     val qRepeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probeAtMin = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = headline.map { name =>
       var rows = -1L
-      // (seconds, succeeded): a failed sample must NOT contribute its
-      // (short) elapsed time to the min, or a fast transient failure
-      // would deflate the query's headline number while looking healthy
-      def once(): (Double, Boolean) = {
+      // (seconds, succeeded, probeSec): a failed sample must NOT
+      // contribute its (short) elapsed time to the min, or a fast
+      // transient failure would deflate the query's headline number
+      def once(): (Double, Boolean, Double) = {
+        val p = probeOnce()
+        if (p < probeRef) probeRef = p
         val t0 = System.nanoTime()
         val n = try {
           val df = operatorOverrides.get(name)
@@ -145,68 +228,70 @@ object Bench {
             -1L
         }
         if (n >= 0) rows = n
-        ((System.nanoTime() - t0) / 1e9, n >= 0)
+        ((System.nanoTime() - t0) / 1e9, n >= 0, p)
       }
-      val all = (1 to qRepeats).map(_ => once())
-      val ok = all.filter(_._2).map(_._1)
+      var all = (1 to qRepeats).map(_ => once()).toVector
+      def ok = all.filter(_._2)
+      def needsRetry: Boolean = ok.nonEmpty && {
+        val times = ok.map(_._1)
+        val mn = times.min
+        val med = times.sorted.apply(times.size / 2)
+        med / mn > 3.0 || ok.minBy(_._1)._3 > DegradedRatio * probeRef
+      }
+      var extra = 0
+      while (extra < maxRetries && needsRetry) {
+        System.err.println(s"[bench] $name: degraded/spread window detected -> extra sample")
+        all :+= once(); extra += 1
+      }
+      val times = ok.map(_._1)
       // all samples failed -> publish -1 so the artifact shows the
       // failure instead of a meaningless fast-crash time
-      val mn = if (ok.nonEmpty) ok.min else -1.0
-      val med = if (ok.nonEmpty) ok.sorted.apply(ok.size / 2) else -1.0
+      val mn = if (times.nonEmpty) times.min else -1.0
+      val med = if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0
       medians(name) = med
+      probeAtMin(name) = if (ok.nonEmpty) ok.minBy(_._1)._3 else -1.0
+      retries(name) = extra
       val failures = all.count(!_._2)
-      System.err.println(f"[bench] $name%-20s min ${mn}%7.2fs med ${med}%7.2fs rows=$rows " +
-        all.map { case (s, o) => f"$s%.2f${if (o) "" else "!"}" }.mkString("[", " ", "]") +
+      System.err.println(f"[bench] $name%-20s min ${mn}%7.2fs med ${med}%7.2fs probe@min ${probeAtMin(name)}%.3fs rows=$rows " +
+        all.map { case (s, o, p) => f"$s%.2f${if (o) "" else "!"}@$p%.2f" }.mkString("[", " ", "]") +
         (if (failures > 0) s" ($failures failed)" else ""))
       name -> mn
     } ++ {
-      // flagship throughput on a synthetic FileRow table staged as parquet
-      // (the documents fixture is only 5k rows at sf0.1 — too small to
-      // load 32 cores). Staged once, reused across CPU counts so the
-      // local[8] vs local[32] scaling-efficiency comparison sees the
-      // identical input. This is the files/sec metric.
-      import spark.implicits._
-      // 1.6M rows (~6.4 GB content): at 400k a 32-thread sample finished
-      // in ~2 s and fixed per-job overhead (codegen, scheduling, cache
-      // ramp) was creeping back toward ~10% of the measurement; 1.6M puts
-      // a local[8] sample past the >=10 s ScalingBench floor so the same
-      // staged input serves both artifacts (round-3 verdict #7)
-      val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
-      // bodyScale 8 ~= real source-file sizes (few KB); keeps the bench
-      // compute-dominated like the production workload instead of
-      // per-row-overhead-dominated
-      val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
-      val inputPath = s"/tmp/graft_bench_filerows_${benchRows}_x$bodyScale"
-      if (!graft.sources.ParquetTableIO.exists(spark, inputPath)) {
-        System.err.println(s"[bench] staging $benchRows synthetic FileRows (bodyScale=$bodyScale) -> $inputPath")
-        // distributed generation: executors synthesize their own
-        // partitions (the driver-side generator held the whole ~6.4 GB
-        // table and shipped ~90 MB tasks at 1.6M rows)
-        graft.core.Synth.fileRowsDistributed(spark, benchRows.toLong, bodyScale = bodyScale)
-          .write.mode("overwrite").parquet(inputPath)
-      }
-      // Repeated-median methodology (same as ScalingBench): this VM's
-      // wall clock drifts 2-4x with hypervisor contention, so a single
-      // sample is not a defensible artifact number. Input is cached
-      // (distributed storage bandwidth scales with cluster size; one
-      // local disk does not), one warmup pass absorbs JIT/codegen, then
-      // the median of `repeats` timed passes is reported — every sample
-      // forces the FULL column set incl. sha2(content_scrubbed); a bare
-      // count() would prune the Project and undercount the work.
+      // flagship throughput on the staged synthetic FileRow table (the
+      // documents fixture is only 5k rows at sf0.1 — too small to load
+      // 32 cores; staging happens above, shared with q_curation_scale
+      // and ScalingBench so every CPU count sees identical bytes).
+      // Repeated-min methodology (same as the headline loop): input is
+      // cached (distributed storage bandwidth scales with cluster size;
+      // one local disk does not), one warmup pass absorbs JIT/codegen,
+      // then min-of-N probed samples — every sample forces the FULL
+      // column set incl. sha2(content_scrubbed); a bare count() would
+      // prune the Project and undercount the work.
       val repeats = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPEATS", "5").toInt
       val input = spark.read.parquet(inputPath).cache()
       input.count() // materialize the cache, untimed
       var n = 0L
-      def sample(): Double = {
+      def sample(): (Double, Double) = {
+        val p = probeOnce()
+        if (p < probeRef) probeRef = p
         val t0 = System.nanoTime()
         n = forceAll(graft.operators.Pipeline.scoreAndDecide(spark, input))
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, p)
       }
       sample() // warmup
-      val samples = (1 to repeats).map { i =>
-        val sec = sample()
-        System.err.println(f"[bench] pipeline_synth[$i/$repeats] ${sec}%8.2fs  rows=$n (${n/sec}%.0f rows/s)")
-        sec
+      var samples = (1 to repeats).map { i =>
+        val (sec, p) = sample()
+        System.err.println(f"[bench] pipeline_synth[$i/$repeats] ${sec}%8.2fs @probe $p%.3fs rows=$n (${n/sec}%.0f rows/s)")
+        (sec, p)
+      }.toVector
+      // same retry rule as the headline loop: the published min must
+      // come from a window whose probe was near the quiet reference
+      var extra = 0
+      while (extra < maxRetries &&
+          (samples.minBy(_._1)._2 > DegradedRatio * probeRef ||
+            samples.map(_._1).sorted.apply(samples.size / 2) / samples.map(_._1).min > 3.0)) {
+        System.err.println(s"[bench] pipeline_synth: degraded/spread window detected -> extra sample")
+        samples :+= sample(); extra += 1
       }
       input.unpersist()
       // MIN of the samples, not the median: the VM's hypervisor steal
@@ -216,24 +301,35 @@ object Bench {
       // identical cached input is the standard interference-robust
       // estimator for CPU-bound benchmarks (what timeit reports); every
       // sample is printed above so the spread stays disclosed.
-      val med = samples.sorted.apply(samples.size / 2)
-      val sec = samples.min
+      val times = samples.map(_._1)
+      val med = times.sorted.apply(times.size / 2)
+      val sec = times.min
       pipelineRows = n; pipelineSec = sec; pipelineMed = med
       medians("pipeline_synth") = med
-      System.err.println(f"[bench] pipeline_synth min ${sec}%8.2fs / median ${med}%8.2fs over $repeats (${n/sec}%.0f rows/s best)")
+      probeAtMin("pipeline_synth") = samples.minBy(_._1)._2
+      retries("pipeline_synth") = extra
+      System.err.println(f"[bench] pipeline_synth min ${sec}%8.2fs / median ${med}%8.2fs over ${times.size} (${n/sec}%.0f rows/s best)")
       Seq("pipeline_synth" -> sec)
     }
 
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jsonIntMap(m: Iterable[(String, Int)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val qsMed = jsonMap(medians)
+    // probe ratios vs the FINAL (session-best) quiet reference: ~1.0 =
+    // the published min was recorded in a quiet window; >1.5 = the
+    // number is from a degraded window that survived `retries` attempts
+    val qsProbe = jsonMap(probeAtMin.map { case (k, v) =>
+      k -> (if (v >= 0) v / probeRef else -1.0) })
+    val qsRetries = jsonIntMap(retries)
     // all-failed queries publish -1 per-query; exclude the sentinel from
     // the headline sum (a broken query must not make "total" look faster)
     val total = results.map(_._2).filter(_ >= 0).sum
     val rps = if (pipelineSec > 0) pipelineRows / pipelineSec else 0.0
     val rpsMed = if (pipelineMed > 0) pipelineRows / pipelineMed else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_median":$qsMed,"samples_per_query":$qRepeats,"pipeline_synth_median":${f"$pipelineMed%.3f"},"rows_per_sec":${f"$rps%.1f"},"rows_per_sec_median":${f"$rpsMed%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","methodology":"min-of-$qRepeats+probe-retry-v5","queries":$qs,"queries_median":$qsMed,"probe_ratio_at_min":$qsProbe,"retries":$qsRetries,"probe_ref_sec":${f"$probeRef%.3f"},"samples_per_query":$qRepeats,"pipeline_synth_median":${f"$pipelineMed%.3f"},"rows_per_sec":${f"$rps%.1f"},"rows_per_sec_median":${f"$rpsMed%.1f"},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * wall measured at sf0.1 when the span gate was added). `kept` and
   * `sampled` are therefore localCheckpoint(true)-materialized — the
   * same barrier packing already creates internally (its offsets
-  * collect makes pipeline() eager regardless). At 10^12 rows stage a
-  * curation pipeline through durable tables between phases instead of
-  * executor-local checkpoint blocks.
+  * collect makes pipeline() eager regardless). The barrier is a
+  * parameter of pipeline() (default localCheckpoint(true)); at 10^12
+  * rows pass a durable-table barrier so a curation pipeline stages
+  * through storage between phases instead of executor-local
+  * checkpoint blocks.
   *
   * Scale shape is the sum of its parts (each documented on its
   * operator): hash-keyed shuffles for the dedups (skew absorbed
@@ -70,13 +72,24 @@ object Curate {
   /** (doc_id, n_tokens, seq_id, seq_offset, straddles, lang) of the
     * curated, sampled, packed corpus. `portable = true` ranks the quota
     * by md5 and keys the span gate on raw span strings (DuckDB-
-    * replayable); production uses xxhash64 for both. */
+    * replayable); production uses xxhash64 for both.
+    *
+    * `barrier` is the materialization strategy for the two reuse points
+    * (`kept`, `sampled`). The default — `localCheckpoint(true)` — is
+    * EAGER at construction time: merely building the returned DataFrame
+    * runs the upstream stages, and a lost executor fails the job rather
+    * than recomputing lineage. Callers who need the standard lazy
+    * contract (plan dumps, explain) pass `identity`; fault-tolerant
+    * long jobs pass a reliable barrier such as
+    * `df => df.checkpoint()` (with a checkpoint dir set) or a
+    * write-then-read through a durable table — the 10^12-row shape. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
                langCol: String, quota: Int = 100, budget: Long = 256,
-               portable: Boolean = true): DataFrame = {
-    val sampled = sampledStage(docs, idCol, textCol, langCol, quota, portable,
-        _.localCheckpoint(true))
-      .localCheckpoint(true) // reused by packing (2 passes) + the lang join
+               portable: Boolean = true,
+               barrier: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val sampled = barrier(
+      sampledStage(docs, idCol, textCol, langCol, quota, portable, barrier)
+    ) // reused by packing (2 passes) + the lang join
     Packing.packSequences(sampled, idCol, "text_dedup", budget)
       .join(sampled.select(col(idCol), col(langCol)), Seq(idCol))
   }

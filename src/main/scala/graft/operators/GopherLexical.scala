@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *  - '#' and "..." occurrence counts are non-overlapping (replace
   *    semantics, identical in both engines);
   *  - the stopword test counts DISTINCT stopwords present (Gopher:
-  *    "contain at least two of: the, be, to, of, and, that, have, with").
+  *    "contain at least two of: the, be, to, of, and, that, have,
+  *    with") and is CASE-INSENSITIVE: words are lowercased (engine
+  *    `lower()`) before the membership test, matching reference Gopher
+  *    implementations where sentence-initial "The"/"That" count. The
+  *    stopword list is pure ASCII, so engine differences in exotic
+  *    Unicode case mappings cannot produce or miss a stopword.
   */
 object GopherLexical {
 
@@ -60,7 +65,7 @@ object GopherLexical {
         size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
       "n_stopwords_present" ->
         size(filter(array(Stopwords.map(lit): _*),
-          sw => array_contains(words, sw))).cast("long"),
+          sw => array_contains(transform(words, w => lower(w)), sw))).cast("long"),
       "n_hash" ->
         (length(textCol) - length(regexp_replace(textCol, "#", ""))).cast("long"),
       // non-overlapping "..." count via replace-length delta / 3
@@ -114,7 +119,7 @@ object GopherLexical {
        |    CAST(len(words) AS BIGINT) AS n_words,
        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars,
        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-       |    CAST(len(list_filter($sw, sw -> list_contains(words, sw))) AS BIGINT) AS n_stopwords_present,
+       |    CAST(len(list_filter($sw, sw -> list_contains(list_transform(words, w -> lower(w)), sw))) AS BIGINT) AS n_stopwords_present,
        |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
        |    CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
        |    CAST(len(lines) AS BIGINT) AS n_lines,

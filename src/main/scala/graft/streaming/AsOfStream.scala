@@ -24,24 +24,47 @@ import org.apache.spark.sql.functions._
   * Matched values are returned CAST TO STRING (`asof_<col>` columns) —
   * the broadcast timeline is type-erased; callers needing typed values
   * cast back, and the q_stream_asof oracle casts identically.
+  *
+  * SIZE CONTRACT: the right side is driver-collected, so it must fit
+  * the same budget as any broadcast table. A cheap `count()` probe runs
+  * first; above `maxRightRows` the call FAILS FAST with an actionable
+  * error instead of OOMing the driver mid-stream (the
+  * connectedComponents driverLocalMaxEdges pattern). Big dimensions
+  * belong to batch [[graft.operators.AsOfJoin]], which handles them at
+  * sort-merge-join cost.
   */
 object AsOfStream {
+
+  /** Default driver-collect budget: 5M (key, ts, vals) rows ≈ low
+    * hundreds of MB stringified — the same order as the default Spark
+    * broadcast comfort zone on a mid-size driver. */
+  final val DefaultMaxRightRows = 5000000L
 
   private def toUs(t: java.sql.Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
-  /** `left` must be a STREAMING DataFrame; `right` a bounded static one. */
+  /** `left` must be a STREAMING DataFrame; `right` a bounded static one
+    * within the `maxRightRows` driver-collect budget (fail-fast probed). */
   def lastRightAsOf(spark: SparkSession, left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,
                     leftTs: String, rightTs: String,
-                    rightVals: Seq[String]): DataFrame = {
+                    rightVals: Seq[String],
+                    maxRightRows: Long = DefaultMaxRightRows): DataFrame = {
     // per-key timeline: ts ascending, values stringified
-    val collected = right
+    val projected = right
       .select(col(rightKey).cast("long").as("k"),
         col(rightTs).cast("timestamp").as("ts"),
         array(rightVals.map(c => col(c).cast("string")): _*).as("vals"))
       .where(col("k").isNotNull && col("ts").isNotNull)
-      .collect()
+    val rightRows = projected.count()
+    require(rightRows <= maxRightRows,
+      s"AsOfStream.lastRightAsOf: right side has $rightRows rows, above the " +
+        s"driver-collect budget maxRightRows=$maxRightRows. This operator " +
+        "broadcasts the whole dimension timeline; for a dimension this size " +
+        "use the batch graft.operators.AsOfJoin (sort-merge cost, no " +
+        "driver materialization) or raise maxRightRows if the driver heap " +
+        "genuinely accommodates it.")
+    val collected = projected.collect()
     val timeline: Map[Long, (Array[Long], Array[Seq[String]])] = collected
       .groupBy(_.getLong(0))
       .map { case (k, rows) =>

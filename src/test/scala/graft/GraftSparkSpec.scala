@@ -741,6 +741,29 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming as-of fails fast when the dimension exceeds the driver-collect budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftasofguard").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // 4 VALID (non-null key+ts) rows + 1 null-key row the probe must not count
+    val right = Seq((Some(1L), t(1), "a"), (Some(1L), t(2), "b"),
+      (Some(2L), t(3), "c"), (Some(3L), t(4), "d"), (Option.empty[Long], t(5), "nk"))
+      .toDF("k", "rts", "tag")
+    Seq((1L, 1L, t(10))).toDF("id", "k", "lts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("id LONG, k LONG, lts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.AsOfStream.lastRightAsOf(spark, stream, right,
+        "k", "k", "lts", "rts", Seq("tag"), maxRightRows = 3L)
+    }
+    assert(e.getMessage.contains("4 rows"))
+    assert(e.getMessage.contains("AsOfJoin"))
+    // at exactly the budget (null-key row excluded by the probe) it builds fine
+    graft.streaming.AsOfStream.lastRightAsOf(spark, stream, right,
+      "k", "k", "lts", "rts", Seq("tag"), maxRightRows = 4L)
+  }
+
   test("streaming lexical gate == batch GopherLexical keep on the same rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftlexst").toString
@@ -796,6 +819,25 @@ class GraftSparkSpec extends AnyFunSuite {
       (1L, 4L, 0L, 0L, false, "en"),
       (3L, 2L, 1L, 0L, false, "en"),
       (5L, 3L, 1L, 2L, true, "de")), out)
+  }
+
+  test("curation barrier parameter: identity and default barriers agree row-for-row") {
+    // pipeline()'s barrier is caller-injectable (lazy plan inspection /
+    // reliable checkpoint at 10^12 rows); the materialization strategy
+    // must never change the result set
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta\n\ngamma delta"),
+      (2L, "en", "alpha beta\n\ngamma delta"),
+      (3L, "en", "alpha beta\n\nepsilon zeta"),
+      (4L, "en", Seq.fill(30)("spam ham").mkString(" ")),
+      (5L, "de", "eins zwei drei")
+    ).toDF("doc_id", "lang", "text")
+    def run(b: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Curate.pipeline(docs, "doc_id", "text", "lang", quota = 2, budget = 4,
+          barrier = b)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    assert(run(identity) == run(_.localCheckpoint(true)))
   }
 
   test("as-of join: latest right at-or-before each left ts; no match -> null") {

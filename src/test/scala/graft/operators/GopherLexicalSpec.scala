@@ -44,6 +44,11 @@ class GopherLexicalSpec extends AnyFunSuite {
     assert(s("n_stopwords_present") == 2L) // {the, be}
   }
 
+  test("stopword test is case-insensitive (sentence-initial The/That count)") {
+    assert(signalsOf("The THE tHe be")("n_stopwords_present") == 2L) // {the, be}
+    assert(signalsOf("That dog barked. With gusto.")("n_stopwords_present") == 2L)
+  }
+
   test("non-overlapping ellipsis count (5 dots = one match)") {
     assert(signalsOf("w.....")("n_ellipsis") == 1L)
     assert(signalsOf("a...b...c")("n_ellipsis") == 2L)
@@ -75,7 +80,8 @@ class GopherLexicalSpec extends AnyFunSuite {
         words.size.toLong,
         words.map(cp).sum,
         words.count(_.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong,
-        GopherLexical.Stopwords.count(words.contains).toLong,
+        GopherLexical.Stopwords.count(sw =>
+          words.exists(_.toLowerCase(java.util.Locale.ROOT) == sw)).toLong,
         text.count(_ == '#').toLong,
         ne,
         lines.size.toLong,
@@ -83,7 +89,7 @@ class GopherLexicalSpec extends AnyFunSuite {
         lines.count(_.endsWith("...")).toLong)
     }
     val rnd = new scala.util.Random(20260817L)
-    val alphabet = "ab #.\n-*•the😀é "
+    val alphabet = "ab #.\n-*•the😀é THE "
     val texts = (0 until 500).map { i =>
       val len = rnd.nextInt(50)
       val sb = new StringBuilder
