@@ -63,6 +63,7 @@ object Bench {
     val headline = Seq(
       "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard", "q_dup_spans",
+      "q_exact_substr",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
@@ -116,6 +117,11 @@ object Bench {
       // harness query keeps raw strings only so DuckDB can replay it)
       "q_dup_spans" -> (s => Dedup.duplicatedSpanStats(
         docsDf(s), "doc_id", "text", k = 5, hashKeys = true)),
+      // production variant: O(n) Rabin-Karp rolling 8-byte window keys at
+      // the paper's L=50 (the harness query uses L=20 raw strings only so
+      // DuckDB can replay it at fixture doc lengths)
+      "q_exact_substr" -> (s => Dedup.exactSubstrSpans(
+        docsDf(s), "doc_id", "text", minTokens = 50, hashKeys = true)),
       // production variant: xxhash64 quota ranking + hashed span keys
       "q_curation" -> (s => graft.operators.Curate.pipeline(
         docsDf(s), "doc_id", "text", "lang", quota = 100, budget = 256,
@@ -163,7 +169,7 @@ object Bench {
     // q_asof_join: a bare count would prune the unused window column
     val forced = Set("q_doc_stats", "q_repetition", "q_gopher_quality",
       "q_para_dedup", "q_asof_join", "q_tfidf", "q_packing", "q_curation",
-      "q_dup_spans")
+      "q_dup_spans", "q_exact_substr", "q_curation_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -365,6 +365,15 @@ object SparkEntry {
       // identical join; the bench times the xxhash64 production variant
       Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text",
         k = 5, hashKeys = false)),
+    "q_exact_substr" -> ((s, dir) =>
+      // TRUE ExactSubstr (Lee et al. 2022): maximal >=L-token corpus-
+      // duplicated spans located and CUT per doc. L=20 at fixture scale
+      // (docs are 10-99 tokens; the operator default is the paper's 50)
+      // so multi-island docs actually occur; hashKeys=false keeps raw
+      // window strings for the DuckDB replay — the bench times the
+      // O(n) rolling-hash production variant
+      Dedup.exactSubstrSpans(docs(s, dir), "doc_id", "text",
+        minTokens = 20, hashKeys = false)),
     "q_dedup_cluster" -> ((s, dir) => {
       // fuzzy dedup END-TO-END, hash-checked: exact-Jaccard pairs →
       // connected components → one survivor (min id) per component.
@@ -993,6 +1002,48 @@ object SparkEntry {
         |    CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |    CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans
         |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin,
+    "q_exact_substr" ->
+      // TRUE ExactSubstr, L=20: duplicated 20-token windows -> gaps-and-
+      // islands merge (break when start > prev+L) -> maximal spans ->
+      // stats + index-filtered token rebuild. Mirrors exactSubstrSpans
+      // stage for stage; tokens = trim/split/minus-empties (wordCounts
+      // contract); non-null-id contract; spans are disjoint post-merge
+      // so the anti-join rebuild never double-drops
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+        |                             w -> w <> '') AS ts
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |win AS (
+        |  SELECT doc_id, i, array_to_string(ts[i:i+19], ' ') AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 18)) AS i
+        |        FROM tok WHERE len(ts) >= 20)),
+        |dupw AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, i FROM win WHERE w IN (SELECT w FROM dupw)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |           OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 20
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ds),
+        |isl2 AS (SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl),
+        |spans AS (SELECT doc_id, min(i) AS ss, max(i) + 20 AS ee
+        |  FROM isl2 GROUP BY doc_id, g),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(ee - ss) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id),
+        |tp AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(1, len(ts) + 1)) AS p FROM tok),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.tk, ' ' ORDER BY t.p) AS text_exactsub
+        |  FROM tp t LEFT JOIN spans sp
+        |    ON sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.ee
+        |  WHERE sp.doc_id IS NULL GROUP BY t.doc_id)
+        |SELECT tok.doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(stats.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(stats.n_spans, 0) AS BIGINT) AS n_spans,
+        |  coalesce(kept.text_exactsub, '') AS text_exactsub
+        |FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN kept USING (doc_id)""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

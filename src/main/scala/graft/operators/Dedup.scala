@@ -457,6 +457,159 @@ object Dedup {
         spanKeepColumn.as("span_keep"))
   }
 
+  /** Stable 64-bit FNV-1a over UTF-16 code units — the per-token hash
+    * feeding the Rabin-Karp rolling window keys (JVM-deterministic, no
+    * allocation; only internal consistency matters — window-key
+    * collisions can only ADD coverage, the safe direction). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** O(n) Rabin-Karp rolling keys: out(p) = polynomial hash (base B,
+    * natural 64-bit wraparound) of the `l`-token window starting at
+    * 0-based position p. One multiply-add per slide — no window string
+    * is ever materialized, unlike the k=5 shingle paths where measured
+    * A/B showed short concat+hash winning (shingleHashes scaladoc); at
+    * l>=50 the window string would be ~300 chars per position and the
+    * rolling form is the only O(n) option. */
+  private def rollingWindowKeys(ts: Seq[String], l: Int): Array[Long] = {
+    val n = ts.size
+    if (n < l) return Array.emptyLongArray
+    val th = new Array[Long](n)
+    var i = 0
+    val it = ts.iterator
+    while (it.hasNext) { th(i) = fnv1a64(it.next()); i += 1 }
+    val B = 0x9E3779B97F4A7C15L
+    var bPow = 1L // B^(l-1)
+    var j = 1
+    while (j < l) { bPow *= B; j += 1 }
+    val out = new Array[Long](n - l + 1)
+    var h = 0L
+    var k = 0
+    while (k < l) { h = h * B + th(k); k += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - l) {
+      h = (h - th(p - 1) * bPow) * B + th(p + l - 1)
+      out(p) = h
+      p += 1
+    }
+    out
+  }
+
+  /** TRUE exact-substring deduplication (Lee et al. 2022, ExactSubstr):
+    * for every document, find the maximal token spans that belong to
+    * some >=`minTokens`-token substring occurring >= 2 times in the
+    * corpus (all instances counted — own repeats included, exactly the
+    * paper's rule), and CUT them: the output carries per-doc span
+    * statistics plus `text_exactsub`, the document rebuilt from the
+    * surviving tokens. This upgrades [[duplicatedSpanStats]] ("lite",
+    * word-5-gram ratio evidence) to the real operator — span-accurate
+    * localization at the paper's >=50-token threshold.
+    *
+    * WHY NOT A SUFFIX ARRAY: the paper builds one monolithic suffix
+    * array over the concatenated corpus — inherently single-machine
+    * (their impl shards + merges SA files on one host). A per-partition
+    * SA ([[graft.core.MaxSubst]]) only sees within-shard duplicates.
+    * The distributed-equivalent observation: a token position lies in
+    * some duplicated substring of length >= L IFF it is covered by some
+    * duplicated L-token WINDOW (⇐ a duplicated window IS such a
+    * substring; ⇒ every position of a duplicated substring S, |S| >= L,
+    * sits in an L-window of S, and every L-window of S recurs wherever
+    * S recurs). So fixed-length window keys + corpus-wide counting +
+    * per-doc interval merge reproduce the paper's coverage EXACTLY —
+    * as one linear shuffle instead of a global sort.
+    *
+    * Plan at 10^12 tokens: one window-key row per token position
+    * (production `hashKeys=true`: an O(n)-total Rabin-Karp rolling
+    * 8-byte key per position, via one scalar UDF call per DOCUMENT —
+    * no window strings cross the wire, no O(n·L) blowup); a SINGLE
+    * exchange partitioned by key with a windowed count (count-then-join
+    * would shuffle the position rows twice); survivors (the rare
+    * duplicated positions) shuffle by doc for the island merge
+    * (lag/sum window), and the merged spans — disjoint by construction
+    * — join back to the tokenized docs for an index-filtered rebuild
+    * with zero explodes. Skew: the by-key exchange distributes by
+    * window key (hot boilerplate spreads across distinct keys); the
+    * by-doc stages are bounded by document length.
+    *
+    * `hashKeys=false` materializes raw window STRINGS (O(n·L) chars) so
+    * the q_exact_substr oracle replays the identical computation in
+    * DuckDB — fixture-scale only; a spec asserts both variants agree.
+    *
+    * FROZEN semantics: tokens = trim.split("\\s+") minus empties (the
+    * wordCounts contract); `id` must be NON-NULL and unique (the
+    * input_hint key contract — unlike duplicatedSpanStats, the rebuild
+    * needs a grouping key, so null-id rows are dropped, not zero-
+    * filled); docs with < minTokens tokens pass through untouched;
+    * `text_exactsub` is ALWAYS the canonical single-space re-join of
+    * surviving tokens (the paper cuts bytes; we cut tokens — honest
+    * deviation, our tokenization is whitespace-canonical anyway). */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 50, hashKeys: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = minTokens
+    val toks = df
+      .select(col(idCol).as("id"),
+        filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => w =!= "").as("ts"))
+      .where(col("id").isNotNull)
+    val keyed =
+      if (hashKeys) {
+        val roll = udf((ts: Seq[String]) => rollingWindowKeys(ts, l))
+        toks.select(col("id"), posexplode(roll(col("ts"))))
+          .select(col("id"), (col("pos") + 1).as("s"), col("col").as("w"))
+      } else {
+        val startsArr = when(size(col("ts")) >= l,
+          sequence(lit(1), size(col("ts")) - l + 1))
+          .otherwise(array().cast("array<int>"))
+        toks.select(col("id"),
+            explode(transform(startsArr,
+              i => struct(i.as("s"),
+                concat_ws(" ", slice(col("ts"), i, lit(l))).as("w")))).as("x"))
+          .select(col("id"), col("x.s").as("s"), col("x.w").as("w"))
+      }
+    // duplicated window starts: ONE exchange (partition by key) + a
+    // partition-wide count; >=2 instances corpus-wide = duplicated
+    val dupStarts = keyed
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("w")))
+      .where(col("cnt") >= 2)
+      .select("id", "s")
+    // maximal-span merge per doc: all windows have length l, so sorted
+    // starts merge iff the next start begins at or before prev + l
+    // (equality = contiguous coverage); classic gaps-and-islands
+    val wid = Window.partitionBy("id").orderBy("s")
+    val spans = dupStarts
+      .withColumn("prev", lag(col("s"), 1).over(wid))
+      .withColumn("brk",
+        when(col("prev").isNull || col("s") > col("prev") + l, 1).otherwise(0))
+      .withColumn("g", sum(col("brk")).over(
+        wid.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "g")
+      .agg(min(col("s")).as("ss"), (max(col("s")) + l).as("ee"))
+    val perDoc = spans.groupBy("id")
+      .agg(count(lit(1)).as("es_n_spans"),
+        sum(col("ee") - col("ss")).as("es_dup_tokens"),
+        collect_list(struct(col("ss"), col("ee"))).as("sp"))
+    // rebuild: spans are DISJOINT post-merge, so an index-filtered HOF
+    // pass suffices — no position explode; docs without spans (the vast
+    // majority) take the cheap all-tokens join path
+    toks.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("es_dup_tokens").cast("long"), lit(0L)).as("dup_tokens"),
+        coalesce(col("es_n_spans"), lit(0L)).as("n_spans"),
+        when(col("sp").isNull, array_join(col("ts"), " "))
+          .otherwise(array_join(
+            filter(col("ts"), (w, i) =>
+              !exists(col("sp"),
+                p => (i + 1 >= p.getField("ss")) && (i + 1 < p.getField("ee")))),
+            " ")).as("text_exactsub"))
+  }
+
   /** Embedding near-dup mining: all pairs with cosine >= `minCosine`,
     * candidates generated by IVF bucketing (the same deterministic k-means
     * coarse quantizer as Similarity.ivfTopK): each vector is exploded into

@@ -171,6 +171,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("exactSubstr: linear plan — no cartesian, bounded exchanges, windowed count") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = operators.Dedup.exactSubstrSpans(docs, "doc_id", "text",
+      minTokens = 20, hashKeys = true)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans — count
+    // exchanges only in the final (executed) one
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the whole operator is 2 hash exchanges: position rows by window
+    // key (the ONE corpus-sized shuffle — a count-then-join design
+    // would pay it twice) and duplicated survivors by doc for the
+    // island merge (whose groupBy(id, g) and groupBy(id) reuse the id
+    // partitioning); the merged-span aggregate is tiny, so the rebuild
+    // join broadcasts it and the tokenized docs never shuffle at all
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+    // corpus-wide occurrence counting must be the single-pass windowed
+    // count, not an aggregate+join re-shuffle
+    assert(p.contains("Window"), p)
+  }
+
   test("gopher lexical rules are pure Catalyst: zero exchanges, no UDF barrier") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(operators.GopherLexical.signals(docs, "doc_id", "text"))

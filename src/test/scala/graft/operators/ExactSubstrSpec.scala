@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TRUE ExactSubstr span dedup (Lee et al. 2022): planted cross-doc and
+  * within-doc >=50-token duplicates, maximal-span merging (adjacency and
+  * disjoint islands), precise cutting, pass-through of short/unique
+  * docs, the production-vs-portable variant equivalence, and the
+  * contrast with the 5-gram "lite" stats (which can only vote on the
+  * whole document). The cross-engine half is the q_exact_substr oracle.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val S = (0 until 60).map(i => s"shared$i")   // 60-token shared run
+  private val U1 = (0 until 40).map(i => s"ua$i")
+  private val U2 = (0 until 40).map(i => s"ub$i")
+  private val Sx = (0 until 50).map(i => s"sx$i")
+  private val Sy = (0 until 50).map(i => s"sy$i")
+  private def j(ts: Seq[String]) = ts.mkString(" ")
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      1L -> j(U1 ++ S),                                    // A: unique 40 + shared 60
+      2L -> j(S ++ U2),                                    // B: shared 60 + unique 40
+      3L -> j((0 until 100).map(i => s"uc$i")),            // C: fully unique
+      4L -> j((0 until 50).map(i => s"d$i") ++ (0 until 50).map(i => s"d$i")), // D: tandem repeat
+      5L -> j((0 until 10).map(i => s"e$i")),              // E: shorter than L
+      6L -> j(Sx ++ (0 until 60).map(i => s"uf$i") ++ Sy), // F: two disjoint planted spans
+      7L -> j(Sx ++ (0 until 60).map(i => s"ug$i") ++ Sy), // G: shares both with F
+      8L -> ""                                             // empty
+    ).toDF("doc_id", "text")
+  }
+
+  private def collectStats(hashKeys: Boolean) =
+    Dedup.exactSubstrSpans(fixture, "doc_id", "text", minTokens = 50,
+        hashKeys = hashKeys)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  test("catches a planted 60-token cross-doc duplicate and cuts EXACTLY it") {
+    val m = collectStats(hashKeys = true)
+    // A: S covered -> one maximal span of 60 tokens; only U1 survives
+    assert(m(1L) == ((100L, 60L, 1L, j(U1))))
+    // B: same span at the head; only U2 survives
+    assert(m(2L) == ((100L, 60L, 1L, j(U2))))
+    // C untouched
+    assert(m(3L)._2 == 0L && m(3L)._4 == j((0 until 100).map(i => s"uc$i")))
+  }
+
+  test("5-gram lite stats can only vote per-doc; exactSubstr localizes the span") {
+    // the SAME planted duplicate through duplicatedSpanStats: doc A has
+    // 96 5-gram instances of which the 56 inside S are corpus-dup ->
+    // ratio 56/96 > 1/2 -> the lite gate DROPS the whole document,
+    // discarding A's 40 perfectly-good unique tokens. exactSubstr keeps
+    // them (previous test). This is the "under-weight/over-reach" gap
+    // the true operator closes.
+    val lite = Dedup.duplicatedSpanStats(
+        fixture.where("doc_id IN (1, 3)"), "doc_id", "text",
+        k = 5, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(lite(1L)._1 == 96L && lite(1L)._2 == 0L && lite(1L)._3,
+      "A vs C only: the shared run has no duplicate -> lite sees nothing")
+    val lite2 = Dedup.duplicatedSpanStats(
+        fixture.where("doc_id IN (1, 2)"), "doc_id", "text",
+        k = 5, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(lite2(1L) == ((96L, 56L, false)),
+      "lite flags 56/96 dup instances and drops ALL of doc A")
+  }
+
+  test("within-doc tandem repeat: adjacent windows merge to one full-cover span") {
+    val m = collectStats(hashKeys = true)
+    // D = S2+S2: duplicated starts {1, 51}, 51 <= 1+50 -> single island
+    // [1, 101) -> everything cut (the paper counts own repeats)
+    assert(m(4L) == ((100L, 100L, 1L, "")))
+  }
+
+  test("disjoint planted spans stay separate islands") {
+    val m = collectStats(hashKeys = true)
+    // F/G share Sx at [1,51) and Sy at [111,161), 60 unique tokens apart
+    assert(m(6L) == ((160L, 100L, 2L, j((0 until 60).map(i => s"uf$i")))))
+    assert(m(7L) == ((160L, 100L, 2L, j((0 until 60).map(i => s"ug$i")))))
+  }
+
+  test("short and empty docs pass through with canonical re-join") {
+    val m = collectStats(hashKeys = true)
+    assert(m(5L) == ((10L, 0L, 0L, j((0 until 10).map(i => s"e$i")))))
+    assert(m(8L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("production rolling-hash variant == portable raw-string variant") {
+    assert(collectStats(hashKeys = true) == collectStats(hashKeys = false))
+  }
+
+  test("null ids are dropped (rebuild needs a key), non-null rows unaffected") {
+    import spark.implicits._
+    val withNull = Seq(Option(1L) -> j(U1 ++ S), Option(2L) -> j(S ++ U2),
+        Option.empty[Long] -> j(S))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(withNull, "doc_id", "text", 50, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // the null-id doc's S instance still does NOT count toward global
+    // occurrences (it was dropped before counting): S occurs twice via
+    // docs 1+2 regardless, so both stay flagged
+    assert(out(1L) == 60L && out(2L) == 60L)
+  }
+}
