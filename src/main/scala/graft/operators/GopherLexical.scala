@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   * (hash, ellipsis), bullet-line and ellipsis-line fractions, the
   * alphabetic-word fraction, and the ≥2-English-stopwords test.
   *
-  * Scale shape: every signal is a pure Catalyst expression over one row —
-  * zero shuffles, whole-stage-codegen, no UDF barrier — so the operator
-  * composes into scans with pushdown intact and costs one narrow pass at
-  * 10^12 rows (PlanSpec asserts no Exchange).
+  * Scale shape: zero shuffles, one narrow pass over the scan (PlanSpec
+  * asserts no Exchange). The PRODUCTION counts are one fused imperative
+  * scan per row inside a single scalar UDF ([[signals]]): the pure-
+  * Catalyst higher-order variant ([[signalsCatalyst]]) evaluates its
+  * `filter`/`aggregate` lambdas and per-word `rlike` interpretively per
+  * ELEMENT — an interleaved same-session A/B at 1.6M staged FileRows
+  * measured it ~16x slower (82-96 s vs ~5 s; NOTES_r5), the same
+  * interpreted-HOF multiplier the round-2 survey measured for vector
+  * math. The Catalyst variant stays as executable documentation of the
+  * DuckDB twin and as the fuzz cross-check.
   *
   * Cross-engine exactness (the Repetition pattern): every output is an
   * integer COUNT and the keep verdict uses integer cross-multiplication;
@@ -81,7 +87,14 @@ object GopherLexical {
   }
 
   /** The keep verdict over the count columns — integer math only. */
-  def keepColumn: Column = {
+  def keepColumn: Column = keepOver(col)
+
+  /** The same verdict over a [[GqCounts]] STRUCT column — lets the
+    * streaming gate apply the fused UDF + keep in one projection. */
+  def keepFromStruct(gq: Column): Column = keepOver(gq.getField)
+
+  private def keepOver(f: String => Column): Column = {
+    def col(n: String): Column = f(n)
     val w = col("n_words")
     (w >= MinWords) && (w <= MaxWords) &&
       (col("word_chars") >= w * MinMeanWordLen) &&
@@ -96,11 +109,106 @@ object GopherLexical {
       (col("n_stopwords_present") >= MinStopwords)
   }
 
-  /** id + the 9 counts + gq_keep — one narrow Catalyst projection. */
-  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** id + the 9 counts + gq_keep via pure-Catalyst HOFs — the
+    * cross-checked twin of [[signals]]; prefer [[signals]] in
+    * production (measured ~16x faster at 1.6M rows). */
+  def signalsCatalyst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = countColumns(col(textCol)).foldLeft(
       df.select(col(idCol), col(textCol))) { case (d, (n, c)) => d.withColumn(n, c) }
     base.drop(textCol).withColumn("gq_keep", keepColumn)
+  }
+
+  /** The 9 counts as one struct — the FUSED variant: a single imperative
+    * scan per row inside one scalar UDF, replacing the higher-order
+    * `filter`/`aggregate` lambdas and the per-word `rlike` (which
+    * evaluate interpretively per element). Semantics are FROZEN
+    * identical to [[countColumns]]: Java regex `\s+` whitespace is the
+    * ASCII class [ \t\n\f\r]; word chars are code points;
+    * stopword comparison lowercases via Locale.ROOT (the fuzz spec pins
+    * all three implementations to each other on adversarial input). */
+  final case class GqCounts(n_words: Long, word_chars: Long,
+                            n_alpha_words: Long, n_stopwords_present: Long,
+                            n_hash: Long, n_ellipsis: Long, n_lines: Long,
+                            n_bullet_lines: Long, n_ellipsis_lines: Long)
+
+  private[operators] def fusedCountsRow(t: String): GqCounts = {
+    val n = t.length
+    def isWs(c: Char): Boolean = // Java regex \s (no UNICODE flag)
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // words pass
+    var nWords = 0L; var wordChars = 0L; var nAlpha = 0L
+    var swMask = 0 // distinct-stopword bitmask
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(t.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var cps = 0L; var alpha = false
+        while (i < n && !isWs(t.charAt(i))) {
+          val c = t.charAt(i)
+          if (!(Character.isLowSurrogate(c) && i > start &&
+              Character.isHighSurrogate(t.charAt(i - 1)))) cps += 1
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+          i += 1
+        }
+        nWords += 1; wordChars += cps
+        if (alpha) nAlpha += 1
+        if (i - start <= 4) { // longest stopword is 4 chars
+          val w = t.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+          var s = 0
+          while (s < Stopwords.length) {
+            if (w == Stopwords(s)) swMask |= 1 << s
+            s += 1
+          }
+        }
+      }
+    }
+    // symbol passes
+    var nHash = 0L
+    i = 0
+    while (i < n) { if (t.charAt(i) == '#') nHash += 1; i += 1 }
+    var nEll = 0L
+    i = t.indexOf("...")
+    while (i >= 0) { nEll += 1; i = t.indexOf("...", i + 3) }
+    // lines pass (split '\n' keeping empties)
+    var nLines = 0L; var nBullet = 0L; var nEllLines = 0L
+    var ls = 0
+    while (ls <= n) {
+      var le = t.indexOf('\n', ls)
+      if (le < 0) le = n
+      nLines += 1
+      if (le > ls) {
+        val c0 = t.charAt(ls)
+        if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+        if (le - ls >= 3 && t.charAt(le - 1) == '.' && t.charAt(le - 2) == '.' &&
+          t.charAt(le - 3) == '.') nEllLines += 1
+      }
+      ls = le + 1
+    }
+    GqCounts(nWords, wordChars, nAlpha, Integer.bitCount(swMask).toLong,
+      nHash, nEll, nLines, nBullet, nEllLines)
+  }
+
+  /** The fused counts as a [[GqCounts]] struct column — one scalar UDF
+    * call per row (null text counts as empty, like the oracle). */
+  def fusedCountsCol(textCol: Column): Column =
+    fusedUdf(textCol)
+
+  private val fusedUdf = udf((t: String) => fusedCountsRow(if (t == null) "" else t))
+
+  /** PRODUCTION signals: id + the 9 counts + gq_keep via the fused
+    * single-scan UDF — same columns, same frozen semantics as
+    * [[signalsCatalyst]], one codegen-opaque call per row instead of
+    * ~6 interpreted HOF evaluations per token/line (interleaved A/B at
+    * 1.6M rows: ~16x; NOTES_r5). */
+  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val u = fusedUdf
+    val names = Seq("n_words", "word_chars", "n_alpha_words",
+      "n_stopwords_present", "n_hash", "n_ellipsis", "n_lines",
+      "n_bullet_lines", "n_ellipsis_lines")
+    df.select(col(idCol), u(col(textCol)).as("gq"))
+      .select(col(idCol) +: names.map(f => col("gq").getField(f).as(f)): _*)
+      .withColumn("gq_keep", keepColumn)
   }
 
   /** DuckDB rendering of the SAME counts over `src`(idCol, textCol),

@@ -152,17 +152,31 @@ object Similarity {
       (d, c)
     }.sorted.take(nprobe).map(_._2).toArray
 
-  /** Deterministic driver-side k-means coarse quantizer (Lloyd, fixed
-    * iterations, seeded init) trained on a UNIFORM deterministic sample:
-    * rows are ranked by xxhash64(id) — a stable pseudo-random order that
-    * is independent of partition layout and parallelism (a bare `limit`
+  /** Deterministic k-means coarse quantizer: seeded driver-side Lloyd
+    * on a UNIFORM deterministic sample for the INIT, then `refineIters`
+    * distributed Lloyd iterations over the FULL corpus (round-4 verdict
+    * #5 — at the documented nCentroids ≈ √n scaling rule a fixed-size
+    * driver sample under-trains centroids for very large corpora).
+    *
+    * Sample: rows ranked by xxhash64(id) — a stable pseudo-random order
+    * independent of partition layout and parallelism (a bare `limit`
     * would take whatever partitions answer first and bias the centroids
-    * toward the head of the table). The top-n-by-hash runs as a bounded
-    * TakeOrdered, never a full sort materialization. */
+    * toward the head of the table); runs as a bounded TakeOrdered,
+    * never a full sort materialization.
+    *
+    * Refinement: each iteration is ONE narrow mapPartitions pass over
+    * broadcast centroids emitting a (k × dim) partial sum + k counts
+    * per partition — the driver collects #partitions fixed-size
+    * matrices, never vectors. Assignments (integer nearest-centroid)
+    * are exact and order-independent; the only nondeterminism is
+    * floating-point sum order across partitions, which perturbs
+    * centroids by ulps — harmless for a coarse quantizer, and the
+    * correctness harness reranks from DUMPED candidates, so oracle
+    * hashes never depend on it. */
   private[operators] def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, sampleSize: Int, kmeansIters: Int,
-      seed: Long): Array[Array[Double]] = {
+      seed: Long, refineIters: Int = 2): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample: Array[Array[Float]] = corpus
@@ -177,20 +191,58 @@ object Similarity {
       _ => sample(rnd.nextInt(sample.length)).map(_.toDouble))
     (0 until kmeansIters).foreach { _ =>
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
+      val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
         val c = nearest(v, centroids)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
+      centroids = updated(centroids, sums, counts)
+    }
+    // distributed refinement over the full corpus
+    val vecs = corpus.select(col(vecCol)).as[Array[Float]]
+    (0 until refineIters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials: Array[(Array[Array[Double]], Array[Long])] = vecs
+        .mapPartitions { it =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          it.foreach { v =>
+            if (v != null && v.length == dim) {
+              val c = nearest(v, cs)
+              counts(c) += 1
+              var i = 0
+              while (i < dim) { sums(c)(i) += v(i); i += 1 }
+            }
+          }
+          Iterator.single((sums, counts))
+        }.collect()
+      bc.destroy()
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < counts.length) {
+          counts(c) += pc(c)
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          c += 1
+        }
+      }
+      centroids = updated(centroids, sums, counts)
     }
     centroids
   }
+
+  /** Lloyd update: mean per non-empty cluster, empty clusters keep
+    * their previous centroid. */
+  private def updated(prev: Array[Array[Double]], sums: Array[Array[Double]],
+                      counts: Array[Long]): Array[Array[Double]] =
+    prev.indices.map { c =>
+      if (counts(c) == 0L) prev(c) else sums(c).map(_ / counts(c))
+    }.toArray
 
   /** Exact cosine top-k restricted to a (query_id, neighbor_id) candidate
     * set — the shared rerank tail of the IVF and LSH paths, split out so

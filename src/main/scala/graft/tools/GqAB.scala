@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B: GopherLexical HOF (pure-Catalyst) vs fused
+  * single-scan UDF at 1.6M staged FileRows (round-4 verdict #3; the
+  * NOTES_r4 lesson — a ~15% perf question on this drifting VM is only
+  * decidable by A/B pairs interleaved in ONE session). Forces the full
+  * column set via xxhash64-of-struct so neither variant gets pruned. */
+object GqAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("gq-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rounds = sys.env.getOrElse("GQ_AB_ROUNDS", "4").toInt
+    val path = sys.env.getOrElse("GQ_AB_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val input = spark.read.parquet(path)
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"))
+      .cache()
+    println(s"rows=${input.count()}")
+    def force(df: DataFrame): Long = {
+      val all = struct(df.columns.map(col): _*)
+      df.select(xxhash64(all).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("double"))).collect()(0).getLong(0)
+    }
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warmup both codepaths
+    force(graft.operators.GopherLexical.signalsCatalyst(input, "doc_id", "text"))
+    force(graft.operators.GopherLexical.signals(input, "doc_id", "text"))
+    (1 to rounds).foreach { r =>
+      val (ta, na) = time(force(graft.operators.GopherLexical.signalsCatalyst(input, "doc_id", "text")))
+      val (tb, nb) = time(force(graft.operators.GopherLexical.signals(input, "doc_id", "text")))
+      println(f"round $r: Catalyst-HOF $ta%7.2fs  fused $tb%7.2fs  (rows $na/$nb)  ratio ${ta / tb}%.2f")
+    }
+    spark.stop()
+  }
+}

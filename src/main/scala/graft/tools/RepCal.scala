@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Calibration evidence for the CHAR-weighted Gopher gram rules
+  * (round-5 ADVICE): the frozen Table A1 values (0.20 top-2-gram, 0.15
+  * dup-5-gram) are applied to a different ratio than the literal paper
+  * text (denominator = total gram chars, instances counted rather than
+  * positionally de-overlapped). This tool measures, per corpus, the
+  * keep-rate under (a) the shipped char-weighted rule and (b) the
+  * count-based rule the values were lifted from, plus the flip set —
+  * the numbers quoted in NOTES_r5/BASELINE.md that justify keeping the
+  * Table A1 values against the new denominator. */
+object RepCal {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("rep-cal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Repetition._
+
+    def gramRuleCols(base: org.apache.spark.sql.DataFrame) = {
+      // shared non-gram rules (identical in both variants)
+      val shared =
+        (col("dup_lines") * MaxDupLineFrac._2 <= col("n_lines") * MaxDupLineFrac._1) &&
+          (col("dup_line_chars") * MaxDupLineCharFrac._2 <= col("line_chars") * MaxDupLineCharFrac._1) &&
+          (col("dup_paras") * MaxDupParaFrac._2 <= col("n_paras") * MaxDupParaFrac._1) &&
+          (col("dup_para_chars") * MaxDupParaCharFrac._2 <= col("para_chars") * MaxDupParaCharFrac._1)
+      val charGram =
+        (col("n_2grams") < MinGramSupport ||
+          col("top_2gram_chars") * MaxTop2GramFrac._2 <= col("gram2_chars") * MaxTop2GramFrac._1) &&
+          (col("n_5grams") < MinGramSupport ||
+            col("dup_5gram_chars") * MaxDup5GramFrac._2 <= col("gram5_chars") * MaxDup5GramFrac._1)
+      val cntGram =
+        (col("n_2grams") < MinGramSupport ||
+          col("top_2gram_cnt") * MaxTop2GramFrac._2 <= col("n_2grams") * MaxTop2GramFrac._1) &&
+          (col("n_5grams") < MinGramSupport ||
+            col("dup_5grams") * MaxDup5GramFrac._2 <= col("n_5grams") * MaxDup5GramFrac._1)
+      base.select(
+        count(lit(1)).as("docs"),
+        sum((shared && charGram).cast("long")).as("keep_char"),
+        sum((shared && cntGram).cast("long")).as("keep_cnt"),
+        sum((shared && charGram && !cntGram).cast("long")).as("char_only"),
+        sum((shared && cntGram && !charGram).cast("long")).as("cnt_only"))
+    }
+
+    def report(name: String, df: org.apache.spark.sql.DataFrame,
+               idCol: String, textCol: String): Unit = {
+      val sig = signals(df.select(col(idCol), col(textCol)), idCol, textCol)
+      val r = gramRuleCols(sig).collect()(0)
+      val docs = r.getLong(0).toDouble
+      println(f"$name%-28s docs=${r.getLong(0)}  keep_char=${r.getLong(1)} (${r.getLong(1) / docs * 100}%.2f%%)  " +
+        f"keep_cnt=${r.getLong(2)} (${r.getLong(2) / docs * 100}%.2f%%)  " +
+        s"flips char-only=${r.getLong(3)} cnt-only=${r.getLong(4)}")
+    }
+
+    report("documents sf0.1",
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"), "doc_id", "text")
+    val staged = "/tmp/graft_bench_filerows_1600000_x8"
+    if (graft.sources.ParquetTableIO.exists(spark, staged))
+      report("filerows 1.6M x8",
+        spark.read.parquet(staged)
+          .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+            col("content").as("text")), "doc_id", "text")
+    spark.stop()
+  }
+}

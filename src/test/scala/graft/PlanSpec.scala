@@ -193,11 +193,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("gopher lexical rules are pure Catalyst: zero exchanges, no UDF barrier") {
+  test("gopher lexical rules: zero exchanges (fused default); Catalyst twin UDF-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // production default: fused scan UDF — still a narrow zero-shuffle
+    // projection over the scan (the UDF is the point: one codegen-opaque
+    // call/row beat interpreted HOFs ~16x at 1.6M rows)
     val p = plan(operators.GopherLexical.signals(docs, "doc_id", "text"))
     assert(!p.contains("Exchange"), p)
-    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+    // the cross-checked Catalyst twin stays pure-Catalyst: no UDF at all
+    val pc = plan(operators.GopherLexical.signalsCatalyst(docs, "doc_id", "text"))
+    assert(!pc.contains("Exchange"), pc)
+    assert(!pc.contains("BatchEvalPython") && !pc.contains("ScalaUDF"), pc)
   }
 
   test("tfIdf tokenizes ONCE: tf and document-frequency share a ReusedExchange") {

@@ -98,15 +98,40 @@ class GopherLexicalSpec extends AnyFunSuite {
       sb.toString.replace("\uDE00\uD83D", "..")
         .replaceAll("\uD83D(?!\uDE00)", "x").replaceAll("(?<!\uD83D)\uDE00", "y")
     }
-    val got = GopherLexical.signals(
-        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
-        "doc_id", "text")
-      .collect()
-      .map(r => r.getLong(0) -> r.toSeq.slice(1, 10).map(_.asInstanceOf[Long]))
-      .toMap
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def counts(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> r.toSeq.slice(1, 10).map(_.asInstanceOf[Long])
+    val got = GopherLexical.signals(df, "doc_id", "text").collect().map(counts).toMap
+    val gotC = GopherLexical.signalsCatalyst(df, "doc_id", "text").collect().map(counts).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      assert(got(i.toLong) == naive(t), s"mismatch on ${t.map(_.toInt)}")
+      // 3-way pin: fused default == pure-Catalyst twin == independent JVM naive
+      assert(got(i.toLong) == naive(t), s"fused mismatch on ${t.map(_.toInt)}")
+      assert(gotC(i.toLong) == naive(t), s"catalyst mismatch on ${t.map(_.toInt)}")
+      val f = GopherLexical.fusedCountsRow(t)
+      assert(f.productIterator.toSeq == naive(t), s"fusedRow mismatch on ${t.map(_.toInt)}")
     }
+  }
+
+  test("fused default == Catalyst twin (columns, values, keep) on the goldens") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat...\n- with a hat #tag\n* and that",
+      "The THE tHe be",
+      (Seq.fill(13)("the cat sat with that dog and") :+ "be").mkString(" "),
+      "", "a...b...c", "w.....")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = GopherLexical.signalsCatalyst(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = GopherLexical.signals(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(GopherLexical.signalsCatalyst(df, "doc_id", "text").columns.toSeq ==
+      GopherLexical.signals(df, "doc_id", "text").columns.toSeq)
+    assert(a == b)
+    // null text safe in the fused path too
+    val nr = GopherLexical.signals(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(nr.getAs[Long]("n_words") == 0L && !nr.getAs[Boolean]("gq_keep"))
   }
 
   test("null and empty text are safe and dropped") {
