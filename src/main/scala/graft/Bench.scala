@@ -67,6 +67,7 @@ object Bench {
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
+      "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation",
       "q_curation_scale")
 
@@ -130,6 +131,16 @@ object Bench {
       "q_decontaminate" -> (s => {
         val d = docsDf(s)
         graft.operators.Decontaminate.contaminatedIds(
+            d.where(col("doc_id") % 7 =!= 0),
+            d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      }),
+      // production variant: hashed shingles through the Bloom prefilter +
+      // shuffled exact confirm (the no-broadcast-ceiling scale path)
+      "q_bloom_decon" -> (s => {
+        val d = docsDf(s)
+        graft.operators.Decontaminate.contaminatedIdsBloom(
             d.where(col("doc_id") % 7 =!= 0),
             d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
           .withColumnRenamed("id", "doc_id")
@@ -236,7 +247,15 @@ object Bench {
         if (n >= 0) rows = n
         ((System.nanoTime() - t0) / 1e9, n >= 0, p)
       }
-      var all = (1 to qRepeats).map(_ => once()).toVector
+      var all = Vector(once())
+      // long-query cap: a first sample over 60 s (q_curation_scale runs
+      // ~80 s warm at 1.6M rows) caps the query at min-of-2 + 1 retry —
+      // still steal-disclosing, without tripling a minutes-long query.
+      // The samples list in stderr and samples_per_query in the JSON
+      // keep the estimator honest.
+      val isLong = all.head._2 && all.head._1 > 60.0
+      val targetSamples = if (isLong) 2 else qRepeats
+      while (all.size < targetSamples) all :+= once()
       def ok = all.filter(_._2)
       def needsRetry: Boolean = ok.nonEmpty && {
         val times = ok.map(_._1)
@@ -244,8 +263,9 @@ object Bench {
         val med = times.sorted.apply(times.size / 2)
         med / mn > 3.0 || ok.minBy(_._1)._3 > DegradedRatio * probeRef
       }
+      val allowedRetries = if (isLong) math.min(1, maxRetries) else maxRetries
       var extra = 0
-      while (extra < maxRetries && needsRetry) {
+      while (extra < allowedRetries && needsRetry) {
         System.err.println(s"[bench] $name: degraded/spread window detected -> extra sample")
         all :+= once(); extra += 1
       }

@@ -672,6 +672,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
     }),
+    "q_bloom_decon" -> ((s, dir) => {
+      // Bloom-prefilter decontamination: phase-1 sketch prefilter + exact
+      // confirm — the EXACT same contaminated set as q_decontaminate, so
+      // the oracle SQL is shared verbatim. hashShingles=false here only
+      // so DuckDB replays the confirm join on raw strings; the bench
+      // times the hashed production variant.
+      val d = docs(s, dir)
+      Decontaminate.contaminatedIdsBloom(
+          d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5,
+          hashShingles = false)
+        .withColumnRenamed("id", "doc_id")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    }),
     "q_multimodal" -> ((s, dir) =>
       // REAL decode: payloads are genuine BMP/WAV/PPM bytes built from the
       // embeddings fixture; width/height/mean come from parsing them
@@ -1225,6 +1239,19 @@ object SparkEntry {
     // Decontamination replayed verbatim (same shingle construction as
     // q_ngram_jaccard).
     "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        |         WHERE s.doc_id % 7 <> 0)
+        |SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""".stripMargin,
+    // Bloom prefilter + exact confirm == the exact join: same oracle.
+    "q_bloom_decon" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents),

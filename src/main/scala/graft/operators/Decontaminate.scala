@@ -32,6 +32,48 @@ object Decontaminate {
                       idCol: String, textCol: String, k: Int = 5,
                       broadcastEval: Boolean = true,
                       hashShingles: Boolean = true): DataFrame = {
+    idsViaEval(train, evalSet, idCol, textCol, k, broadcastEval, hashShingles,
+      bloomFpp = 0.0)
+  }
+
+  /** [[contaminatedIds]] with a Bloom-filter prefilter — the shape for when
+    * even the 8-byte-hashed eval shingle set outgrows a comfortable
+    * broadcast (10^8+ distinct shingles ≈ GBs of exact set vs ~1.2
+    * bits×ln(1/fpp)/ln²2 per element of Bloom: at fpp=0.01, ~150 MB per
+    * 10^8 shingles, 7–8× smaller than the hashed set and ~50× smaller
+    * than raw strings).
+    *
+    * Two-phase, EXACT result (identical to [[contaminatedIds]], so the
+    * same DuckDB oracle hash-checks it):
+    *   1. build one Bloom sketch over the distinct eval shingles
+    *      (`DataFrame.stat.bloomFilter` — a treeAggregate; sketches OR
+    *      together associatively, no driver bottleneck), broadcast it, and
+    *      stream the train side through a `mightContain` prefilter — a
+    *      narrow map, the big table is never shuffled;
+    *   2. exact-confirm ONLY the survivors (true matches + ~fpp false
+    *      positives) with a shuffled semi-join against the eval shingles.
+    *      The shuffle moves |matches| + fpp×|train shingles| rows instead
+    *      of the whole exploded train side — at 1% contamination and
+    *      fpp=0.01 that is ~50× less shuffle than the non-broadcast
+    *      fallback of [[contaminatedIds]], with none of the broadcast's
+    *      memory ceiling.
+    *
+    * The confirm join stays exact-equi, so Bloom false positives cost
+    * only wasted shuffle rows, never a wrong id. Skipping the confirm
+    * (accepting fpp extra drops — often fine for decontamination, flags
+    * only ADD) would make phase 1 the whole operator; kept exact here so
+    * the oracle contract stays byte-identical with the broadcast path. */
+  def contaminatedIdsBloom(train: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String, k: Int = 5,
+                           fpp: Double = 0.01,
+                           hashShingles: Boolean = true): DataFrame =
+    idsViaEval(train, evalSet, idCol, textCol, k, broadcastEval = false,
+      hashShingles = hashShingles, bloomFpp = fpp)
+
+  private def idsViaEval(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         broadcastEval: Boolean, hashShingles: Boolean,
+                         bloomFpp: Double): DataFrame = {
     // hashed path: 8-byte xxhash64 keys over the shingle strings (a
     // token-wise no-string variant measured SLOWER — see
     // Dedup.shingleHashes note); unresolved column, bound by whichever
@@ -45,8 +87,30 @@ object Decontaminate {
         .distinct()
       if (broadcastEval) broadcast(s) else s
     }
-    train
-      .select(col(idCol).as("id"), explode(spans).as("shingle"))
+    val trainShingles =
+      train.select(col(idCol).as("id"), explode(spans).as("shingle"))
+    val probeSide =
+      if (bloomFpp <= 0.0) trainShingles
+      else {
+        // phase 1: Bloom prefilter. expectedNumItems needs a count first —
+        // one cheap job over the (small-by-contract) eval side; a loose
+        // overestimate only pads the sketch, so callers with a known bound
+        // could skip it, but exactness of the final result never depends
+        // on it.
+        val spark = train.sparkSession
+        val nEval = evalShingles.count()
+        if (nEval == 0L) return trainShingles.select("id").where(lit(false)).distinct()
+        val sketch = evalShingles.stat.bloomFilter("shingle", nEval, bloomFpp)
+        val bc = spark.sparkContext.broadcast(sketch)
+        // one Bloom probe per shingle; a UDF (not codegen) but the work per
+        // call is a couple of multiplies + bit tests — the explode above
+        // dominates. Long for hashed shingles, String for the portable twin.
+        val mightContain =
+          if (hashShingles) udf((h: Long) => bc.value.mightContainLong(h))
+          else udf((s: String) => bc.value.mightContainString(s))
+        trainShingles.filter(mightContain(col("shingle")))
+      }
+    probeSide
       .join(evalShingles, Seq("shingle"), "left_semi")
       .select("id")
       .distinct()

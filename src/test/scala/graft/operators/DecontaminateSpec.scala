@@ -60,4 +60,32 @@ class DecontaminateSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
     }
   }
+
+  test("bloom prefilter variant: exact same id set as the broadcast path") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val exact = Decontaminate.contaminatedIds(
+      docs, evalSet, "doc_id", "text").as[Long].collect().toSet
+    // production (hashed longs) and portable (raw strings) bloom paths,
+    // plus a deliberately terrible fpp: false positives must be confirmed
+    // away, never surface as ids
+    for (fpp <- Seq(0.01, 0.5); hashed <- Seq(true, false)) {
+      val viaBloom = Decontaminate.contaminatedIdsBloom(
+        docs, evalSet, "doc_id", "text", fpp = fpp,
+        hashShingles = hashed).as[Long].collect().toSet
+      assert(viaBloom == exact, s"fpp=$fpp hashed=$hashed")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("bloom prefilter variant: empty eval set -> empty result, no crash") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val empty = docs.where(lit(false))
+      .select(col("doc_id").as("eval_id"), col("text"))
+    assert(Decontaminate.contaminatedIdsBloom(
+      docs, empty, "doc_id", "text").as[Long].collect().isEmpty)
+  }
 }
