@@ -68,7 +68,7 @@ object Bench {
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
-      "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_curation",
+      "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
       "q_curation_scale")
 
     // Staged flagship input (shared by q_curation_scale, pipeline_synth
@@ -136,6 +136,10 @@ object Bench {
           .withColumnRenamed("id", "doc_id")
           .join(d.select("doc_id", "lang"), Seq("doc_id"))
       }),
+      // the operator without the harness's centroid oracle-dump write
+      // (timing the dump would time a coalesce(1) write, not the op)
+      "q_domain_mix" -> (s => graft.operators.Mixture.domainMixture(
+        embDf(s), "vec_id", "embedding", nCentroids = 8, alpha = 0.3)._2),
       // production variant: hashed shingles through the Bloom prefilter +
       // shuffled exact confirm (the no-broadcast-ceiling scale path)
       "q_bloom_decon" -> (s => {

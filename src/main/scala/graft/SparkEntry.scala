@@ -137,6 +137,12 @@ object SparkEntry {
   def minhashBucketsDumpPath(dir: String): String =
     s"/tmp/graft_minhash_buckets_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** K-means centroid dump — DuckDB re-derives every vector's nearest
+    * centroid (list_distance + row_number) and the mixture weights from
+    * it, so clustering-dependent aggregates stay hash-checkable. */
+  def centroidDumpPath(dir: String): String =
+    s"/tmp/graft_centroid_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** SimHash signature dump — the banding + verify is replayed by DuckDB
     * from SQL generated off the same Manku block geometry. */
   def simhashSigDumpPath(dir: String): String =
@@ -641,6 +647,32 @@ object SparkEntry {
       Similarity.topKFromCandidates(all, queries, s.read.parquet(path),
           "vec_id", "embedding", "vec_id", 10)
         .withColumn("score", round(col("score"), 4))
+    }),
+    "q_mixture_weights" -> ((s, dir) =>
+      // multilingual alpha-sampling (XLM-R alpha=0.3): per-language
+      // temperature weights + the upsample factor a sampler applies
+      Mixture.temperatureWeights(docs(s, dir), Seq("lang"), alpha = 0.3)
+        .select(col("lang"), col("n_docs"),
+          round(col("share"), 4).as("share"),
+          round(col("weight"), 4).as("weight"),
+          round(col("upsample"), 4).as("upsample"))),
+    "q_domain_mix" -> ((s, dir) => {
+      // cluster-balanced mixture over UNLABELED domains: k-means clusters
+      // on the embedding column stand in for domain labels; centroids are
+      // dumped so DuckDB re-derives assignment (list_distance argmin) and
+      // the weights — the learned state crosses the engine boundary as
+      // data, the math is replayed exactly (ANN candidate-dump pattern)
+      oracleDir = dir
+      val (cs, weights) = Mixture.domainMixture(
+        emb(s, dir), "vec_id", "embedding", nCentroids = 8, alpha = 0.3)
+      import s.implicits._
+      cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centroidDumpPath(dir))
+      weights.select(col("cluster_id"), col("n_docs"),
+        round(col("share"), 4).as("share"),
+        round(col("weight"), 4).as("weight"),
+        round(col("upsample"), 4).as("upsample"))
     }),
     "q_sample_hash" -> ((s, dir) =>
       // E8 scale companion: DETERMINISTIC hash sampling — membership is a
@@ -1191,6 +1223,39 @@ object SparkEntry {
          |FROM c JOIN e ea ON ea.vec_id = id_a
          |       JOIN e eb ON eb.vec_id = id_b
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin,
+    // alpha-sampling weights: pure relational, replayed verbatim. The
+    // share/weight/upsample expressions mirror the Spark operator's
+    // division structure exactly (w = n^a / sum n^a; upsample = w/share)
+    // so both engines round identical doubles.
+    "q_mixture_weights" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.3)) AS pow_sum
+        |      FROM g)
+        |SELECT lang, n_docs,
+        |  round(n_docs / total, 4) AS share,
+        |  round(pow(n_docs, 0.3) / pow_sum, 4) AS weight,
+        |  round((pow(n_docs, 0.3) / pow_sum) / (n_docs / total), 4) AS upsample
+        |FROM g CROSS JOIN t""".stripMargin,
+    // cluster mixture: assignment re-derived from the dumped centroids —
+    // list_distance is monotone in the operator's squared L2, and the
+    // (dist, centroid_id) order matches nearest()'s lowest-index tie-break.
+    "q_domain_mix" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT centroid_id, centroid
+         |      FROM read_parquet('${centroidDumpPath(oracleDir)}/*.parquet')),
+         |a AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |        SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY list_distance(v, centroid), centroid_id) AS rn
+         |        FROM e CROSS JOIN c) WHERE rn = 1),
+         |g AS (SELECT cluster_id, count(*) AS n_docs FROM a GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.3)) AS pow_sum
+         |      FROM g)
+         |SELECT cluster_id, n_docs,
+         |  round(n_docs / total, 4) AS share,
+         |  round(pow(n_docs, 0.3) / pow_sum, 4) AS weight,
+         |  round((pow(n_docs, 0.3) / pow_sum) / (n_docs / total), 4) AS upsample
+         |FROM g CROSS JOIN t""".stripMargin,
     "q_sample_hash" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

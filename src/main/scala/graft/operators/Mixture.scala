@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data mixture weighting — the "what do we sample, and how much"
+  * step that follows curation in an LM data pipeline.
+  *
+  * [[temperatureWeights]] is the multilingual alpha-sampling rule
+  * (Conneau et al. 2020, XLM-R §3; also mC4/PaLM data mixing): a group
+  * with empirical share p_g is sampled with weight w_g ∝ p_g^alpha, which
+  * upsamples the tail (alpha < 1 flattens the distribution; alpha = 0 is
+  * uniform, alpha = 1 keeps the corpus as-is). [[domainMixture]] applies
+  * it to UNLABELED domains: k-means clusters over an embedding column
+  * stand in for domain labels (the Gopher/DoReMi-style "cluster the
+  * corpus, then rebalance" recipe).
+  *
+  * Scale shape (100 TB): the corpus is scanned ONCE and never shuffled —
+  * per-group counts partial-aggregate map-side into (group-cardinality)
+  * rows (languages/domains: thousands at most), the grand total is a
+  * broadcast one-row aggregate over that tiny frame, and all weight math
+  * happens post-aggregation. Cluster assignment is a narrow map over
+  * broadcast centroids (k × dim doubles — KBs). Nothing here grows with
+  * corpus size except the two map-side-combined counts.
+  */
+object Mixture {
+
+  /** Per-group temperature-scaled sampling weights. Output columns:
+    * groupCols ++ (n_docs, share, weight, upsample) — share = n_g/N,
+    * weight = n_g^alpha / Σ n^alpha (≡ p^alpha normalized, the N^alpha
+    * factors cancel), upsample = weight/share is the rate multiplier to
+    * hand a sampler such as [[Sampling.hashSample]]. All doubles are left
+    * unrounded; harness queries round at the edge. */
+  def temperatureWeights(df: DataFrame, groupCols: Seq[String],
+                         alpha: Double): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum("n_docs").as("total"),
+      sum(pow(col("n_docs"), lit(alpha))).as("pow_sum"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_docs"),
+          (col("n_docs") / col("total")).as("share"),
+          (pow(col("n_docs"), lit(alpha)) / col("pow_sum")).as("weight")): _*)
+      .withColumn("upsample", col("weight") / col("share"))
+  }
+
+  /** (id, cluster_id): every embedding assigned to its nearest centroid
+    * (squared L2, ties to the lowest index — [[Similarity.nearest]], the
+    * same rule the IVF index uses). Centroids broadcast; one narrow pass;
+    * null/mis-dimensioned vectors get cluster_id -1 rather than killing
+    * the job (the same lenient contract as the IVF bucketing). */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val nearestUdf = udf { (v: Array[Float]) =>
+      val cs = bc.value
+      if (v == null || cs.isEmpty || v.length != cs(0).length) -1
+      else Similarity.nearest(v, cs)
+    }
+    emb.select(col(idCol).as("id"), nearestUdf(col(vecCol)).as("cluster_id"))
+  }
+
+  /** Cluster-balanced domain mixture: deterministic k-means domains over
+    * the embedding column (seeded sampled init + distributed Lloyd
+    * refinement — [[Similarity.kmeansCentroids]]), then temperature
+    * weights per cluster. Returns (centroids, weights) so the harness can
+    * DUMP the centroids and have DuckDB re-derive assignment + weights
+    * from them (the ANN candidate-dump pattern: learned state crosses the
+    * engine boundary as data, the math is replayed exactly). */
+  def domainMixture(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, alpha: Double,
+                    seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    val cs = Similarity.kmeansCentroids(emb, idCol, vecCol, nCentroids,
+      sampleSize = 4096, kmeansIters = 8, seed = seed)
+    val weights = temperatureWeights(
+      assignClusters(emb, idCol, vecCol, cs), Seq("cluster_id"), alpha)
+    (cs, weights)
+  }
+}

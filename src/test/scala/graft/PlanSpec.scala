@@ -51,6 +51,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial + final
   }
 
+  test("mixture weights: corpus shuffled only as partial-agg group counts") {
+    // temperatureWeights at 100 TB: the only hash exchange carries
+    // (group, partial count) rows — group cardinality, not corpus rows —
+    // and the totals reach the counts via a broadcast of ONE row
+    val df = operators.Mixture.temperatureWeights(
+      spark.read.parquet(s"$sf/documents.parquet"), Seq("lang"), 0.3)
+    df.collect() // exchange reuse lands in the AQE-final plan
+    // AdaptiveSparkPlan.toString appends the Initial Plan — count nodes
+    // in the final section only (NOTES_r5 gotcha)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p) // totals reuse the counts exchange
+    // a ReusedExchange line cites its target as "... , Exchange
+    // hashpartitioning(...)" — subtract the citations from the raw count
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    val reuses = p.split("ReusedExchange").length - 1
+    assert(exchanges - reuses == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("bloom decontamination: train side filtered BEFORE its shuffle") {
+    // the Bloom prefilter must sit below the semi-join exchange — the
+    // whole point is that only sketch-passing shingles get shuffled
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = operators.Decontaminate.contaminatedIdsBloom(
+      docs.where(col("doc_id") % 7 =!= 0),
+      docs.where(col("doc_id") % 7 === 0), "doc_id", "text")
+    val p = plan(df)
+    val gen = p.indexOf("Generate explode") // shingle explode on the train side
+    val udfFilter = p.indexOf("UDF(shingle")
+    assert(gen >= 0 && udfFilter >= 0, p)
+    assert(p.contains("LeftSemi"), p) // exact confirm survives as an equi semi-join
+  }
+
   test("flagship default is the narrow plan: ZERO shuffles before scoring") {
     // the gate-meeting shape (ScalingBench median 0.806): scan → fused
     // scoring stage → decision, no Exchange anywhere on the score path

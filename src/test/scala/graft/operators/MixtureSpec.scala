@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temperature-sampling mixture weights + cluster-domain assignment:
+  * algebraic invariants (weights are a distribution; alpha=1 is identity,
+  * alpha=0 is uniform), brute-force agreement for the assignment, and
+  * determinism of the clustered mixture across runs. */
+class MixtureSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("temperatureWeights: weights form a distribution; share preserved") {
+    val w = Mixture.temperatureWeights(docs, Seq("lang"), alpha = 0.3).collect()
+    assert(w.nonEmpty)
+    val wsum = w.map(_.getAs[Double]("weight")).sum
+    val ssum = w.map(_.getAs[Double]("share")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weight sum $wsum")
+    assert(math.abs(ssum - 1.0) < 1e-9, s"share sum $ssum")
+    val n = w.map(_.getAs[Long]("n_docs")).sum
+    assert(n == docs.count())
+  }
+
+  test("temperatureWeights: alpha=1 keeps the corpus (upsample==1); alpha=0 is uniform") {
+    val identity = Mixture.temperatureWeights(docs, Seq("lang"), alpha = 1.0).collect()
+    identity.foreach { r =>
+      assert(math.abs(r.getAs[Double]("upsample") - 1.0) < 1e-9, r.toString)
+      assert(math.abs(r.getAs[Double]("weight") - r.getAs[Double]("share")) < 1e-12)
+    }
+    val uniform = Mixture.temperatureWeights(docs, Seq("lang"), alpha = 0.0).collect()
+    val k = uniform.length
+    uniform.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") - 1.0 / k) < 1e-9, r.toString)
+    }
+  }
+
+  test("temperatureWeights: alpha<1 upsamples the tail, downsamples the head") {
+    val w = Mixture.temperatureWeights(docs, Seq("lang"), alpha = 0.3).collect()
+      .sortBy(_.getAs[Long]("n_docs"))
+    assert(w.head.getAs[Double]("upsample") > 1.0, "smallest group must upsample")
+    assert(w.last.getAs[Double]("upsample") < 1.0, "largest group must downsample")
+  }
+
+  test("assignClusters: matches brute-force nearest; lenient on null/mis-dim") {
+    import spark.implicits._
+    val cs = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCentroids = 4, sampleSize = 256, kmeansIters = 4, seed = 7L)
+    val got = Mixture.assignClusters(emb, "vec_id", "embedding", cs)
+      .as[(Long, Int)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == Similarity.nearest(v, cs), s"vec $id")
+    }
+    val weird = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Mixture.assignClusters(weird, "vec_id", "embedding", cs)
+      .as[(Long, Int)].collect().toMap
+    assert(w(1L) == -1 && w(2L) == -1)
+  }
+
+  test("domainMixture: deterministic across runs; counts cover the corpus") {
+    val (cs1, w1) = Mixture.domainMixture(emb, "vec_id", "embedding",
+      nCentroids = 4, alpha = 0.3, seed = 11L)
+    val (cs2, w2) = Mixture.domainMixture(emb, "vec_id", "embedding",
+      nCentroids = 4, alpha = 0.3, seed = 11L)
+    assert(cs1.map(_.toSeq).toSeq == cs2.map(_.toSeq).toSeq)
+    assert(w1.collect().map(_.toString).sorted.toSeq ==
+      w2.collect().map(_.toString).sorted.toSeq)
+    assert(w1.agg(sum("n_docs")).collect()(0).getLong(0) == emb.count())
+  }
+}
