@@ -70,6 +70,44 @@ object Decontaminate {
     idsViaEval(train, evalSet, idCol, textCol, k, broadcastEval = false,
       hashShingles = hashShingles, bloomFpp = fpp)
 
+  /** A reusable per-row contamination predicate for STREAMING use: true
+    * iff the row's text shares ≥1 word-`k`-gram with `evalSet`. The eval
+    * shingle set is hashed (8-byte xxhash64), collected once at stream
+    * start and broadcast as a sorted array (binary-search probe per
+    * shingle); shingle CONSTRUCTION stays the shared Catalyst expression
+    * ([[Dedup.shingleHashes]]), so stream and batch agree byte-for-byte
+    * on tokenization — only the membership probe is a UDF.
+    *
+    * Driver-collect guard (the AsOfStream pattern): above
+    * `maxEvalShingles` distinct shingles this fails fast and points at
+    * the batch operators — [[contaminatedIds]] (broadcast DataFrame
+    * semi-join) or [[contaminatedIdsBloom]] (sketch + shuffled confirm)
+    * — instead of OOMing the driver mid-stream. 5M longs ≈ 40 MB
+    * broadcast, comfortable; eval sets are benchmark-sized by contract. */
+  def contaminatedColumn(evalSet: DataFrame, textCol: String, k: Int = 5,
+                         maxEvalShingles: Long = 5000000L): org.apache.spark.sql.Column = {
+    val spark = evalSet.sparkSession
+    val evalHashes = evalSet
+      .select(explode(Dedup.shingleHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val n = evalHashes.count()
+    require(n <= maxEvalShingles,
+      s"eval shingle set has $n distinct shingles > maxEvalShingles=$maxEvalShingles: " +
+        "a driver collect this large risks OOM - use the batch operators " +
+        "(Decontaminate.contaminatedIds broadcast semi-join, or " +
+        "contaminatedIdsBloom sketch + shuffled confirm) instead")
+    val sorted: Array[Long] = {
+      import spark.implicits._
+      evalHashes.as[Long].collect().sorted
+    }
+    val bc = spark.sparkContext.broadcast(sorted)
+    val anyHit = udf { (hs: Seq[Long]) =>
+      val arr = bc.value
+      hs != null && hs.exists(h => java.util.Arrays.binarySearch(arr, h) >= 0)
+    }
+    anyHit(Dedup.shingleHashes(col(textCol), k))
+  }
+
   private def idsViaEval(train: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String, k: Int,
                          broadcastEval: Boolean, hashShingles: Boolean,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{GopherLexical, Repetition, Sampling}
+import graft.operators.{Decontaminate, GopherLexical, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,8 @@ object CurateStream {
   def filtered(rows: DataFrame, textCol: String, tsCol: String,
                num: Int, den: Int,
                watermarkDelay: String = "10 minutes",
-               lexicalGate: Boolean = false): DataFrame = {
+               lexicalGate: Boolean = false,
+               decontaminateAgainst: Option[DataFrame] = None): DataFrame = {
     val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
       .where(Repetition.keepColumn(col(textCol)))
     val gated =
@@ -43,6 +44,16 @@ object CurateStream {
           .withColumn("gq_tmp", GopherLexical.fusedCountsCol(col(textCol)))
           .where(GopherLexical.keepFromStruct(col("gq_tmp")))
           .drop("gq_tmp")
-    Sampling.hashSample(gated, Seq(col("content_hash")), num, den)
+    // benchmark decontamination at ingest: a STATIC eval set known at
+    // stream start becomes a broadcast sorted-array membership probe —
+    // stateless, pure function of row content, so the streaming keep set
+    // equals batch contaminatedIds' complement on the same rows (spec'd).
+    // Size-guarded driver collect; big eval sets belong to the batch ops.
+    val decon = decontaminateAgainst match {
+      case None => gated
+      case Some(evalSet) =>
+        gated.where(!Decontaminate.contaminatedColumn(evalSet, textCol))
+    }
+    Sampling.hashSample(decon, Seq(col("content_hash")), num, den)
   }
 }

@@ -704,6 +704,46 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming decontamination gate == batch contaminatedIds complement; size guard trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdeconst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // 15 distinct words per row: passes the repetition gate with margin
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar", t(1)),
+      (2L, "apple banana cherry damson elder fig grape honeydew imbe jackfruit kiwi lemon mango nectarine orange", t(2)),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince", t(3)))
+    // shares the 5-gram "charlie delta echo foxtrot golf" with row 1 only
+    val evalSet = Seq((100L,
+      "papa quebec romeo sierra tango charlie delta echo foxtrot golf whiskey xray yankee zulu uniform"))
+      .toDF("doc_id", "text")
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1, decontaminateAgainst = Some(evalSet))
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(2L, 3L), streamed)
+    // batch twin: the contaminated-id complement over the same rows
+    val contaminated = operators.Decontaminate.contaminatedIds(
+      rows.toDF("doc_id", "text", "ts"), evalSet, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(contaminated == Set(1L))
+    assert(rows.map(_._1).toSet -- contaminated == streamed)
+    // driver-collect guard: a too-big eval set fails loudly at build time
+    val e = intercept[IllegalArgumentException] {
+      operators.Decontaminate.contaminatedColumn(evalSet, "text",
+        maxEvalShingles = 1L)
+    }
+    assert(e.getMessage.contains("maxEvalShingles"), e.getMessage)
+  }
+
   test("streaming as-of enrichment == batch as-of join (stringified), nulls never match") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftasofst").toString
