@@ -51,6 +51,100 @@ object SparkEntry {
       col("lang").as("lang"),
       col("text").as("content"))
 
+  /** Deterministic versioned/forked repo-files table derived from the
+    * documents fixture — the RepoGov operators' input shape
+    * (repo, path, commit, commit_seq, lang, content). The derivation is
+    * deliberately pure ANSI SQL (mod arithmetic + concat + md5) so the
+    * DuckDB oracle rebuilds the SAME table from documents.parquet and
+    * replays each governance query end-to-end ([[repoFilesCte]]):
+    *  - 40 origin repos (doc_id % 40); every doc is one file path;
+    *  - docs with doc_id % 3 == 0 gain a rev2 commit, % 9 == 0 also a
+    *    rev3 (content evolves by a suffix — latest-version selection has
+    *    real work to do);
+    *  - repos r0..r11 have forks f0..f11 holding the LATEST content of
+    *    each origin file, with every 7th doc's fork copy patched (fork
+    *    Jaccard ≈ 6/8 — above any sensible fork threshold, below 1.0);
+    *  - a license header keyed on the repo family ((doc_id%40)%4) covers
+    *    SPDX tags, a phrase-only Apache notice, and an unlicensed class.
+    */
+  def repoFilesFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+      concat(lit("r"), (col("doc_id") % 40).cast("string")).as("orepo"),
+      concat(lit("src/f"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+      ((col("doc_id") % 40) % 4).as("fam"),
+      when(col("doc_id") % 9 === 0, lit(" rev3"))
+        .when(col("doc_id") % 3 === 0, lit(" rev2"))
+        .otherwise(lit("")).as("lsuf"))
+      .withColumn("hdr",
+        when(col("fam") === 0, lit("// SPDX-License-Identifier: MIT"))
+          .when(col("fam") === 1,
+            lit("// Licensed under the Apache License, Version 2.0 (the \"License\")"))
+          .when(col("fam") === 2, lit("// SPDX-License-Identifier: GPL-3.0-only"))
+          .otherwise(lit("// internal tooling - all rights reserved")))
+    def ver(seq: Int, suffix: String) = d
+      .select(col("orepo").as("repo"), col("path"), lit(seq).as("commit_seq"),
+        col("lang"),
+        concat(col("hdr"), lit("\n"), col("text"), lit(suffix)).as("content"),
+        col("doc_id"))
+    val v1 = ver(1, "")
+    val v2 = ver(2, " rev2").where(col("doc_id") % 3 === 0)
+    val v3 = ver(3, " rev3").where(col("doc_id") % 9 === 0)
+    val fork = d.where(col("doc_id") % 40 < 12)
+      .select(concat(lit("f"), (col("doc_id") % 40).cast("string")).as("repo"),
+        col("path"), lit(1).as("commit_seq"), col("lang"),
+        concat(col("hdr"), lit("\n"), col("text"), col("lsuf"),
+          when(col("doc_id") % 7 === 0, lit(" patch")).otherwise(lit("")))
+          .as("content"),
+        col("doc_id"))
+    v1.unionByName(v2).unionByName(v3).unionByName(fork)
+      .drop("doc_id")
+      .withColumn("commit", md5(concat(col("repo"), lit("/"), col("path"),
+        lit("@"), col("commit_seq").cast("string"))))
+  }
+
+  /** The identical derivation as a DuckDB CTE body (tables `rf_docs`,
+    * `repo_files`) — prepend to each RepoGov oracle. */
+  private def repoFilesCte: String =
+    """rf_docs AS (
+      |  SELECT doc_id, lang, text,
+      |    'r' || (doc_id % 40)::VARCHAR AS orepo,
+      |    'src/f' || doc_id::VARCHAR || '.txt' AS path,
+      |    CASE (doc_id % 40) % 4
+      |      WHEN 0 THEN '// SPDX-License-Identifier: MIT'
+      |      WHEN 1 THEN '// Licensed under the Apache License, Version 2.0 (the "License")'
+      |      WHEN 2 THEN '// SPDX-License-Identifier: GPL-3.0-only'
+      |      ELSE '// internal tooling - all rights reserved' END AS hdr,
+      |    CASE WHEN doc_id % 9 = 0 THEN ' rev3'
+      |         WHEN doc_id % 3 = 0 THEN ' rev2' ELSE '' END AS lsuf
+      |  FROM documents),
+      |repo_files0 AS (
+      |  SELECT orepo AS repo, path, 1 AS commit_seq, lang,
+      |         hdr || chr(10) || text AS content FROM rf_docs
+      |  UNION ALL
+      |  SELECT orepo, path, 2, lang, hdr || chr(10) || text || ' rev2'
+      |  FROM rf_docs WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT orepo, path, 3, lang, hdr || chr(10) || text || ' rev3'
+      |  FROM rf_docs WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT 'f' || (doc_id % 40)::VARCHAR, path, 1, lang,
+      |         hdr || chr(10) || text || lsuf ||
+      |           CASE WHEN doc_id % 7 = 0 THEN ' patch' ELSE '' END
+      |  FROM rf_docs WHERE doc_id % 40 < 12),
+      |repo_files AS (
+      |  SELECT *, md5(repo || '/' || path || '@' || commit_seq::VARCHAR)
+      |    AS commit FROM repo_files0),
+      |rf_latest AS (
+      |  SELECT repo, path, commit, commit_seq, lang, content FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY repo, path
+      |      ORDER BY commit_seq DESC, commit DESC) AS rn FROM repo_files)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Repo-level MinHash band-bucket dump (q_repo_forks) — signatures are
+    * JVM-specific; DuckDB replays the bucket join + exact Jaccard. */
+  def repoBucketsDumpPath(dir: String): String =
+    s"/tmp/graft_repo_buckets_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** Flagship: full score+decide pipeline on sf0.001 (driver smoke). */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.scoreAndDecide(spark,
@@ -725,7 +819,43 @@ object SparkEntry {
         .withColumn("mean_val", round(col("mean_val"), 4))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
-        .withColumn("mean_byte", round(col("mean_byte"), 4)))
+        .withColumn("mean_byte", round(col("mean_byte"), 4))),
+
+    // ---- repo governance over the derived code table (RepoGov) ----
+    "q_latest_version" -> ((s, dir) =>
+      // The-Stack-style per-path version selection; content carried as
+      // md5 so the dump stays compact and both engines hash identically
+      RepoGov.latestVersions(repoFilesFromDocs(s, dir))
+        .select(col("repo"), col("path"), col("commit_seq"),
+          md5(col("content")).as("content_md5"))),
+    "q_repo_forks" -> ((s, dir) => {
+      // repo-level fork detection: set-MinHash LSH candidates (JVM sigs
+      // dumped as band buckets) + exact-Jaccard verify (pure relational,
+      // replayed end-to-end by DuckDB over the derived table). md5 file
+      // hashes here for engine parity; xxhash64 production variant is
+      // spec-pinned to the same pairs (RepoGovSpec).
+      oracleDir = dir
+      val latest = RepoGov.latestVersions(repoFilesFromDocs(s, dir))
+      val fh = RepoGov.repoFileHashes(latest, md5(col("content")))
+      val path = repoBucketsDumpPath(dir)
+      RepoGov.repoMinhashBuckets(fh)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val cands = Dedup.minhashPairsFromBuckets(s.read.parquet(path))
+        .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"))
+      RepoGov.forkPairsFromCandidates(cands, fh, jaccardMin = 0.5)
+    }),
+    "q_license" -> ((s, dir) =>
+      // license classification + permissive gate, aggregated
+      RepoGov.repoLicenses(RepoGov.latestVersions(repoFilesFromDocs(s, dir)))
+        .groupBy("license", "permissive")
+        .agg(count(lit(1)).as("n_repos"), sum("n_files").as("n_files"))),
+    "q_governed" -> ((s, dir) =>
+      // capstone: latest -> permissive-license repos -> cross-repo exact
+      // dedup (min (repo,path) survivor) -> per-lang corpus census
+      RepoGov.governed(repoFilesFromDocs(s, dir), fileHash = md5(col("content")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_files"),
+          sum(expr("octet_length(content)")).as("total_bytes")))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -1386,6 +1516,75 @@ object SparkEntry {
         |                                b -> (b + 128) % 256))
         |    ELSE 464 + 3 * list_sum(gray[1:17]) + 2 * gray[18]
         |  END) * 1.0 / 64, 4) AS mean_byte
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // ---- repo governance: the derived repo_files table is rebuilt from
+    // documents.parquet INSIDE each oracle (repoFilesCte), so every query
+    // below is checked end-to-end — derivation, window, joins, Jaccard,
+    // license CASE — not just a relational tail.
+    "q_latest_version" ->
+      s"""WITH $repoFilesCte
+         |SELECT repo, path, commit_seq, md5(content) AS content_md5
+         |FROM rf_latest""".stripMargin,
+    "q_repo_forks" ->
+      s"""WITH $repoFilesCte,
+         |fh AS (SELECT DISTINCT repo, md5(content) AS file_hash FROM rf_latest),
+         |n AS (SELECT repo, count(*) AS n_files FROM fh GROUP BY 1),
+         |b AS (SELECT id, band_id, band_hash
+         |      FROM read_parquet('${repoBucketsDumpPath(oracleDir)}/*.parquet')),
+         |cand AS (SELECT DISTINCT a.id AS repo_a, b2.id AS repo_b
+         |         FROM b a JOIN b b2 ON a.band_id = b2.band_id
+         |           AND a.band_hash = b2.band_hash AND a.id < b2.id),
+         |shared AS (
+         |  SELECT c.repo_a, c.repo_b, count(*) AS n_shared
+         |  FROM cand c
+         |  JOIN fh fa ON fa.repo = c.repo_a
+         |  JOIN fh fb ON fb.repo = c.repo_b AND fb.file_hash = fa.file_hash
+         |  GROUP BY 1, 2)
+         |SELECT s.repo_a, s.repo_b, s.n_shared,
+         |  round(s.n_shared::DOUBLE / (na.n_files + nb.n_files - s.n_shared), 4)
+         |    AS jaccard
+         |FROM shared s
+         |JOIN n na ON na.repo = s.repo_a
+         |JOIN n nb ON nb.repo = s.repo_b
+         |WHERE s.n_shared::DOUBLE / (na.n_files + nb.n_files - s.n_shared)
+         |      >= 0.5""".stripMargin,
+    "q_license" ->
+      s"""WITH $repoFilesCte,
+         |pf AS (SELECT repo, ${RepoGov.licenseDuckSql("content")} AS license
+         |       FROM rf_latest),
+         |counts AS (SELECT repo, license, count(*) AS n
+         |           FROM pf GROUP BY 1, 2),
+         |win AS (SELECT repo, license,
+         |          row_number() OVER (PARTITION BY repo
+         |            ORDER BY n DESC, license ASC) AS rn,
+         |          sum(n) OVER (PARTITION BY repo) AS n_files
+         |        FROM counts)
+         |SELECT license,
+         |  license IN (${RepoGov.Permissive.map(l => s"'$l'").mkString(", ")})
+         |    AS permissive,
+         |  count(*) AS n_repos, CAST(sum(n_files) AS BIGINT) AS n_files
+         |FROM win WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    "q_governed" ->
+      s"""WITH $repoFilesCte,
+         |lic AS (SELECT repo, license, rn FROM (
+         |    SELECT repo, license,
+         |      row_number() OVER (PARTITION BY repo
+         |        ORDER BY n DESC, license ASC) AS rn
+         |    FROM (SELECT repo, ${RepoGov.licenseDuckSql("content")} AS license,
+         |                 count(*) AS n
+         |          FROM rf_latest GROUP BY 1, 2))),
+         |permissive AS (SELECT repo FROM lic WHERE rn = 1 AND license IN
+         |  (${RepoGov.Permissive.map(l => s"'$l'").mkString(", ")})),
+         |in_scope AS (SELECT l.* FROM rf_latest l
+         |             JOIN permissive p ON p.repo = l.repo),
+         |survivors AS (
+         |  SELECT lang, content FROM (
+         |    SELECT lang, content,
+         |      row_number() OVER (PARTITION BY md5(content)
+         |        ORDER BY repo, path) AS rn
+         |    FROM in_scope) WHERE rn = 1)
+         |SELECT lang, count(*) AS n_files,
+         |  CAST(sum(strlen(content)) AS BIGINT) AS total_bytes
+         |FROM survivors GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repo-level corpus governance for source-code tables
+  * (repo, path, commit, commit_seq, lang, content) — the operators a
+  * 10^12-file code-corpus curation pipeline runs BEFORE file-level
+  * filtering (SURVEY.md §2 payload=code; design basis is the published
+  * The-Stack / StarCoder data pipeline: per-path latest-version
+  * selection, fork/near-clone collapse at repo granularity, license
+  * classification and the permissive-only gate).
+  *
+  * Scale notes (100 TB):
+  *  - [[latestVersions]] windows on (repo, path) — key cardinality is
+  *    the file count, so mega-repo skew does NOT concentrate a
+  *    partition (a repo's files spread across (repo,path) keys).
+  *  - [[forkPairs]] never compares all repo pairs: repos are sketched
+  *    with a set-MinHash over their file-content hashes (one partial
+  *    aggregate), LSH band buckets generate candidates, and only the
+  *    candidates are verified with an exact Jaccard join. The per-repo
+  *    state is one fixed-size signature, not the file list.
+  *  - [[repoLicenses]] is a narrow regexp scan (license text lives in
+  *    headers, so the scan prunes to `content` only) + one partial
+  *    aggregate per repo.
+  */
+object RepoGov {
+
+  // ------------------------------------------------------------------
+  // Latest-version selection (The Stack keeps one version per file path)
+  // ------------------------------------------------------------------
+
+  /** One row per (repo, path): the highest `commit_seq`, ties broken by
+    * lexicographically-max `commit` so the survivor is deterministic
+    * under replay. Plain window + rn=1 — Catalyst turns this into one
+    * hash exchange on (repo, path) with a partial sort. */
+  def latestVersions(files: DataFrame): DataFrame = {
+    val w = Window.partitionBy("repo", "path")
+      .orderBy(col("commit_seq").desc, col("commit").desc)
+    files.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Fork detection: repo-level set-MinHash + LSH + exact Jaccard verify
+  // ------------------------------------------------------------------
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature over a SET of pre-hashed elements (file-content
+    * hashes) — the shingle-free analogue of Dedup.minhashSignature with
+    * the same splitmix64 permutation family. Input may arrive in any
+    * order (it is a set); minima are order-invariant. */
+  private def setSigUdf(numHashes: Int) = {
+    val as = Array.tabulate(numHashes)(i => splitmix64(2L * i + 1) | 1L)
+    val bs = Array.tabulate(numHashes)(i => splitmix64(2L * i + 2))
+    udf { (hashes: Array[Long]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (hashes != null) {
+        var i = 0
+        while (i < hashes.length) {
+          val h = hashes(i)
+          var p = 0
+          while (p < numHashes) {
+            val v = h * as(p) + bs(p)
+            if (v < sig(p)) sig(p) = v
+            p += 1
+          }
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** Per-repo distinct (repo, file_hash) rows from the LATEST versions.
+    * `fileHash` must be deterministic in both engines for the oracle
+    * path (md5 hex); production uses xxhash64 (8-byte shuffle keys) —
+    * RepoGovSpec pins that both choices produce the same fork pairs. */
+  def repoFileHashes(latest: DataFrame, fileHash: Column): DataFrame =
+    latest.select(col("repo"), fileHash.as("file_hash")).distinct()
+
+  /** (id=repo, band_id, band_hash) LSH bucket rows over the set-MinHash
+    * of each repo's file-hash set. Band hashing reuses the Catalyst
+    * xxhash64-over-signature-slice shape from Dedup.minhashBuckets so
+    * the bucket self-join stays SQL-replayable from a dump.
+    *
+    * The signature aggregate is one collect_set + one UDF per repo: at
+    * fork-detection recall targets (rows-per-band 2) a signature is 32
+    * longs regardless of repo size. collect_set holds a repo's distinct
+    * file hashes in one aggregation buffer — 8 bytes/file; a 10M-file
+    * mono-repo costs ~80 MB transient, acceptable for the executor that
+    * owns that key (and such repos are the outliers a fork detector can
+    * safely cap: cap with slice() upstream if a corpus has them). */
+  def repoMinhashBuckets(fileHashes: DataFrame, numHashes: Int = 32,
+                         bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sig = setSigUdf(numHashes)
+    fileHashes
+      .groupBy(col("repo").as("id"))
+      .agg(collect_set(xxhash64(col("file_hash"))).as("hs"))
+      .select(col("id"), sig(col("hs")).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "band_id", "band_hash")
+  }
+
+  /** Exact-Jaccard verification of candidate repo pairs over the
+    * (repo, file_hash) rows: shared = equality join on file_hash per
+    * pair, jaccard = |A∩B| / (|A|+|B|-|A∩B|). Candidates are the only
+    * pairs ever expanded — the file-hash table is joined twice but
+    * filtered to candidate repos first (semi-join pushdown), so cost is
+    * O(files of candidate repos), not O(corpus). */
+  def forkPairsFromCandidates(candidates: DataFrame, fileHashes: DataFrame,
+                              jaccardMin: Double): DataFrame = {
+    val n = fileHashes.groupBy("repo").agg(count(lit(1)).as("n_files"))
+    val fa = fileHashes.select(col("repo").as("repo_a"), col("file_hash"))
+    val fb = fileHashes.select(col("repo").as("repo_b"), col("file_hash"))
+    val shared = candidates
+      .join(fa, "repo_a")
+      .join(fb, Seq("repo_b", "file_hash"))
+      .groupBy("repo_a", "repo_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(n.select(col("repo").as("repo_a"), col("n_files").as("na")), "repo_a")
+      .join(n.select(col("repo").as("repo_b"), col("n_files").as("nb")), "repo_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .where(col("jaccard") >= jaccardMin)
+      .select(col("repo_a"), col("repo_b"), col("n_shared"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full fork-detection chain: latest versions → per-repo file-hash
+    * sets → set-MinHash LSH candidates → exact Jaccard ≥ `jaccardMin`.
+    * Default hash is xxhash64 (8-byte keys at scale); pass
+    * `md5(col("content"))` for a cross-engine-replayable variant. */
+  def forkPairs(files: DataFrame, jaccardMin: Double = 0.5,
+                fileHash: Column = xxhash64(col("content")),
+                numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val fh = repoFileHashes(latestVersions(files), fileHash)
+    val cands = Dedup.minhashPairsFromBuckets(
+        repoMinhashBuckets(fh, numHashes, bands))
+      .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"))
+    forkPairsFromCandidates(cands, fh, jaccardMin)
+  }
+
+  // ------------------------------------------------------------------
+  // License classification
+  // ------------------------------------------------------------------
+
+  /** Canonical license id from file content — FROZEN rule order (SPDX
+    * tag wins, then phrase fallbacks, else "unknown"), deliberately
+    * expressible verbatim in ANSI SQL so the DuckDB oracle replays it:
+    * regexp_extract + substring containment only. */
+  def licenseExpr(content: Column): Column = {
+    val spdx = regexp_extract(content,
+      "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+    when(content.isNull, lit("unknown"))
+      .when(spdx =!= "", spdx)
+      .when(content.contains("Apache License, Version 2.0"), lit("Apache-2.0"))
+      .when(content.contains("MIT License"), lit("MIT"))
+      .when(content.contains("GNU General Public License"), lit("GPL"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** The same frozen chain as a DuckDB SQL expression. */
+  def licenseDuckSql(contentCol: String): String = {
+    val spdx = s"regexp_extract($contentCol, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)"
+    s"""CASE WHEN $contentCol IS NULL THEN 'unknown'
+       |  WHEN $spdx <> '' THEN $spdx
+       |  WHEN contains($contentCol, 'Apache License, Version 2.0') THEN 'Apache-2.0'
+       |  WHEN contains($contentCol, 'MIT License') THEN 'MIT'
+       |  WHEN contains($contentCol, 'GNU General Public License') THEN 'GPL'
+       |  ELSE 'unknown' END""".stripMargin
+  }
+
+  /** Licenses whose terms permit LLM-training redistribution under the
+    * usual permissive-corpus policy (The Stack's allow-list shape). */
+  val Permissive: Seq[String] =
+    Seq("MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC", "Unlicense")
+
+  /** Per-repo license over the latest versions: each file is classified
+    * by [[licenseExpr]]; the repo's license is its most frequent file
+    * license, ties broken by lexicographically-min id (deterministic).
+    * Output: (repo, license, permissive, n_files) where n_files counts
+    * the repo's latest files. */
+  def repoLicenses(latest: DataFrame): DataFrame = {
+    val perFile = latest.select(col("repo"),
+      licenseExpr(col("content")).as("license"))
+    val counts = perFile.groupBy("repo", "license").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("repo")
+      .orderBy(col("n").desc, col("license").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_files", sum(col("n")).over(Window.partitionBy("repo")))
+      .where(col("rn") === 1)
+      .select(col("repo"), col("license"),
+        col("license").isInCollection(Permissive).as("permissive"),
+        col("n_files"))
+  }
+
+  // ------------------------------------------------------------------
+  // Governed-corpus capstone
+  // ------------------------------------------------------------------
+
+  /** The governance chain a code corpus runs before file-level quality
+    * filtering: latest versions → permissive-license repos only → exact
+    * content dedup across repos (survivor = min (repo, path), so a fork
+    * and its origin collapse to one copy deterministically). Returns
+    * surviving file rows. */
+  def governed(files: DataFrame,
+               fileHash: Column = xxhash64(col("content"))): DataFrame = {
+    val latest = latestVersions(files)
+    val permissiveRepos = repoLicenses(latest)
+      .where(col("permissive"))
+      .select(col("repo"))
+    val inScope = latest.join(permissiveRepos, Seq("repo"), "left_semi")
+    inScope
+      .groupBy(fileHash.as("fh"))
+      .agg(min_by(
+        struct(col("repo"), col("path"), col("commit"), col("commit_seq"),
+          col("lang"), col("content")),
+        struct(col("repo"), col("path"))).as("s"))
+      .select(col("s.repo"), col("s.path"), col("s.commit"),
+        col("s.commit_seq"), col("s.lang"), col("s.content"))
+  }
+}

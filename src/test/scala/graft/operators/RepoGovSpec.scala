@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-governance operators (RepoGov): latest-version selection, repo-
+  * level fork detection, license classification, and the governed-corpus
+  * capstone, over the derived versioned/forked repo_files fixture. */
+class RepoGovSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("repogov-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private lazy val files = SparkEntry.repoFilesFromDocs(spark, sf).cache()
+
+  test("latestVersions keeps exactly one row per (repo, path), the max commit_seq") {
+    val latest = RepoGov.latestVersions(files).cache()
+    try {
+      assert(latest.groupBy("repo", "path").count().where(col("count") > 1).count() === 0)
+      // every kept row carries the max commit_seq of its (repo, path)
+      val maxSeq = files.groupBy("repo", "path")
+        .agg(max("commit_seq").as("max_seq"))
+      assert(latest.join(maxSeq, Seq("repo", "path"))
+        .where(col("commit_seq") =!= col("max_seq")).count() === 0)
+      // versioned paths really collapse: fixture has more versions than paths
+      assert(files.count() > latest.count())
+    } finally latest.unpersist()
+  }
+
+  test("latestVersions tie-break on commit is deterministic") {
+    import spark.implicits._
+    // two rows, same (repo, path, commit_seq), different commit hex: the
+    // lexicographically-max commit must win, on every run
+    val dup = Seq(
+      ("r", "p", "aaaa", 1, "x", "old"),
+      ("r", "p", "bbbb", 1, "x", "new"))
+      .toDF("repo", "path", "commit", "commit_seq", "lang", "content")
+    val got = RepoGov.latestVersions(dup).select("commit", "content").collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "bbbb" && got(0).getString(1) === "new")
+  }
+
+  test("licenseExpr golden cases: SPDX tag, phrase fallback, unknown, null") {
+    import spark.implicits._
+    val cases = Seq(
+      ("// SPDX-License-Identifier: MIT\ncode", "MIT"),
+      ("// SPDX-License-Identifier: GPL-3.0-only\ncode", "GPL-3.0-only"),
+      ("// Licensed under the Apache License, Version 2.0 (the \"License\")", "Apache-2.0"),
+      ("/* MIT License */ body", "MIT"),
+      ("This file is part of X, under the GNU General Public License.", "GPL"),
+      ("no license here at all", "unknown"),
+      // SPDX wins over a phrase later in the file
+      ("// SPDX-License-Identifier: BSD-3-Clause\n// MIT License mention", "BSD-3-Clause"))
+    val got = cases.map(_._1).toDF("content")
+      .select(RepoGov.licenseExpr(col("content")).as("l")).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+    val nullGot = Seq(Option.empty[String]).toDF("content")
+      .select(RepoGov.licenseExpr(col("content")).as("l")).as[String].collect()
+    assert(nullGot.toSeq === Seq("unknown"))
+  }
+
+  test("forkPairs finds every planted fork and nothing else (md5 path)") {
+    val pairs = RepoGov.forkPairs(files, jaccardMin = 0.5,
+      fileHash = md5(col("content"))).collect()
+    val got = pairs.map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (0 until 12).map(k => (s"f$k", s"r$k")).toSet
+    assert(got === expected, s"got=$got")
+    // jaccard is high (fork) but below 1.0 (patched copies exist somewhere)
+    val js = pairs.map(r => r.getDouble(3))
+    assert(js.forall(j => j >= 0.5 && j <= 1.0))
+    assert(js.exists(_ < 1.0))
+  }
+
+  test("forkPairs: xxhash64 production hashing finds the same pairs as md5") {
+    def pairSet(h: org.apache.spark.sql.Column) =
+      RepoGov.forkPairs(files, jaccardMin = 0.5, fileHash = h)
+        .select("repo_a", "repo_b", "n_shared", "jaccard").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pairSet(xxhash64(col("content"))) === pairSet(md5(col("content"))))
+  }
+
+  test("repoLicenses: one row per repo, fixture families classified, forks inherit") {
+    val lic = RepoGov.repoLicenses(RepoGov.latestVersions(files)).cache()
+    try {
+      assert(lic.groupBy("repo").count().where(col("count") > 1).count() === 0)
+      val byRepo = lic.collect().map(r =>
+        r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+      // family k%4: 0=MIT 1=Apache-2.0 2=GPL-3.0-only 3=unknown
+      assert(byRepo("r0") === ("MIT", true))
+      assert(byRepo("r1") === ("Apache-2.0", true))
+      assert(byRepo("r2") === ("GPL-3.0-only", false))
+      assert(byRepo("r3") === ("unknown", false))
+      assert(byRepo("f0") === ("MIT", true))   // fork inherits origin header
+      assert(byRepo("f2") === ("GPL-3.0-only", false))
+    } finally lic.unpersist()
+  }
+
+  test("governed: permissive-only repos, cross-repo dedup keeps min (repo, path)") {
+    val g = RepoGov.governed(files).cache()
+    try {
+      // only permissive-license repos survive (families 0 and 1 -> repos
+      // with k%4 in {0,1}, both origins and forks)
+      val repos = g.select("repo").distinct().collect().map(_.getString(0)).toSet
+      assert(repos.nonEmpty)
+      repos.foreach { r =>
+        val k = r.drop(1).toInt
+        assert(k % 4 == 0 || k % 4 == 1, s"non-permissive repo survived: $r")
+      }
+      // no duplicate content survives
+      val dupContent = g.groupBy(md5(col("content"))).count()
+        .where(col("count") > 1).count()
+      assert(dupContent === 0)
+      // an unpatched fork file is identical to its origin latest: the
+      // fork ('f0' < 'r0') must be the surviving copy for those hashes
+      val latest = RepoGov.latestVersions(files)
+      val f0Hashes = latest.where(col("repo") === "f0")
+        .select(md5(col("content")).as("h"))
+      val r0Hashes = latest.where(col("repo") === "r0")
+        .select(md5(col("content")).as("h"))
+      val sharedHash = f0Hashes.join(r0Hashes, "h").limit(1).collect()
+      assert(sharedHash.nonEmpty, "fixture should have identical fork copies")
+      val survivor = g.where(md5(col("content")) === sharedHash(0).getString(0))
+        .select("repo").collect().map(_.getString(0)).toSeq
+      assert(survivor === Seq("f0"))
+    } finally g.unpersist()
+  }
+}
