@@ -69,7 +69,13 @@ object Bench {
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
-      "q_curation_scale")
+      "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
+      // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
+      // named queries (the driver never sets it — full list is default)
+      .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
+        case Some(names) => names.split(',').map(_.trim).toSet
+        case None => (_: String) => true
+      })
 
     // Staged flagship input (shared by q_curation_scale, pipeline_synth
     // and ScalingBench): 1.6M synthetic FileRows (~6.4 GB content),
@@ -163,6 +169,33 @@ object Bench {
           col("content").as("text"), col("lang"))
         graft.operators.Curate.pipeline(docs, "doc_id", "text", "lang",
           quota = 20000, budget = 2048, portable = false)
+      }),
+      // production variants: xxhash64 file hashes, no oracle-dump write
+      "q_repo_forks" -> (s => graft.operators.RepoGov.forkPairs(
+        graft.SparkEntry.repoFilesFromDocs(s, sfDir))),
+      "q_governed" -> (s => graft.operators.RepoGov.governed(
+        graft.SparkEntry.repoFilesFromDocs(s, sfDir))),
+      // repo governance at FLAGSHIP scale over the staged 1.6M FileRow
+      // table (single-commit corpus: the latest-version window passes
+      // everything through but pays its full (repo,path) exchange; the
+      // license scan regexes all 6.4 GB; the fork sketch aggregates
+      // per-repo signatures under the r0/r1 mega-repo skew)
+      "q_repogov_scale" -> (s => {
+        import org.apache.spark.sql.functions.{lit, count => fcount}
+        val files = s.read.parquet(inputPath).withColumn("commit_seq", lit(1))
+        val latest = graft.operators.RepoGov.latestVersions(files)
+        val fh = graft.operators.RepoGov.repoFileHashes(latest,
+          org.apache.spark.sql.functions.xxhash64(col("content")))
+        val cands = Dedup.minhashPairsFromBuckets(
+            graft.operators.RepoGov.repoMinhashBuckets(fh))
+          .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"))
+        val forks = graft.operators.RepoGov.forkPairsFromCandidates(cands, fh, 0.5)
+        val partners = forks.select(col("repo_a").as("repo"))
+          .unionAll(forks.select(col("repo_b").as("repo")))
+          .groupBy("repo").agg(fcount(lit(1)).as("n_forks"))
+        graft.operators.RepoGov.repoLicenses(latest)
+          .join(partners, Seq("repo"), "left_outer")
+          .na.fill(0L, Seq("n_forks"))
       }))
 
     // Timing via bare count() would let Catalyst prune the final Project

@@ -49,9 +49,15 @@ object Curate {
                                   textCol: String, langCol: String,
                                   quota: Int, portable: Boolean,
                                   barrier: DataFrame => DataFrame): DataFrame = {
-    val ex = Dedup.dropExactDuplicates(docs, idCol, textCol)
-    val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol)
-      .join(ex.select(col(idCol), col(langCol)), Seq(idCol))
+    // barrier the exact-dedup survivors: two consumers follow (the
+    // paragraph-dedup probe and its narrow rewrite pass) — left lazy
+    // each would re-run the sha2 scan + dup join.
+    // langCol rides dropDuplicateParagraphs as a passthrough column: the
+    // former join-back by id was a full-corpus SMJ (measured ~70 s of an
+    // ~130 s capstone at 1.6M rows — CapProfile).
+    val ex = barrier(Dedup.dropExactDuplicates(docs, idCol, textCol))
+    val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol,
+      passthroughCols = Seq(langCol))
     val keepIds = Repetition.signals(
         pd.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol)
       .where(col("rep_keep"))

@@ -26,10 +26,39 @@ object Dedup {
            count(lit(1)).as("n_dups"))
 
   /** Materialized exact dedup: one surviving row per distinct text — the
-    * row with the minimal id (`min_by`, partial-aggregating; single
-    * shuffle keyed on the content hash carrying one candidate row per
-    * (partition, hash)). */
+    * row with the minimal id. `idCol` must be a non-null key (the
+    * input_hint contract all curation operators share).
+    *
+    * Shape: the DUPLICATE groups only — (content_hash, keep_id) for
+    * groups with n > 1 — are aggregated (map-side partial, ~40 B per
+    * distinct content per partition) and joined back LEFT OUTER onto the
+    * full table; a row survives iff its content is unique or it carries
+    * the group's min id. Content bytes therefore never shuffle: on real
+    * corpora duplicates are a small fraction of distinct contents, the
+    * dup table broadcasts, and the pipeline's biggest column stays
+    * narrow. When the dup table outgrows the broadcast threshold AQE
+    * degrades to a shuffled join — the cost of the old single-shuffle
+    * min_by shape, never worse. (Measured vs [[dropExactDuplicatesMinBy]]
+    * at 1.6M × 4 KB rows: see NOTES_r5 — the join shape avoids shuffling
+    * 6.4 GB of content for a dup table of a handful of groups.) */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    val dups = df.groupBy(h.as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("content_hash"), col("keep_id"))
+    df.join(dups, h === dups("content_hash"), "left_outer")
+      .where(col("keep_id").isNull || col(idCol) === col("keep_id"))
+      .drop("content_hash", "keep_id")
+  }
+
+  /** The previous single-shuffle shape, kept for the interleaved A/B
+    * (tools/CurAB) and for callers whose input is an expensive derived
+    * plan they cannot afford to evaluate twice: min_by(whole row, id)
+    * groupBy content hash — ONE shuffle, but the shuffle carries every
+    * content byte. */
+  private[graft] def dropExactDuplicatesMinBy(df: DataFrame, idCol: String,
+                                              textCol: String): DataFrame = {
     val cols = df.columns
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
@@ -52,15 +81,96 @@ object Dedup {
     *  - rebuilt text joins kept paragraphs with "\n\n"; a document whose
     *    content was entirely first-seen elsewhere rebuilds to "".
     *
-    * Scale shape: one groupBy(para) whose min(struct(id,pos)) partial-
-    * aggregates map-side (a boilerplate paragraph seen 10^9 times sends
-    * ONE candidate per map partition, so key skew is absorbed in the
-    * combiners), one equi-join of survivors back onto instances (AQE
-    * skew-split handles hot paragraph values), one groupBy(id) to
-    * reassemble. At 10^12 rows key the shuffle on sha256(para) instead of
-    * the full text to shrink payloads (2^-128 collision risk); kept exact
-    * here so DuckDB replays it verbatim. */
-  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Scale shape — HYBRID, the connectedComponents pattern: only the
+    * DUPLICATED paragraphs (n > 1) decide anything, and that table is
+    * usually tiny relative to the corpus (boilerplate headers, license
+    * blocks). So:
+    *  - probe: aggregate (para → min(id,pos), n) with map-side partial
+    *    agg (a paragraph seen 10^9 times sends ONE candidate per map
+    *    partition — skew absorbed in the combiners), keep n > 1, and
+    *    `limit(maxBroadcastDupParas + 1).collect()` the result;
+    *  - broadcast path (within budget): ship the dup-survivor map to the
+    *    executors and rewrite every document in ONE narrow pass — a row
+    *    keeps a paragraph iff it is all-space (formatting), not in the
+    *    map, or is the map's minimal instance. ZERO content shuffle, no
+    *    explode materialization, no groupBy(id) reassembly.
+    *  - fallback (over budget): the original explode → min-survivor agg
+    *    → equi-join → reassemble chain
+    *    ([[dropDuplicateParagraphsShuffle]]), whose three shuffles carry
+    *    paragraph text but whose correctness does not depend on any
+    *    driver-side bound.
+    * The JVM rewrite replicates the FROZEN Catalyst semantics exactly:
+    * `split(t, "\n\n", -1)` (Java regex split, trailing empties kept)
+    * and space-only trim (SQL trim strips 0x20 only) — GraftSparkSpec
+    * pins broadcast == shuffle on fixtures. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              maxBroadcastDupParas: Int = 500000,
+                              passthroughCols: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n\n", -1))
+          .as(Seq("pos", "para")))
+    val dupFirsts = paras.where(trim(col("para")) =!= "")
+      .groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("para"), col("f"))
+    val probe = dupFirsts.limit(maxBroadcastDupParas + 1).collect()
+    if (probe.length > maxBroadcastDupParas)
+      return dropDuplicateParagraphsShuffle(df, idCol, textCol, passthroughCols)
+    val dupMap: Map[String, (Any, Int)] = probe.iterator.map { r =>
+      val f = r.getStruct(1)
+      r.getString(0) -> ((f.get(0), f.getInt(1)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(dupMap)
+    // passthrough columns (e.g. lang) ride the narrow pass for free — a
+    // join-back by id after the rewrite is a full-corpus SMJ at scale
+    val in = df.select(col(idCol) +: coalesce(col(textCol), lit("")).as("t") +:
+      passthroughCols.map(col): _*)
+    val idField = in.schema.head
+    val passFields = in.schema.drop(2)
+    val nPass = passthroughCols.length
+    val outRdd = in.rdd.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val id = r.get(0)
+        val t = r.getString(1)
+        val ps = t.split("\n\n", -1)
+        val kept = new scala.collection.mutable.ArrayBuffer[String](ps.length)
+        var pos = 0
+        while (pos < ps.length) {
+          val p = ps(pos)
+          // formatting paragraph: empty after space-only trim — always kept
+          var allSpace = true
+          var i = 0
+          while (allSpace && i < p.length) { if (p.charAt(i) != ' ') allSpace = false; i += 1 }
+          if (allSpace) kept += p
+          else m.get(p) match {
+            case None => kept += p
+            case Some((mid, mpos)) => if (mid == id && mpos == pos) kept += p
+          }
+          pos += 1
+        }
+        val out = new Array[Any](2 + nPass)
+        out(0) = id
+        out(1) = kept.mkString("\n\n")
+        var j = 0
+        while (j < nPass) { out(2 + j) = r.get(2 + j); j += 1 }
+        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }
+    spark.createDataFrame(outRdd, org.apache.spark.sql.types.StructType(
+      idField.copy(name = idCol) +:
+      org.apache.spark.sql.types.StructField("text_dedup",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      passFields))
+  }
+
+  /** Shuffle fallback for [[dropDuplicateParagraphs]] — no driver-side
+    * bound; three paragraph-text shuffles. */
+  private[graft] def dropDuplicateParagraphsShuffle(df: DataFrame, idCol: String,
+                                                    textCol: String,
+                                                    passthroughCols: Seq[String] = Nil): DataFrame = {
     val paras = df.select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n\n", -1))
           .as(Seq("pos", "para")))
@@ -77,10 +187,11 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),
           x => x("para")),
         "\n\n").as("text_dedup"))
-    df.select(col(idCol).as("id"))
+    df.select(col(idCol).as("id") +: passthroughCols.map(col): _*)
       .join(rebuilt, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .select(col("id").as(idCol) +:
+        coalesce(col("text_dedup"), lit("")).as("text_dedup") +:
+        passthroughCols.map(col): _*)
   }
 
   // ------------------------------------------------------------------

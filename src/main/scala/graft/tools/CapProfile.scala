@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage profile of the curation capstone at the staged 1.6M
+  * FileRow scale — prints per-stage wall seconds for the NEW dedup
+  * shapes and (interleaved, same session) the OLD shapes, so a capstone
+  * regression can be attributed to a stage instead of guessed at. */
+object CapProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("cap-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+    val path = sys.env.getOrElse("CAP_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val docs = spark.read.parquet(path).select(
+      xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+      col("content").as("text"), col("lang"))
+    val rounds = sys.env.getOrElse("CAP_ROUNDS", "2").toInt
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cap] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
+    def run(variant: String): Unit = {
+      System.err.println(s"[cap] ===== $variant =====")
+      val total0 = System.nanoTime()
+      val ex = t(s"$variant exact+checkpoint") {
+        val e = (if (variant == "old")
+          Dedup.dropExactDuplicatesMinBy(docs, "doc_id", "text")
+        else Dedup.dropExactDuplicates(docs, "doc_id", "text"))
+          .localCheckpoint(true)
+        e.count(); e
+      }
+      val pd = t(s"$variant para+lang+checkpoint") {
+        val p = (if (variant == "old")
+          Dedup.dropDuplicateParagraphsShuffle(ex, "doc_id", "text",
+            passthroughCols = Seq("lang"))
+        else Dedup.dropDuplicateParagraphs(ex, "doc_id", "text",
+          passthroughCols = Seq("lang")))
+          .localCheckpoint(true)
+        p.count(); p
+      }
+      val kept = t("repetition gate+checkpoint") {
+        val keepIds = Repetition.signals(
+            pd.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
+          .where(col("rep_keep")).select(col("doc_id"))
+        val k = pd.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        k.count(); k
+      }
+      val spanKept = t("span gate+checkpoint") {
+        val spanIds = Dedup.duplicatedSpanStats(
+            kept.select(col("doc_id"), col("text_dedup").as("text")),
+            "doc_id", "text", hashKeys = true)
+          .where(col("span_keep")).select(col("doc_id"))
+        val sk = kept.join(spanIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        sk.count(); sk
+      }
+      val sampled = t("quota sample+checkpoint") {
+        val sm = Sampling.quotaSample(spanKept, "lang", "doc_id", 20000,
+          portable = false).localCheckpoint(true)
+        sm.count(); sm
+      }
+      t("packing+lang join") {
+        Packing.packSequences(sampled, "doc_id", "text_dedup", 2048)
+          .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .agg(count(lit(1))).collect()
+      }
+      System.err.println(f"[cap] $variant TOTAL ${(System.nanoTime() - total0) / 1e9}%7.2fs")
+      Seq(ex, pd, kept, spanKept, sampled).foreach(_.unpersist(true))
+    }
+
+    (1 to rounds).foreach { _ => run("new"); run("old") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B for the two exact-dedup stage shapes at 1.6M staged
+  * FileRows (the NOTES_r4 lesson: perf questions on this drifting VM are
+  * only decidable by pairs interleaved in ONE session):
+  *
+  *   A (old): min_by whole-row exact dedup (content through the shuffle)
+  *            → explode/agg/join/reassemble paragraph dedup
+  *   B (new): dup-table left-outer-join exact dedup (content never
+  *            shuffles) → broadcast-map narrow-pass paragraph dedup
+  *
+  * Timed region includes DataFrame CONSTRUCTION (B's dup-paragraph probe
+  * collect runs at build time) so neither variant hides work. */
+object CurAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("cur-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rounds = sys.env.getOrElse("CUR_AB_ROUNDS", "4").toInt
+    // shuffle-byte accounting: on a single box /dev/shm shuffle is a
+    // memcpy, so wall-clock understates what a cluster NETWORK would pay;
+    // bytes written to shuffle are the honest scale proxy
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    val path = sys.env.getOrElse("CUR_AB_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val input = spark.read.parquet(path)
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"))
+      .cache()
+    println(s"rows=${input.count()}")
+    // both chains barrier the exact-dedup survivors (as Curate does) so
+    // the A/B isolates the stage SHAPES, not lazy re-evaluation counts
+    val barriers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def chainA(): DataFrame = {
+      val ex = graft.operators.Dedup.dropExactDuplicatesMinBy(input, "doc_id", "text")
+        .localCheckpoint(true)
+      barriers += ex
+      graft.operators.Dedup.dropDuplicateParagraphsShuffle(ex, "doc_id", "text")
+    }
+    def chainB(): DataFrame = {
+      val ex = graft.operators.Dedup.dropExactDuplicates(input, "doc_id", "text")
+        .localCheckpoint(true)
+      barriers += ex
+      graft.operators.Dedup.dropDuplicateParagraphs(ex, "doc_id", "text")
+    }
+    def force(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("doc_id"), col("text_dedup")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def time(f: () => DataFrame): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val (n, h) = force(f())
+      val sec = (System.nanoTime() - t0) / 1e9
+      barriers.foreach(_.unpersist(true)) // drop checkpoint blocks between runs
+      barriers.clear()
+      (sec, n, h)
+    }
+    time(() => chainA()); time(() => chainB()) // warmup both codepaths
+    (1 to rounds).foreach { r =>
+      shuffleBytes.set(0)
+      val (ta, na, ha) = time(() => chainA())
+      Thread.sleep(500) // let stage-completed events drain
+      val sa = shuffleBytes.getAndSet(0)
+      val (tb, nb, hb) = time(() => chainB())
+      Thread.sleep(500)
+      val sb = shuffleBytes.get()
+      val same = if (na == nb && ha == hb) "EQUAL" else s"DIFF!(a=$na/$ha b=$nb/$hb)"
+      println(f"round $r: old $ta%7.2fs shuffle ${sa / 1e6}%9.1fMB  " +
+        f"new $tb%7.2fs shuffle ${sb / 1e6}%9.1fMB  ratio ${ta / tb}%.2f  $same")
+    }
+    spark.stop()
+  }
+}

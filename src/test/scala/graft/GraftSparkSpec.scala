@@ -212,6 +212,47 @@ class GraftSparkSpec extends AnyFunSuite {
     val out2 = Dedup.dropDuplicateParagraphs(df.repartition(5), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out2 == out)
+    // the shuffle fallback and the forced-fallback threshold produce the
+    // exact same result (maxBroadcastDupParas = 0 trips the probe guard)
+    val outShuffle = Dedup.dropDuplicateParagraphsShuffle(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outShuffle == out)
+    val outForced = Dedup.dropDuplicateParagraphs(df, "doc_id", "text",
+        maxBroadcastDupParas = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outForced == out)
+  }
+
+  test("paragraph dedup: broadcast == shuffle on the documents fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Dedup.dropDuplicateParagraphsShuffle(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("paragraph dedup passthrough columns ride both paths unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val bcast = collected(Dedup.dropDuplicateParagraphs(
+      docs, "doc_id", "text", passthroughCols = Seq("lang")))
+    val shuf = collected(Dedup.dropDuplicateParagraphsShuffle(
+      docs, "doc_id", "text", passthroughCols = Seq("lang")))
+    assert(bcast == shuf)
+    // passthrough lang matches the source row's lang
+    val srcLang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bcast.map { case (id, (_, l)) => id -> l } == srcLang)
+  }
+
+  test("exact dedup join shape == min_by shape on the documents fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Dedup.dropExactDuplicates(docs, "doc_id", "text")) ===
+      ids(Dedup.dropExactDuplicatesMinBy(docs, "doc_id", "text")))
   }
 
   test("minhash LSH finds near-duplicates, skips dissimilar") {

@@ -253,13 +253,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p)
   }
 
-  test("paragraph dedup: min-survivor aggregate is partial+final (skew absorbed map-side)") {
+  test("paragraph dedup fallback: min-survivor aggregate is partial+final (skew absorbed map-side)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(operators.Dedup.dropDuplicateParagraphs(docs, "doc_id", "text"))
+    val p = plan(operators.Dedup.dropDuplicateParagraphsShuffle(docs, "doc_id", "text"))
     // the groupBy(para) min(struct) must partial-aggregate so a hot
     // boilerplate paragraph sends one candidate per map partition
     assert(p.contains("partial_min"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("paragraph dedup broadcast path: returned plan is one narrow pass (no exchange)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Dedup.dropDuplicateParagraphs(docs, "doc_id", "text"))
+    // the dup-survivor map was shipped via broadcast at build time; the
+    // rewrite itself must not shuffle content or reassemble by id
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
+  test("exact dedup: content never shuffles — dup table joins broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = operators.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    df.collect() // AQE decides the join strategy in the final plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("vocab top-k is TakeOrdered over a partial-aggregated count, no global sort") {
