@@ -118,52 +118,45 @@ object Dedup {
     val probe = dupFirsts.limit(maxBroadcastDupParas + 1).collect()
     if (probe.length > maxBroadcastDupParas)
       return dropDuplicateParagraphsShuffle(df, idCol, textCol, passthroughCols)
-    val dupMap: Map[String, (Any, Int)] = probe.iterator.map { r =>
+    // map values carry the survivor id CAST TO STRING: the rewrite UDF
+    // receives cast(idCol as string) so one signature serves long/int/
+    // string ids — Catalyst's integral→string cast prints exactly
+    // String.valueOf, so the comparison is representation-stable
+    val dupMap: Map[String, (String, Int)] = probe.iterator.map { r =>
       val f = r.getStruct(1)
-      r.getString(0) -> ((f.get(0), f.getInt(1)))
+      r.getString(0) -> ((String.valueOf(f.get(0)), f.getInt(1)))
     }.toMap
     val bc = spark.sparkContext.broadcast(dupMap)
-    // passthrough columns (e.g. lang) ride the narrow pass for free — a
-    // join-back by id after the rewrite is a full-corpus SMJ at scale
-    val in = df.select(col(idCol) +: coalesce(col(textCol), lit("")).as("t") +:
-      passthroughCols.map(col): _*)
-    val idField = in.schema.head
-    val passFields = in.schema.drop(2)
-    val nPass = passthroughCols.length
-    val outRdd = in.rdd.mapPartitions { it =>
+    // The rewrite is a scalar UDF, NOT an RDD mapPartitions: rows stay in
+    // Tungsten format end-to-end, only (id-as-string, text) cross the JVM
+    // boundary per row and only text_dedup comes back — a df.rdd →
+    // createDataFrame round-trip re-encoded EVERY column of every row and
+    // measurably lost to the shuffle fallback at 1.6M × 4 KB (CapProfile).
+    // Passthrough columns (e.g. lang) are untouched projection columns.
+    val rewrite = udf { (id: String, t: String) =>
       val m = bc.value
-      it.map { r =>
-        val id = r.get(0)
-        val t = r.getString(1)
-        val ps = t.split("\n\n", -1)
-        val kept = new scala.collection.mutable.ArrayBuffer[String](ps.length)
-        var pos = 0
-        while (pos < ps.length) {
-          val p = ps(pos)
-          // formatting paragraph: empty after space-only trim — always kept
-          var allSpace = true
-          var i = 0
-          while (allSpace && i < p.length) { if (p.charAt(i) != ' ') allSpace = false; i += 1 }
-          if (allSpace) kept += p
-          else m.get(p) match {
-            case None => kept += p
-            case Some((mid, mpos)) => if (mid == id && mpos == pos) kept += p
-          }
-          pos += 1
+      val ps = t.split("\n\n", -1)
+      val kept = new scala.collection.mutable.ArrayBuffer[String](ps.length)
+      var pos = 0
+      while (pos < ps.length) {
+        val p = ps(pos)
+        // formatting paragraph: empty after space-only trim — always kept
+        var allSpace = true
+        var i = 0
+        while (allSpace && i < p.length) { if (p.charAt(i) != ' ') allSpace = false; i += 1 }
+        if (allSpace) kept += p
+        else m.get(p) match {
+          case None => kept += p
+          case Some((mid, mpos)) => if (mid == id && mpos == pos) kept += p
         }
-        val out = new Array[Any](2 + nPass)
-        out(0) = id
-        out(1) = kept.mkString("\n\n")
-        var j = 0
-        while (j < nPass) { out(2 + j) = r.get(2 + j); j += 1 }
-        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        pos += 1
       }
+      kept.mkString("\n\n")
     }
-    spark.createDataFrame(outRdd, org.apache.spark.sql.types.StructType(
-      idField.copy(name = idCol) +:
-      org.apache.spark.sql.types.StructField("text_dedup",
-        org.apache.spark.sql.types.StringType, nullable = false) +:
-      passFields))
+    df.select(col(idCol) +:
+      rewrite(col(idCol).cast("string"),
+        coalesce(col(textCol), lit(""))).as("text_dedup") +:
+      passthroughCols.map(col): _*)
   }
 
   /** Shuffle fallback for [[dropDuplicateParagraphs]] — no driver-side
