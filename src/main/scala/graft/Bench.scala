@@ -64,7 +64,7 @@ object Bench {
       "q_ldig_detect", "q_exact_dedup", "q_dedup_rows",
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard", "q_dup_spans",
       "q_exact_substr",
-      "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+      "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_semdedup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
       "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
@@ -112,6 +112,9 @@ object Bench {
         Dedup.minhashPairs(docsDf(s), "doc_id", "text")).select("doc_id", "lang", "source")),
       "q_emb_neardup" -> (s => Dedup.embeddingNearDups(embDf(s), "vec_id", "embedding",
         minCosine = 0.45, nCentroids = 16, nprobe = 3)),
+      // same computation as the harness query minus the centroid dump
+      "q_semdedup" -> (s => Dedup.semDedup(embDf(s), "vec_id", "embedding",
+        minCosine = 0.45, nCentroids = 8, sampleSize = 2000, kmeansIters = 8)._2),
       "q_ann_lsh" -> (s => Similarity.lshTopK(embDf(s), embDf(s).where(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", 10, dim = 64, planes = 6)),
       "q_ann_ivf" -> (s => Similarity.ivfTopK(embDf(s), embDf(s).where(col("vec_id") < 10),

@@ -237,6 +237,12 @@ object SparkEntry {
   def centroidDumpPath(dir: String): String =
     s"/tmp/graft_centroid_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** SemDeDup centroid dump — separate from [[centroidDumpPath]] so the
+    * two clustering queries can use different k-means parameters without
+    * ordering coupling between their dumps. */
+  def semDedupCentroidDumpPath(dir: String): String =
+    s"/tmp/graft_semdedup_centroid_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** SimHash signature dump — the banding + verify is replayed by DuckDB
     * from SQL generated off the same Manku block geometry. */
   def simhashSigDumpPath(dir: String): String =
@@ -708,6 +714,25 @@ object SparkEntry {
       Dedup.cosinePairsFromCandidates(all, s.read.parquet(path),
           "vec_id", "embedding", minCosine = 0.45)
         .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): k-means clusters → within-cluster
+      // cosine groups → keep the member LEAST similar to its centroid.
+      // The only JVM-side state is the centroid matrix — dumped so DuckDB
+      // replays assignment (list_distance argmin), the same-cluster
+      // cosine pairs, a recursive-CTE closure and the (sim, id) argmin
+      // survivor end-to-end.
+      oracleDir = dir
+      val (cs, verdicts) = Dedup.semDedup(emb(s, dir), "vec_id", "embedding",
+        minCosine = 0.45, nCentroids = 8, sampleSize = 2000, kmeansIters = 8)
+      import s.implicits._
+      cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(semDedupCentroidDumpPath(dir))
+      verdicts.select(col("vec_id"), col("cluster_id"),
+        round(col("centroid_sim"), 4).as("centroid_sim"),
+        col("comp"), col("keep"))
     }),
     "q_ann_topk" -> ((s, dir) => {
       val all = emb(s, dir)
@@ -1353,6 +1378,46 @@ object SparkEntry {
          |FROM c JOIN e ea ON ea.vec_id = id_a
          |       JOIN e eb ON eb.vec_id = id_b
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45""".stripMargin,
+    // SemDeDup: assignment re-derived from the dumped centroids (the
+    // q_domain_mix argmin pattern), then same-cluster cosine pairs, a
+    // recursive-CTE closure (the q_dedup_cluster pattern) and the
+    // (sim, id) argmin survivor — the whole operator replayed from one
+    // centroid dump. list_cosine_similarity over DOUBLE[] matches the
+    // JVM's ascending-index double accumulation bit-for-bit (the
+    // q_emb_neardup precedent), so ORDER BY sim is cross-engine safe.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT centroid_id, centroid
+         |      FROM read_parquet('${semDedupCentroidDumpPath(oracleDir)}/*.parquet')),
+         |a AS (SELECT vec_id, centroid_id AS cluster_id, sim FROM (
+         |        SELECT e.vec_id, c.centroid_id,
+         |          list_cosine_similarity(e.v, c.centroid) AS sim,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_distance(e.v, c.centroid), c.centroid_id) AS rn
+         |        FROM e CROSS JOIN c) WHERE rn = 1),
+         |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |          FROM a x JOIN a y
+         |            ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+         |          JOIN e ex ON ex.vec_id = x.vec_id
+         |          JOIN e ey ON ey.vec_id = y.vec_id
+         |          WHERE list_cosine_similarity(ex.v, ey.v) >= 0.45),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |closure(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT cl.s, ed.t FROM closure cl JOIN edges ed ON cl.t = ed.s),
+         |comp AS (SELECT s AS vec_id, least(s, min(t)) AS comp
+         |         FROM closure GROUP BY s),
+         |ranked AS (SELECT m.vec_id, m.comp, x.sim,
+         |             row_number() OVER (PARTITION BY m.comp
+         |               ORDER BY x.sim, m.vec_id) AS rn
+         |           FROM comp m JOIN a x USING (vec_id)),
+         |surv AS (SELECT comp, vec_id AS keep_id FROM ranked WHERE rn = 1)
+         |SELECT a.vec_id, a.cluster_id, round(a.sim, 4) AS centroid_sim,
+         |  coalesce(m.comp, a.vec_id) AS comp,
+         |  (s.keep_id IS NULL OR a.vec_id = s.keep_id) AS keep
+         |FROM a
+         |LEFT JOIN comp m USING (vec_id)
+         |LEFT JOIN surv s ON s.comp = m.comp""".stripMargin,
     // alpha-sampling weights: pure relational, replayed verbatim. The
     // share/weight/upsample expressions mirror the Spark operator's
     // division structure exactly (w = n^a / sum n^a; upsample = w/share)

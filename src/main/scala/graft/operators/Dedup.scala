@@ -946,4 +946,98 @@ object Dedup {
     * keys vs 64-char strings). */
   def fingerprintSha(textCol: Column): Column =
     array_min(transform(wordShingles(textCol, 3), s => sha2(s, 256)))
+
+  // ------------------------------------------------------------------
+  // SemDeDup — semantic deduplication (Abbas et al. 2023)
+  // ------------------------------------------------------------------
+
+  /** Per-vector cluster assignment PLUS cosine similarity to the assigned
+    * centroid, against a broadcast centroid matrix. One narrow pass; the
+    * arithmetic mirrors [[Similarity.cosine]] exactly (ascending-index
+    * double accumulation) so DuckDB's `list_cosine_similarity` over the
+    * dumped centroids reproduces the value bit-for-bit — the survivor
+    * rule ORDERS BY this column, so cross-engine equality matters.
+    * Invalid vectors (null / empty / wrong dim) get (-1, null). */
+  private[operators] def assignWithSim(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Array[Float]) =>
+      val cs = bc.value
+      if (v == null || cs.isEmpty || v.length != cs(0).length)
+        (-1, Option.empty[Double])
+      else {
+        val c = Similarity.nearest(v, cs)
+        val cv = cs(c)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          d += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i) * cv(i)
+          i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        (c, if (den == 0.0) Option.empty[Double] else Some(d / den))
+      }
+    }
+    df.select(col(idCol).as("id"), assignUdf(col(vecCol)).as("a"))
+      .select(col("id"), col("a._1").as("cluster_id"), col("a._2").as("centroid_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means the embedding
+    * space into `nCentroids` clusters, find within-cluster pairs with
+    * cosine >= `minCosine`, connect them into duplicate groups, and keep
+    * ONE representative per group — the member LEAST similar to its
+    * cluster centroid (the paper's keep-the-edge-example policy; ties
+    * break to the lower id). Returns one row per input id:
+    * (id, cluster_id, centroid_sim, comp, keep).
+    *
+    * Plan at 10^12 rows: clustering is [[Similarity.kmeansCentroids]]
+    * (deterministic sampled init + distributed Lloyd); the pair search
+    * is the SAME-CLUSTER special case of [[embeddingCandidates]]
+    * (nprobe=1) — candidate volume Σ|cluster|², driven sub-quadratic by
+    * nCentroids ≈ √n exactly like IVF; components are
+    * [[connectedComponents]] (bounded local / pointer-doubling
+    * distributed); the survivor rule is one min_by aggregate over
+    * (group, sim). Nothing materializes an all-pairs matrix and every
+    * shuffle key is (cluster | id | comp).
+    *
+    * Oracle path: the only JVM-side state is the centroid matrix — dump
+    * it and DuckDB replays assignment (list_distance argmin with the
+    * lowest-index tie-break), the same-cluster cosine pairs, a
+    * recursive-CTE closure and the (sim, id) argmin survivor. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               minCosine: Double = 0.95, nCentroids: Int = 16,
+               sampleSize: Int = 2000, kmeansIters: Int = 10,
+               seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol,
+      nCentroids, sampleSize, kmeansIters, seed)
+    (centroids, semDedupFromCentroids(df, idCol, vecCol, centroids, minCosine))
+  }
+
+  /** The relational tail of [[semDedup]] from a fixed centroid matrix —
+    * split out so specs and the oracle replay the identical computation
+    * from the same centroids. */
+  def semDedupFromCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]],
+                            minCosine: Double): DataFrame = {
+    val assigned = assignWithSim(df, idCol, vecCol, centroids)
+    // same-cluster candidate pairs (id_a < id_b); cluster -1 (invalid
+    // vectors) never pairs — those rows pass through with keep = true
+    val a = assigned.where(col("cluster_id") >= 0)
+      .select(col("cluster_id"), col("id"))
+    val cand = a.alias("pa")
+      .join(a.alias("pb"), col("pa.cluster_id") === col("pb.cluster_id") &&
+        col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+    val pairs = cosinePairsFromCandidates(df, cand, idCol, vecCol, minCosine)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    val survivors = comps.join(assigned, "id")
+      .groupBy(col("comp"))
+      .agg(min_by(col("id"), struct(col("centroid_sim"), col("id"))).as("keep_id"))
+    assigned.join(comps, Seq("id"), "left")
+      .join(survivors, Seq("comp"), "left")
+      .select(col("id").as(idCol), col("cluster_id"), col("centroid_sim"),
+        coalesce(col("comp"), col("id")).as("comp"),
+        (col("keep_id").isNull || col("id") === col("keep_id")).as("keep"))
+  }
 }

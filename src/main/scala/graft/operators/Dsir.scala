@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  * select raw-corpus documents whose hashed-n-gram distribution looks
+  * like a TARGET corpus. Fit two bag-of-hashed-gram distributions
+  * (unigrams + bigrams into `buckets` buckets, add-λ smoothing), score
+  * every raw document with the log importance ratio
+  * Σ_g [log p_target(h(g)) − log p_raw(h(g))], then resample with the
+  * Gumbel-top-k trick. No reference analogue (shuyo/ldig predates it);
+  * design basis is the published paper plus the hashed-feature trick of
+  * Weinberger et al. 2009.
+  *
+  * Plan at 10^12 rows: fitting is two explode → groupBy(bucket)
+  * aggregations whose shuffle is capped at `buckets` rows per map task
+  * (map-side partial agg collapses the gram stream); the per-bucket
+  * log-ratio table is `buckets` longs (8 B × 2^16 = 0.5 MB default) —
+  * collected once, broadcast, and scoring is a ZERO-SHUFFLE fused scan
+  * (one scalar UDF call per document — the 16×-measured GopherLexical
+  * lesson; no per-gram Catalyst lambda, no explode). Selection is a
+  * TakeOrdered top-k, never a full sort.
+  *
+  * Cross-engine determinism: every per-bucket log-ratio is FROZEN to
+  * integer micro-nats — floor(x·1e6 + 0.5), never a float sum — so
+  * per-document scores are exact integer sums (order-independent,
+  * overflow-free: |ratio| < 40e6, docs < 10^5 grams) and DuckDB replays
+  * them bit-for-bit. The portable variant buckets grams with
+  * md5-hex[1..15] mod B (SQL: CAST('0x'||substr(md5(g),1,15) AS BIGINT))
+  * and perturbs with Gumbel noise from a doc-id md5 uniform, both
+  * replayable verbatim; the production variant swaps md5 for FNV-1a 64
+  * (~20× cheaper per gram, same bucket semantics — a spec pins the two
+  * variants' structural agreement). */
+object Dsir {
+
+  val DefaultBuckets: Int = 1 << 16
+  val DefaultLambda: Double = 1.0
+
+  // ---------------------------------------------------------------
+  // Gram bucketing (the ONE hash both fitting and scoring must share)
+  // ---------------------------------------------------------------
+
+  /** Tokens per the repo-wide contract: trim, split on \s+, drop the
+    * empty token an empty/blank text produces. */
+  private def tokensOf(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable bucket: first 15 hex chars of md5 (60 bits, positive) mod
+    * B — DuckDB computes the identical value from SQL md5. */
+  private[operators] def portableBucket(g: String, buckets: Int): Int = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: take 8 bytes, shift off the low nibble
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    ((v >>> 4) % buckets).toInt
+  }
+
+  /** Production bucket: FNV-1a 64 over UTF-8 bytes. */
+  private[operators] def fnvBucket(g: String, buckets: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    val bs = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bs.length) { h = (h ^ (bs(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    val m = (h % buckets).toInt
+    if (m < 0) m + buckets else m
+  }
+
+  @inline private def bucketOf(g: String, buckets: Int, portable: Boolean): Int =
+    if (portable) portableBucket(g, buckets) else fnvBucket(g, buckets)
+
+  /** All hashed gram buckets of a document (unigrams then bigrams) —
+    * one UDF call per document for the fitting explode. */
+  private def gramBucketsUdf(buckets: Int, portable: Boolean) =
+    udf { (text: String) =>
+      val t = tokensOf(text)
+      val out = new Array[Long](math.max(0, 2 * t.length - 1))
+      var i = 0
+      while (i < t.length) { out(i) = bucketOf(t(i), buckets, portable); i += 1 }
+      i = 0
+      while (i + 1 < t.length) {
+        out(t.length + i) = bucketOf(t(i) + " " + t(i + 1), buckets, portable)
+        i += 1
+      }
+      out
+    }
+
+  // ---------------------------------------------------------------
+  // Fitting
+  // ---------------------------------------------------------------
+
+  /** Hashed-gram bucket counts over a corpus: (bucket, n). Shuffle is
+    * bounded by `buckets` rows per map task (partial agg). */
+  def bucketCounts(df: DataFrame, textCol: String,
+                   buckets: Int = DefaultBuckets,
+                   portable: Boolean = false): DataFrame =
+    df.select(explode(gramBucketsUdf(buckets, portable)(col(textCol))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Per-bucket importance log-ratio in integer MICRO-NATS:
+    * floor((log p̂_target(b) − log p̂_raw(b)) · 1e6 + 0.5) with add-λ
+    * smoothing over the full bucket domain. Dense array of length
+    * `buckets`, collected driver-side — BOUNDED BY CONSTRUCTION
+    * (buckets ≤ 2^20 enforced; 2^16 default = 0.5 MB), the same bounded-
+    * collect contract as packing offsets. */
+  def logRatioMicro(target: DataFrame, raw: DataFrame, textCol: String,
+                    buckets: Int = DefaultBuckets,
+                    lambda: Double = DefaultLambda,
+                    portable: Boolean = false): Array[Long] = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20]: $buckets")
+    def counts(df: DataFrame): Array[Long] = {
+      val dense = new Array[Long](buckets)
+      bucketCounts(df, textCol, buckets, portable).collect().foreach { r =>
+        dense(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("n")
+      }
+      dense
+    }
+    val tc = counts(target)
+    val rc = counts(raw)
+    val tTot = tc.sum.toDouble + lambda * buckets
+    val rTot = rc.sum.toDouble + lambda * buckets
+    Array.tabulate(buckets) { b =>
+      val lr = math.log((tc(b) + lambda) / tTot) - math.log((rc(b) + lambda) / rTot)
+      math.floor(lr * 1e6 + 0.5).toLong
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Scoring + resampling
+  // ---------------------------------------------------------------
+
+  /** Per-document importance score: n_grams plus the exact integer sum
+    * of per-gram bucket micro-nat ratios. Fused zero-shuffle scan over
+    * the broadcast ratio table; passthrough columns ride for free. */
+  def importanceScores(df: DataFrame, textCol: String, ratiosMicro: Array[Long],
+                       portable: Boolean = false): DataFrame = {
+    val buckets = ratiosMicro.length
+    val bc = df.sparkSession.sparkContext.broadcast(ratiosMicro)
+    val scoreUdf = udf { (text: String) =>
+      val rs = bc.value
+      val t = tokensOf(text)
+      var n = 0L
+      var s = 0L
+      var i = 0
+      while (i < t.length) {
+        s += rs(bucketOf(t(i), buckets, portable)); n += 1; i += 1
+      }
+      i = 0
+      while (i + 1 < t.length) {
+        s += rs(bucketOf(t(i) + " " + t(i + 1), buckets, portable)); n += 1; i += 1
+      }
+      (n, s)
+    }
+    df.withColumn("_ds", scoreUdf(col(textCol)))
+      .withColumn("n_grams", col("_ds._1"))
+      .withColumn("score_micro", col("_ds._2"))
+      .drop("_ds")
+  }
+
+  /** Deterministic Gumbel perturbation keyed on the id column, in
+    * micro-nats: u = (md5-hex[1..13](id) + 0.5) / 2^52 (exact double),
+    * G = −ln(−ln u), key = score_micro + floor(G·1e6 + 0.5). Sorting by
+    * the INTEGER key realizes Gumbel-top-k sampling ∝ importance weight
+    * (Xie et al. §3; Vieira 2014) and is replayable verbatim in SQL. */
+  def gumbelKeyMicro(scored: DataFrame, idCol: String): DataFrame = {
+    val gUdf = udf { (id: String) =>
+      val d = md5Local.get()
+      d.reset()
+      val h = d.digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+      val u = ((v >>> 4) + 0.5) / 4503599627370496.0 // 2^52
+      math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+    }
+    scored.withColumn("key_micro",
+      col("score_micro") + gUdf(col(idCol).cast("string")))
+  }
+
+  /** Gumbel-top-k resample: the k docs with the largest perturbed keys
+    * (ties to the lower id) — a TakeOrdered, never a full sort. */
+  def resample(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    gumbelKeyMicro(scored, idCol)
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+}

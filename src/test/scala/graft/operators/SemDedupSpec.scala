@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup (Abbas et al. 2023): hand-built transitive-group fixture with
+  * a known survivor, edge cases (singletons, invalid vectors), structural
+  * invariants (one survivor per group, dropped rows have a kept
+  * representative), and a randomized property vs a local naive
+  * union-find over the same centroids. */
+class SemDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def toDf(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // two fixed unit centroids so assignment is obvious
+  private val centroids: Array[Array[Double]] =
+    Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+  test("transitive chain groups; survivor is the least-centroid-similar member") {
+    // cluster 0 chain: 1~2 and 2~3 pairwise cos >= 0.95, 1~3 below —
+    // the GROUP is {1,2,3} only via transitivity; survivor must be the
+    // member with the LOWEST cosine to centroid (id 3), not min id
+    val v1 = Array(1.0f, 0.0f)
+    val v2 = Array(0.97f, 0.24f)   // cos(v1,v2) ≈ 0.971
+    val v3 = Array(0.85f, 0.53f)   // cos(v2,v3) ≈ 0.953, cos(v1,v3) ≈ 0.849
+    val v4 = Array(0.1f, 0.9f)     // cluster 1 singleton
+    val out = Dedup.semDedupFromCentroids(
+      toDf(Seq(1L -> v1, 2L -> v2, 3L -> v3, 4L -> v4)),
+      "vec_id", "embedding", centroids, minCosine = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 4)
+    // one component labeled by min id
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id).getAs[Long]("comp") == 1L))
+    assert(out(4L).getAs[Long]("comp") == 4L && out(4L).getAs[Boolean]("keep"))
+    // id 3 has the lowest centroid_sim in the group -> sole survivor
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("keep"))
+    val sims = Seq(1L, 2L, 3L).map(id => out(id).getAs[Double]("centroid_sim"))
+    assert(sims(2) == sims.min)
+  }
+
+  test("invalid vectors: cluster -1, null sim, kept, never paired") {
+    val out = Dedup.semDedupFromCentroids(
+      toDf(Seq(1L -> Array(1.0f, 0.0f), 2L -> null,
+        3L -> Array[Float](), 4L -> Array(1.0f, 0.0f, 0.0f))),
+      "vec_id", "embedding", centroids, minCosine = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Int]("cluster_id") == -1)
+      assert(out(id).isNullAt(out(id).fieldIndex("centroid_sim")))
+      assert(out(id).getAs[Boolean]("keep"))
+      assert(out(id).getAs[Long]("comp") == id)
+    }
+    assert(out(1L).getAs[Boolean]("keep"))
+  }
+
+  test("randomized: groups + survivors match a local naive union-find") {
+    val rnd = new scala.util.Random(7L)
+    // clumpy data: base points + jittered copies so real groups form
+    val base = Array.fill(12)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val rows: Seq[(Long, Array[Float])] = (0 until 150).map { i =>
+      val b = base(rnd.nextInt(base.length))
+      val scale = 0.02f * rnd.nextInt(3)
+      i.toLong -> b.map(x => x + scale * (rnd.nextFloat() - 0.5f))
+    }
+    val cs: Array[Array[Double]] =
+      base.take(4).map(_.map(_.toDouble))
+    val tau = 0.98
+    val out = Dedup.semDedupFromCentroids(toDf(rows), "vec_id", "embedding",
+      cs, minCosine = tau).collect()
+
+    // naive local twin
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cosC(a: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i) * c(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cluster(v: Array[Float]): Int =
+      cs.indices.minBy(c => cs(c).zip(v).map { case (x, y) => (y - x) * (y - x) }.sum)
+    val byId = rows.toMap
+    val parent = scala.collection.mutable.Map((0 until 150).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (a, b) = (rows(i), rows(j))
+      if (cluster(a._2) == cluster(b._2) && cos(a._2, b._2) >= tau) {
+        val (ra, rb) = (find(a._1), find(b._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val naiveComp = (0 until 150).map(i => i.toLong -> find(i.toLong)).toMap
+    val naiveKeep = naiveComp.groupBy(_._2).map { case (_, members) =>
+      members.keys.minBy(id => (cosC(byId(id), cs(cluster(byId(id)))), id))
+    }.toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("comp") == naiveComp(id), s"comp of $id")
+      assert(r.getAs[Boolean]("keep") == naiveKeep.contains(id), s"keep of $id")
+    }
+    // structural: exactly one survivor per component
+    val byComp = out.groupBy(_.getAs[Long]("comp"))
+    byComp.foreach { case (c, members) =>
+      assert(members.count(_.getAs[Boolean]("keep")) == 1, s"component $c")
+    }
+    assert(byComp.size < 150, "fixture produced no groups — vacuous test")
+  }
+}
