@@ -69,6 +69,7 @@ object Bench {
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
+      "q_dsir", "q_dsir_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
@@ -158,6 +159,34 @@ object Bench {
             d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
           .withColumnRenamed("id", "doc_id")
           .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      }),
+      // production variant: FNV-1a bucketing (the harness query uses the
+      // md5 portable hash only so DuckDB can refit both distributions)
+      "q_dsir" -> (s => {
+        val d = docsDf(s)
+        val ratios = graft.operators.Dsir.logRatioMicro(
+          d.where(col("lang") === "en"), d, "text", buckets = 65536)
+        graft.operators.Dsir.resample(
+          graft.operators.Dsir.importanceScores(
+            d.select("doc_id", "lang", "text"), "text", ratios),
+          "doc_id", 500)
+      }),
+      // DSIR at FLAGSHIP scale: fit hashed-gram distributions of the
+      // scala-language slice vs all 1.6M files (two bucket-bounded
+      // aggregations over ~6.4 GB of content), then the zero-shuffle
+      // fused scoring scan + Gumbel top-k — the full operator where the
+      // fitting scans and the broadcast scoring actually cost something
+      "q_dsir_scale" -> (s => {
+        val files = s.read.parquet(inputPath).select(
+          org.apache.spark.sql.functions.concat_ws("/",
+            col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("lang"), col("content").as("text"))
+        val ratios = graft.operators.Dsir.logRatioMicro(
+          files.where(col("lang") === "scala"), files, "text", buckets = 65536)
+        graft.operators.Dsir.resample(
+          graft.operators.Dsir.importanceScores(files, "text", ratios)
+            .drop("text"),
+          "doc_id", 100000)
       }),
       // the 6-stage curation capstone at FLAGSHIP scale (round-4 verdict
       // #6): q_curation runs over the 5k-doc fixture; this variant runs

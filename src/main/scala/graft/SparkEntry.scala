@@ -767,6 +767,32 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", 10)
         .withColumn("score", round(col("score"), 4))
     }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): hashed-n-gram importance scores of every
+      // document against the en-language target slice. Portable md5
+      // bucketing + integer micro-nat ratios, so DuckDB refits both
+      // distributions and replays every score exactly — no dumps cross
+      // the engine boundary at all.
+      val d = docs(s, dir)
+      val ratios = Dsir.logRatioMicro(d.where(col("lang") === "en"), d,
+        "text", buckets = 65536, portable = true)
+      Dsir.importanceScores(d.select("doc_id", "lang", "text"), "text",
+          ratios, portable = true)
+        .select("doc_id", "lang", "n_grams", "score_micro")
+    }),
+    "q_dsir_sample" -> ((s, dir) => {
+      // Gumbel-top-k importance resample over the same scores: the
+      // perturbation is a deterministic md5-uniform of the doc id, so the
+      // SAMPLE ITSELF is cross-engine exact (integer micro-nat keys).
+      val d = docs(s, dir)
+      val ratios = Dsir.logRatioMicro(d.where(col("lang") === "en"), d,
+        "text", buckets = 65536, portable = true)
+      Dsir.resample(
+          Dsir.importanceScores(d.select("doc_id", "lang", "text"), "text",
+            ratios, portable = true),
+          "doc_id", 100)
+        .select("doc_id", "lang", "score_micro", "key_micro")
+    }),
     "q_mixture_weights" -> ((s, dir) =>
       // multilingual alpha-sampling (XLM-R alpha=0.3): per-language
       // temperature weights + the upsample factor a sampler applies
@@ -884,7 +910,54 @@ object SparkEntry {
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
+  /** Shared DSIR scoring CTEs (q_dsir / q_dsir_sample): DuckDB refits
+    * the hashed-gram target/raw distributions and rebuilds every
+    * per-document micro-nat score from the raw table — the bucket hash
+    * (md5-hex[1..15] mod 2^16), the add-1 smoothing and the
+    * floor(x·1e6 + 0.5) freeze mirror Dsir.scala atom-for-atom. */
+  private def dsirScoreCtes: String =
+    """toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents WHERE length(trim(text)) > 0),
+      |g1 AS (SELECT doc_id, lang, unnest(t) AS g FROM toks),
+      |g2 AS (SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+      |       FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |grams AS (SELECT doc_id, lang, g FROM g1
+      |          UNION ALL SELECT doc_id, lang, g FROM g2),
+      |bg AS (SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 65536 AS b
+      |       FROM grams),
+      |tc AS (SELECT b, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS n FROM bg GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM bg WHERE lang = 'en') + 65536.0 AS t_tot,
+      |               (SELECT count(*) FROM bg) + 65536.0 AS r_tot),
+      |ratio AS (SELECT rc.b,
+      |            CAST(floor((ln((coalesce(tc.n, 0) + 1.0) / t_tot)
+      |                      - ln((rc.n + 1.0) / r_tot)) * 1e6 + 0.5) AS BIGINT) AS rm
+      |          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+      |sc AS (SELECT bg.doc_id, count(*) AS n_grams,
+      |         CAST(sum(r.rm) AS BIGINT) AS score_micro
+      |       FROM bg JOIN ratio r ON r.b = bg.b GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q_dsir_sample" ->
+      s"""WITH $dsirScoreCtes,
+         |scored AS (SELECT d.doc_id, d.lang,
+         |             CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro
+         |           FROM documents d LEFT JOIN sc USING (doc_id)),
+         |keyed AS (SELECT doc_id, lang, score_micro,
+         |            score_micro + CAST(floor(-ln(-ln(
+         |              (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+         |                 AS BIGINT) + 0.5) / 4503599627370496.0))
+         |              * 1e6 + 0.5) AS BIGINT) AS key_micro
+         |          FROM scored)
+         |SELECT doc_id, lang, score_micro, key_micro
+         |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

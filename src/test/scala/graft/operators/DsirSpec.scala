@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSIR importance resampling: the portable bucket hash is pinned to the
+  * SQL md5 expression the oracle replays, scores are pinned to a naive
+  * local refit-and-score twin (both hash variants), edge cases
+  * (empty/null text), and the Gumbel resample's determinism + policy. */
+class DsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("portableBucket == SQL conv(substr(md5,1,15),16,10) % B") {
+    import spark.implicits._
+    val gs = Seq("hello", "hello world", "Ünïcode tökens", "日本語 テスト",
+      "a", " ", "x y", "emoji 🙂 gram")
+    val sql = gs.toDF("g").select(col("g"),
+      pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+        lit(65536L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gs.foreach { g =>
+      assert(Dsir.portableBucket(g, 65536).toLong == sql(g), s"bucket of '$g'")
+    }
+  }
+
+  private val target = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the lazy dog sleeps"),
+    (3L, "quick brown dogs and foxes"))
+  private val raw = target ++ Seq(
+    (4L, "der schnelle braune fuchs"),
+    (5L, "le chien paresseux dort"),
+    (6L, "the quick brown fox naps"),
+    (7L, ""),
+    (8L, "   "))
+
+  private def naiveScore(text: String, portable: Boolean,
+                         buckets: Int, lambda: Double): (Long, Long) = {
+    def grams(t: String): Seq[String] = {
+      val ts = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      ts ++ ts.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int =
+      if (portable) Dsir.portableBucket(g, buckets) else Dsir.fnvBucket(g, buckets)
+    val tc = new Array[Long](buckets)
+    val rc = new Array[Long](buckets)
+    target.foreach(r => grams(r._2).foreach(g => tc(bucket(g)) += 1))
+    raw.foreach(r => grams(r._2).foreach(g => rc(bucket(g)) += 1))
+    val tTot = tc.sum + lambda * buckets
+    val rTot = rc.sum + lambda * buckets
+    val gs = grams(text)
+    val s = gs.map { g =>
+      val b = bucket(g)
+      math.floor((math.log((tc(b) + lambda) / tTot)
+        - math.log((rc(b) + lambda) / rTot)) * 1e6 + 0.5).toLong
+    }.sum
+    (gs.length.toLong, s)
+  }
+
+  test("scores match the naive local twin (both hash variants)") {
+    import spark.implicits._
+    for (portable <- Seq(true, false)) {
+      val tDf = target.toDF("doc_id", "text")
+      val rDf = raw.toDF("doc_id", "text")
+      val ratios = Dsir.logRatioMicro(tDf, rDf, "text",
+        buckets = 4096, lambda = 1.0, portable = portable)
+      assert(ratios.length == 4096)
+      val out = Dsir.importanceScores(rDf, "text", ratios, portable = portable)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("score_micro"))).toMap
+      raw.foreach { case (id, text) =>
+        assert(out(id) == naiveScore(text, portable, 4096, 1.0),
+          s"portable=$portable doc $id")
+      }
+      // empty / blank docs score (0, 0)
+      assert(out(7L) == ((0L, 0L)) && out(8L) == ((0L, 0L)))
+      // in-distribution docs outscore out-of-distribution ones
+      assert(out(6L)._2 > out(4L)._2 && out(6L)._2 > out(5L)._2)
+    }
+  }
+
+  test("null text scores (0, 0)") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b"))).toDF("doc_id", "text")
+    val out = Dsir.importanceScores(df, "text", new Array[Long](64))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_grams")).toMap
+    assert(out(1L) == 0L && out(2L) == 3L)
+  }
+
+  test("resample: deterministic, k rows, keys = score + doc-keyed Gumbel") {
+    import spark.implicits._
+    val rDf = raw.toDF("doc_id", "text")
+    val ratios = Dsir.logRatioMicro(rDf.where(col("doc_id") <= 3), rDf, "text",
+      buckets = 4096, portable = true)
+    val scored = Dsir.importanceScores(rDf, "text", ratios, portable = true)
+    val s1 = Dsir.resample(scored, "doc_id", 4).collect()
+    val s2 = Dsir.resample(scored, "doc_id", 4).collect()
+    assert(s1.length == 4)
+    assert(s1.map(_.getAs[Long]("doc_id")).toSeq ==
+      s2.map(_.getAs[Long]("doc_id")).toSeq, "resample must be deterministic")
+    // every key is the score plus a doc-id-only perturbation: re-derive
+    val keyed = Dsir.gumbelKeyMicro(scored, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("key_micro")).toMap
+    s1.foreach { r =>
+      assert(r.getAs[Long]("key_micro") == keyed(r.getAs[Long]("doc_id")))
+    }
+    // the selected set is exactly the top-4 keys
+    val top = keyed.toSeq.sortBy { case (id, k) => (-k, id) }.take(4).map(_._1).toSet
+    assert(s1.map(_.getAs[Long]("doc_id")).toSet == top)
+  }
+
+  test("logRatioMicro rejects unbounded bucket domains") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dsir.logRatioMicro(df, df, "text", buckets = (1 << 20) + 1)
+    }
+  }
+}
