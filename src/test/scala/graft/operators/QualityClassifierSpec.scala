@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality-classifier distillation: separable data trains to near-perfect
+  * agreement (collisions allowed), scoring matches a naive local twin
+  * over the frozen model, training is bit-deterministic across runs,
+  * edge cases (empty text) follow the bias rule, and distilling the
+  * flagship pipeline's keep rule beats a majority-class baseline. */
+class QualityClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def separable = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val fill = Array("lorem", "ipsum", "dolor", "sit", "amet", "tellus")
+    (0 until 200).map { i =>
+      val kw = if (i % 2 == 0) "excellent" else "garbage"
+      val words = Array.fill(6 + rnd.nextInt(6))(fill(rnd.nextInt(fill.length)))
+      (i.toLong, (words :+ kw).mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "label")
+  }
+
+  test("separable corpus: student separates (collisions allowed); scoring matches naive twin") {
+    val df = separable
+    val model = QualityClassifier.train(df, "text", "label",
+      buckets = 4096, iters = 200, lr = 0.5, portable = true)
+    val scored = QualityClassifier.score(df, "text", model).collect()
+    assert(scored.length == 200)
+    // >= 97%: hashed features admit bucket collisions, so per-doc
+    // perfection is not a property the operator guarantees
+    val agree = scored.count(r =>
+      r.getAs[Boolean]("keep_pred") == r.getAs[Boolean]("label"))
+    assert(agree >= 194, s"agreement $agree/200")
+    scored.foreach { r =>
+      // naive local twin of the integer scoring
+      val t = r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)
+      val grams = t.toSeq ++ t.toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val zn = model.biasMicro +
+        grams.map(g => model.wMicro(Dsir.portableBucket(g, 4096))).sum
+      assert(r.getAs[Long]("zn_micro") == zn)
+      assert(r.getAs[Long]("n_grams") == grams.length.toLong)
+    }
+  }
+
+  test("training is bit-deterministic across runs") {
+    val df = separable
+    val m1 = QualityClassifier.train(df, "text", "label", buckets = 2048, iters = 10)
+    val m2 = QualityClassifier.train(df, "text", "label", buckets = 2048, iters = 10)
+    assert(m1.biasMicro == m2.biasMicro)
+    assert(m1.wMicro.sameElements(m2.wMicro))
+  }
+
+  test("empty/null text follows the bias rule; model dump carries bias at bucket -1") {
+    import spark.implicits._
+    val df = Seq((1L, "good stuff here", true), (2L, "", false),
+      (3L, Option.empty[String].orNull, true)).toDF("doc_id", "text", "label")
+    val model = QualityClassifier.train(df, "text", "label", buckets = 256, iters = 5)
+    val out = QualityClassifier.score(df, "text", model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("n_grams") == 0L)
+      assert(out(id).getAs[Long]("zn_micro") == model.biasMicro)
+      assert(out(id).getAs[Boolean]("keep_pred") == (model.biasMicro > 0))
+    }
+    val rows = model.toRows
+    assert(rows.head == ((-1, model.biasMicro)))
+    assert(rows.tail.forall { case (b, w) => b >= 0 && w != 0L })
+  }
+
+  test("flagship-pipeline distillation (the DCLM shape): student beats the majority baseline") {
+    // teacher = the pipeline's real keep/drop rule over synthetic
+    // FileRows (a genuine label mix, unlike the lexical rule teachers,
+    // which are degenerate on the fixtures)
+    import spark.implicits._
+    val rows = graft.core.Synth.fileRows(800).toDF().as[graft.core.Synth.FileRow]
+    val scored = ScoreStage(spark, rows)
+      .select(col("content_scrubbed"), col("keep")).cache()
+    try {
+      val n = scored.count().toDouble
+      val keepRate = scored.where(col("keep")).count() / n
+      assert(keepRate > 0.05 && keepRate < 0.95, s"degenerate teacher $keepRate")
+      val model = QualityClassifier.train(scored, "content_scrubbed", "keep",
+        buckets = 65536, iters = 300, lr = 0.5)
+      val out = QualityClassifier.score(scored, "content_scrubbed", model)
+      val agree = out.where(col("keep_pred") === col("keep")).count() / n
+      val majority = math.max(keepRate, 1 - keepRate)
+      assert(agree > majority + 0.05,
+        s"student agreement $agree must beat majority baseline $majority")
+    } finally scored.unpersist()
+  }
+}
