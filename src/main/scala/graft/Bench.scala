@@ -70,6 +70,7 @@ object Bench {
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
       "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
+      "q_shuffle_export", "q_shuffle_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
@@ -217,6 +218,14 @@ object Bench {
         graft.operators.QualityClassifier.score(files, "text", model)
           .drop("text")
       }),
+      // terminal global shuffle at FLAGSHIP scale: 1.6M rows (incl. the
+      // ~4 KB content column) into 64 hash-shards in training order —
+      // production xxhash64 keys, one exchange + per-partition sort
+      "q_shuffle_scale" -> (s => {
+        val files = s.read.parquet(inputPath)
+        graft.operators.ShuffleExport.shuffled(files,
+          Seq(col("repo"), col("path"), col("commit")), shards = 64)
+      }),
       // the 6-stage curation capstone at FLAGSHIP scale (round-4 verdict
       // #6): q_curation runs over the 5k-doc fixture; this variant runs
       // the same production chain (hashed keys, xxhash64 quota rank)
@@ -276,9 +285,16 @@ object Bench {
     // prune every stats column and time only the scan; q_para_dedup's
     // text reassembly is likewise prunable under a bare count
     // q_asof_join: a bare count would prune the unused window column
+    // forced: count() alone would let ColumnPruning drop the computation
+    // under test (window/rank outputs especially — a bare count over
+    // q_shuffle_* would skip the sort + row_number entirely)
     val forced = Set("q_doc_stats", "q_repetition", "q_gopher_quality",
       "q_para_dedup", "q_asof_join", "q_tfidf", "q_packing", "q_curation",
-      "q_dup_spans", "q_exact_substr", "q_curation_scale")
+      "q_dup_spans", "q_exact_substr", "q_curation_scale",
+      "q_shuffle_export", "q_shuffle_scale",
+      // the classifier queries' scoring columns are otherwise unused —
+      // a bare count would time training only and skip the scan under test
+      "q_quality_classifier", "q_qualclf_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

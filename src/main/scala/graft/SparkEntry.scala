@@ -427,6 +427,14 @@ object SparkEntry {
       // quota -> sequence packing, one lazy DAG
       Curate.pipeline(docs(s, dir), "doc_id", "text", "lang",
         quota = 100, budget = 256)),
+    "q_shuffle_export" -> ((s, dir) =>
+      // terminal global shuffle: shard + training position as pure
+      // functions of the key (portable md5 twin; production xxhash64 is
+      // spec-pinned) — DuckDB replays the full assignment, so the
+      // reproducible-training-order contract is verified row-for-row
+      ShuffleExport.shuffled(docs(s, dir).select("doc_id", "lang"),
+          Seq(col("doc_id")), shards = 8, portable = true)
+        .select("doc_id", "lang", "shard", "pos")),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time join: each order picks up the user's latest event
       // at or before the order date; right side deduped per (user, ts)
@@ -1245,6 +1253,21 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE word <> ''
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // shuffled export: shard = md5-hex[1..15] of 's|'||key mod shards
+    // (the Dsir 60-bit bucketing trick — non-negative BIGINT in both
+    // engines), training order = md5-hex[1..16] of 'o|'||key compared as
+    // text (binary collation both sides), pos = the within-shard rank
+    "q_shuffle_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 8 AS INT) AS shard,
+        |    substr(md5('o|' || CAST(doc_id AS VARCHAR)), 1, 16) AS okey
+        |  FROM documents)
+        |SELECT doc_id, lang, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY okey, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+        |FROM t""".stripMargin,
     "q_tfidf" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Terminal global shuffle for training-data export: assign every row a
+  * shard and a position such that BOTH are pure functions of the row key
+  * — independent of input partitioning, parallelism, and engine — so the
+  * "randomized" training order is reproducible anywhere and verifiable
+  * row-for-row (the property LLM data pipelines need from their final
+  * shuffle; cf. the shuffle step in C4/Pile-style corpus builds).
+  *
+  * Plan shape (the scale story): ONE exchange — hash-repartition by the
+  * derived shard — then a per-partition sort feeds row_number, whose
+  * `HashPartitioning(shard)` requirement the repartition already
+  * satisfies (ClusteredDistribution — the NOTES_r5 window/groupBy
+  * reuse rule). A 100 TB export shuffles each byte exactly once, shard
+  * sizes are hash-uniform (unique keys cannot skew), and shard count is
+  * the write parallelism.
+  *
+  * Two hash variants (the [[Sampling]] discipline): production =
+  * xxhash64 (codegen'd 8-byte math; shard and order drawn from
+  * differently-salted hashes so they stay independent); portable =
+  * md5-hex (shard = first 15 hex digits mod shards — the Dsir bucketing
+  * trick, 60 bits so the BIGINT is non-negative in both engines; order
+  * = first 16 hex digits compared as text, identical binary collation
+  * in Spark and DuckDB), which an oracle replays bit-identically. */
+object ShuffleExport {
+
+  private def keyOf(keys: Seq[Column]): Column =
+    concat_ws("|", keys.map(_.cast("string")): _*)
+
+  /** Append `shard` and `pos` (1-based within-shard rank) and return the
+    * frame physically clustered by shard and sorted in training order —
+    * ready for a partitionBy("shard") write. */
+  def shuffled(df: DataFrame, keys: Seq[Column], shards: Int,
+               salt: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val k = keyOf(keys)
+    val (shardCol, orderCol) =
+      if (portable) (
+        (conv(substring(md5(concat(lit("s|"), k)), 1, 15), 16, 10)
+          .cast("long") % shards).cast("int"),
+        substring(md5(concat(lit("o|"), k)), 1, 16))
+      else (
+        pmod(xxhash64(lit(salt), k), lit(shards.toLong)).cast("int"),
+        xxhash64(lit(salt + 1), k))
+    val tagged = df.withColumn("shard", shardCol).withColumn("_okey", orderCol)
+      .repartition(shards, col("shard"))
+    tagged
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("_okey"), k))
+        .cast("long"))
+      .drop("_okey")
+  }
+}

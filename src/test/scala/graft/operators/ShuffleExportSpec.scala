@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffled-shard export: shard+pos are pure functions of the key
+  * (partitioning-independent, both hash variants), the portable variant
+  * matches a from-scratch JVM md5 twin row-for-row, shards are
+  * hash-balanced, and the physical plan spends exactly one exchange. */
+class ShuffleExportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"doc $i body")).toDF("doc_id", "text")
+  }
+
+  private def assignment(df: org.apache.spark.sql.DataFrame,
+                         portable: Boolean): Map[Long, (Int, Long)] =
+    ShuffleExport.shuffled(df, Seq(col("doc_id")), shards = 8, portable = portable)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+  test("shard+pos are independent of input partitioning (both variants)") {
+    val base = ids(500)
+    for (portable <- Seq(true, false)) {
+      val a = assignment(base.repartition(1), portable)
+      val b = assignment(base.repartition(7), portable)
+      assert(a == b)
+      assert(a.size == 500)
+    }
+  }
+
+  test("portable variant matches a from-scratch JVM md5 twin") {
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val n = 300
+    val expected = {
+      val tagged = (0 until n).map { i =>
+        val k = i.toString
+        val shard = (java.lang.Long.parseLong(md5hex("s|" + k).substring(0, 15), 16) % 8).toInt
+        (i.toLong, shard, md5hex("o|" + k).substring(0, 16))
+      }
+      tagged.groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1.toString)).zipWithIndex
+          .map { case ((id, shard, _), i) => id -> ((shard, (i + 1).toLong)) }
+      }
+    }
+    assert(assignment(ids(n), portable = true) == expected)
+  }
+
+  test("shards are hash-balanced and positions are a 1..n ranking per shard") {
+    val out = ShuffleExport.shuffled(ids(2000), Seq(col("doc_id")),
+      shards = 8, portable = false)
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(byShard.length == 8)
+    byShard.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n > 150 && n < 350, s"unbalanced shard: $r")
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == n
+        && r.getAs[Long]("d") == n, s"pos not a dense 1..n ranking: $r")
+    }
+  }
+
+  test("plan: exactly one exchange — repartition feeds the rank window") {
+    val p = ShuffleExport.shuffled(ids(100), Seq(col("doc_id")),
+        shards = 4, portable = false)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("ReusedExchange"), p)
+  }
+}
