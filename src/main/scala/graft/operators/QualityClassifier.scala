@@ -98,7 +98,8 @@ object QualityClassifier {
         val bcW = sc.broadcast(w)
         val bcB = bias
         // dense per-partition gradient, summed driver-side in partition
-        // order (deterministic); index buckets+1 carries the bias grad
+        // order (deterministic); the last slot (index = buckets) carries
+        // the bias grad
         val partials = feats.rdd.mapPartitionsWithIndex { (pid, it) =>
           val ws = bcW.value
           val g = new Array[Double](buckets + 1)
