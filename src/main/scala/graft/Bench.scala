@@ -182,8 +182,12 @@ object Bench {
           org.apache.spark.sql.functions.concat_ws("/",
             col("repo"), col("path"), col("commit")).as("doc_id"),
           col("lang"), col("content").as("text"))
-        val ratios = graft.operators.Dsir.logRatioMicro(
-          files.where(col("lang") === "scala"), files, "text", buckets = 65536)
+        // one-pass slice fit: the target is a slice of the same table, so
+        // fitting tokenizes the corpus once, not twice (spec-pinned equal
+        // to the two-frame fit; measured 20.1 -> 16.1 s at 1.6M rows at
+        // matched probe ratios — scoring + top-k own the rest)
+        val ratios = graft.operators.Dsir.logRatioMicroBySlice(
+          files, col("lang") === "scala", "text", buckets = 65536)
         graft.operators.Dsir.resample(
           graft.operators.Dsir.importanceScores(files, "text", ratios)
             .drop("text"),

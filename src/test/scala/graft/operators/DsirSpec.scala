@@ -123,4 +123,19 @@ class DsirSpec extends AnyFunSuite {
       Dsir.logRatioMicro(df, df, "text", buckets = (1 << 20) + 1)
     }
   }
+
+  test("one-pass slice fit == two-frame fit, exactly (incl. null predicate rows)") {
+    import spark.implicits._
+    val df = (raw ++ Seq((9L, "mixed corpus extra row"))).toDF("doc_id", "text")
+      .withColumn("is_target", when(col("doc_id") <= 3, lit(true))
+        .when(col("doc_id") === 9, lit(null).cast("boolean"))
+        .otherwise(lit(false)))
+    for (portable <- Seq(true, false)) {
+      val twoPass = Dsir.logRatioMicro(
+        df.where(col("is_target")), df, "text", buckets = 4096, portable = portable)
+      val onePass = Dsir.logRatioMicroBySlice(
+        df, col("is_target"), "text", buckets = 4096, portable = portable)
+      assert(onePass.sameElements(twoPass))
+    }
+  }
 }
