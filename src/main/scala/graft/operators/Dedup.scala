@@ -29,34 +29,68 @@ object Dedup {
     * row with the minimal id. `idCol` must be a non-null key (the
     * input_hint contract all curation operators share).
     *
-    * Shape: the DUPLICATE groups only — (content_hash, keep_id) for
-    * groups with n > 1 — are aggregated (map-side partial, ~40 B per
-    * distinct content per partition) and joined back LEFT OUTER onto the
-    * full table; a row survives iff its content is unique or it carries
-    * the group's min id. Content bytes therefore never shuffle: on real
-    * corpora duplicates are a small fraction of distinct contents, the
-    * dup table broadcasts, and the pipeline's biggest column stays
-    * narrow. When the dup table outgrows the broadcast threshold AQE
-    * degrades to a shuffled join — the cost of the old single-shuffle
-    * min_by shape, never worse. (Measured vs [[dropExactDuplicatesMinBy]]
-    * at 1.6M × 4 KB rows: see NOTES_r5 — the join shape avoids shuffling
-    * 6.4 GB of content for a dup table of a handful of groups.) */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * DEFAULT SHAPE (round-5 session-5 correction, measured): the
+    * single-shuffle min_by — one scan, one content shuffle, a hash
+    * aggregate keeps the min-id row per distinct text. The
+    * round-5-session-3 switch to a dup-table join is RETRACTED on
+    * evidence: interleaved triplets at 1.6M × 4 KB rows (quietest round
+    * min_by 6.2 s / column-keyed join 9.1 s / broadcast-filter 11.0 s,
+    * same ordering in every window, and the shipped expression-keyed
+    * join ran 3–6× worse — AQE converts its SortMergeJoin to broadcast
+    * only after BOTH shuffle stages are planned, so the full-content
+    * side pays its shuffle write regardless, plus a second scan). On a
+    * box (or cluster) where shuffle writes land in page cache / local
+    * NVMe, one shuffle beats two scans; and at 10^12 files the
+    * dup-group table usually exceeds any broadcast budget anyway, so
+    * the "clever" shape degrades here too. Use
+    * [[dropExactDuplicatesBroadcast]] explicitly when the network is
+    * the scarce resource AND dup groups are provably bounded. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dropExactDuplicatesMinBy(df, idCol, textCol)
+
+  /** Opt-in zero-shuffle exact dedup — the [[dropDuplicateParagraphs]]
+    * HYBRID pattern: only the DUPLICATE groups — (content_hash, keep_id)
+    * for groups with n > 1 — are aggregated (map-side partial; the
+    * shuffle carries ~40 B hash rows, never content) and probed with a
+    * bounded limit+collect; within budget the map broadcasts and a row
+    * survives via ONE scalar-UDF filter (unique content, or it carries
+    * the group's min id) — the corpus is scanned twice but content
+    * bytes NEVER shuffle and only (hash, id) strings cross the UDF
+    * boundary. Over budget, falls back to the single-shuffle default.
+    * The right regime: network-bound shuffle + cheap columnar re-scan +
+    * bounded duplication. On this box it LOSES to the default by ~1.8×
+    * (see [[dropExactDuplicates]]); kept because the 100 TB trade can
+    * invert, with the decision now measured instead of assumed. The
+    * probe is EAGER at construction (runs the hash aggregate once) —
+    * callers holding an expensive derived input should barrier it
+    * first (the Curate contract). */
+  def dropExactDuplicatesBroadcast(df: DataFrame, idCol: String, textCol: String,
+                                   maxDupGroups: Int = 1000000): DataFrame = {
     val h = sha2(col(textCol), 256)
-    val dups = df.groupBy(h.as("content_hash"))
+    val dupRows = df.groupBy(h.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
-      .where(col("n") > 1)
-      .select(col("content_hash"), col("keep_id"))
-    df.join(dups, h === dups("content_hash"), "left_outer")
-      .where(col("keep_id").isNull || col(idCol) === col("keep_id"))
-      .drop("content_hash", "keep_id")
+      .where(col("n") > 1 && col("content_hash").isNotNull)
+      .select(col("content_hash"), col("keep_id").cast("string"))
+      .limit(maxDupGroups + 1)
+      .collect()
+    if (dupRows.length > maxDupGroups) dropExactDuplicatesMinBy(df, idCol, textCol)
+    else {
+      // id equality via an injective string cast: min is taken on the
+      // ORIGINAL id type above; only the comparison happens on strings
+      val m = dupRows.map(r => r.getString(0) -> r.getString(1)).toMap
+      val bc = df.sparkSession.sparkContext.broadcast(m)
+      val keepUdf = udf { (hash: String, id: String) =>
+        val k = bc.value.getOrElse(hash, null)
+        k == null || k == id
+      }
+      df.where(keepUdf(h, col(idCol).cast("string")))
+    }
   }
 
-  /** The previous single-shuffle shape, kept for the interleaved A/B
-    * (tools/CurAB) and for callers whose input is an expensive derived
-    * plan they cannot afford to evaluate twice: min_by(whole row, id)
-    * groupBy content hash — ONE shuffle, but the shuffle carries every
-    * content byte. */
+  /** The single-shuffle implementation behind [[dropExactDuplicates]]:
+    * min_by(whole row, id) groupBy content hash — ONE scan, ONE shuffle
+    * (which carries every content byte), single-pass-safe for expensive
+    * derived inputs. */
   private[graft] def dropExactDuplicatesMinBy(df: DataFrame, idCol: String,
                                               textCol: String): DataFrame = {
     val cols = df.columns

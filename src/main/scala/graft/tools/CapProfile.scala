@@ -38,8 +38,8 @@ object CapProfile {
       val total0 = System.nanoTime()
       val ex = t(s"$variant exact+checkpoint") {
         val e = (if (variant == "old")
-          Dedup.dropExactDuplicatesMinBy(docs, "doc_id", "text")
-        else Dedup.dropExactDuplicates(docs, "doc_id", "text"))
+          Dedup.dropExactDuplicates(docs, "doc_id", "text")
+        else Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text"))
           .localCheckpoint(true)
         e.count(); e
       }

@@ -50,13 +50,13 @@ object CurAB {
     // the A/B isolates the stage SHAPES, not lazy re-evaluation counts
     val barriers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def chainA(): DataFrame = {
-      val ex = graft.operators.Dedup.dropExactDuplicatesMinBy(input, "doc_id", "text")
+      val ex = graft.operators.Dedup.dropExactDuplicates(input, "doc_id", "text")
         .localCheckpoint(true)
       barriers += ex
       graft.operators.Dedup.dropDuplicateParagraphsShuffle(ex, "doc_id", "text")
     }
     def chainB(): DataFrame = {
-      val ex = graft.operators.Dedup.dropExactDuplicates(input, "doc_id", "text")
+      val ex = graft.operators.Dedup.dropExactDuplicatesBroadcast(input, "doc_id", "text")
         .localCheckpoint(true)
       barriers += ex
       graft.operators.Dedup.dropDuplicateParagraphs(ex, "doc_id", "text")

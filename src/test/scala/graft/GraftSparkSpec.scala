@@ -247,12 +247,21 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(bcast.map { case (id, (_, l)) => id -> l } == srcLang)
   }
 
-  test("exact dedup join shape == min_by shape on the documents fixture") {
+  test("broadcast exact dedup == default min_by shape; over-budget falls back") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids(Dedup.dropExactDuplicates(docs, "doc_id", "text")) ===
-      ids(Dedup.dropExactDuplicatesMinBy(docs, "doc_id", "text")))
+    val expected = ids(Dedup.dropExactDuplicates(docs, "doc_id", "text"))
+    assert(ids(Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text")) === expected)
+    // planted duplicates + maxDupGroups = 0: the budget trips -> min_by
+    // fallback, same survivors as the broadcast path
+    import spark.implicits._
+    val planted = Seq((1L, "dup body"), (2L, "dup body"), (3L, "unique body"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.dropExactDuplicatesBroadcast(planted, "doc_id", "text",
+      maxDupGroups = 0)) === Set(1L, 3L))
+    assert(ids(Dedup.dropExactDuplicatesBroadcast(planted, "doc_id", "text"))
+      === Set(1L, 3L))
   }
 
   test("minhash LSH finds near-duplicates, skips dissimilar") {

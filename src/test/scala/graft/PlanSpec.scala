@@ -271,13 +271,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Aggregate"), p)
   }
 
-  test("exact dedup: content never shuffles — dup table joins broadcast") {
+  test("opt-in broadcast exact dedup: no exchange, no join — scan + filter only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val df = operators.Dedup.dropExactDuplicates(docs, "doc_id", "text")
-    df.collect() // AQE decides the join strategy in the final plan
+    val df = operators.Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text")
     val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("vocab top-k is TakeOrdered over a partial-aggregated count, no global sort") {
