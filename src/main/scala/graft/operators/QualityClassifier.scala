@@ -156,4 +156,24 @@ object QualityClassifier {
       .withColumn("keep_pred", col("zn_micro") > 0)
       .drop("_qc")
   }
+
+  /** The keep verdict as ONE Column — the streaming-gate form (train the
+    * student offline on a batch teacher, gate rows at ingest — the DCLM
+    * deployment shape). Stateless pure function of the text, so it
+    * composes into a streaming plan with no state and the stream keep
+    * set equals [[score]]'s keep_pred on the same rows (spec'd). */
+  def keepColumn(textCol: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
+    val wMicro = model.wMicro
+    val buckets = model.buckets
+    val portable = model.portable
+    val biasMicro = model.biasMicro
+    val keepUdf = udf { (text: String) =>
+      val bs = gramBuckets(text, buckets, portable)
+      var s = biasMicro
+      var i = 0
+      while (i < bs.length) { s += wMicro(bs(i)); i += 1 }
+      s > 0
+    }
+    keepUdf(textCol)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Decontaminate, GopherLexical, Repetition, Sampling}
+import graft.operators.{Decontaminate, GopherLexical, QualityClassifier, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,8 @@ object CurateStream {
                num: Int, den: Int,
                watermarkDelay: String = "10 minutes",
                lexicalGate: Boolean = false,
-               decontaminateAgainst: Option[DataFrame] = None): DataFrame = {
+               decontaminateAgainst: Option[DataFrame] = None,
+               qualityModel: Option[QualityClassifier.Model] = None): DataFrame = {
     val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
       .where(Repetition.keepColumn(col(textCol)))
     val gated =
@@ -54,6 +55,14 @@ object CurateStream {
       case Some(evalSet) =>
         gated.where(!Decontaminate.contaminatedColumn(evalSet, textCol))
     }
-    Sampling.hashSample(decon, Seq(col("content_hash")), num, den)
+    // classifier gate at ingest (the DCLM deployment shape): the student
+    // is trained OFFLINE (batch teacher), its frozen integer weights ride
+    // the closure, and the verdict is a stateless pure function of text —
+    // stream keep set == batch score()'s keep_pred on the same rows.
+    val classed = qualityModel match {
+      case None => decon
+      case Some(m) => decon.where(QualityClassifier.keepColumn(col(textCol), m))
+    }
+    Sampling.hashSample(classed, Seq(col("content_hash")), num, den)
   }
 }

@@ -794,6 +794,44 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxEvalShingles"), e.getMessage)
   }
 
+  test("streaming classifier gate == batch score keep_pred (frozen model, stateless)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftqcst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // train the student OFFLINE on a separable batch teacher
+    val fill = Array("lorem", "ipsum", "dolor", "sit", "amet", "tellus")
+    val rnd = new scala.util.Random(7L)
+    val trainDf = (0 until 200).map { i =>
+      val kw = if (i % 2 == 0) "excellent" else "garbage"
+      ((Array.fill(8)(fill(rnd.nextInt(fill.length))) :+ kw).mkString(" "), i % 2 == 0)
+    }.toDF("text", "label")
+    val model = operators.QualityClassifier.train(trainDf, "text", "label",
+      buckets = 4096, iters = 200, lr = 0.5)
+    // distinct rows (dedup-safe), non-repetitive, two carry the drop marker
+    val rows = Seq(
+      (1L, "one two three four excellent five six seven eight nine", t(1)),
+      (2L, "ten eleven twelve garbage thirteen fourteen fifteen sixteen", t(2)),
+      (3L, "alpha beta gamma excellent delta epsilon zeta eta theta", t(3)),
+      (4L, "uno dos tres garbage cuatro cinco seis siete ocho nueve", t(4)))
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1, qualityModel = Some(model))
+      .writeStream.format("memory").queryName("qc_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qc_stream")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKeep = operators.QualityClassifier.score(
+        rows.toDF("doc_id", "text", "ts"), "text", model)
+      .where(col("keep_pred")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 3L), streamed)
+    assert(batchKeep == streamed)
+  }
+
   test("streaming as-of enrichment == batch as-of join (stringified), nulls never match") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftasofst").toString
