@@ -69,6 +69,7 @@ object Bench {
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
+      "q_bpe", "q_bpe_scale",
       "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
       "q_shuffle_export", "q_shuffle_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
@@ -160,6 +161,27 @@ object Bench {
             d.where(col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
           .withColumnRenamed("id", "doc_id")
           .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      }),
+      // the operator without the harness's segmentation oracle-dump write
+      "q_bpe" -> (s => {
+        val d = docsDf(s)
+        graft.operators.BpeTokenizer.tokenStats(d, "doc_id", "text",
+          graft.operators.BpeTokenizer.fit(d, "text", numMerges = 200))
+      }),
+      // BPE at FLAGSHIP scale: fit over the full staged 1.6M-row corpus
+      // (the word-count shuffle tokenizes all ~6.4 GB; the synthetic
+      // vocab is ~3.2k words so the driver loop is trivial — real
+      // corpora bound it via minWordCount/maxVocabWords), then the
+      // zero-shuffle broadcast apply re-tokenizes all 584M word
+      // instances — the fit-once / apply-everywhere tokenizer shape
+      "q_bpe_scale" -> (s => {
+        val files = s.read.parquet(inputPath)
+          .select(col("content").as("text"),
+            org.apache.spark.sql.functions.xxhash64(
+              col("repo"), col("path"), col("commit")).as("doc_id"))
+        graft.operators.BpeTokenizer.tokenStats(files, "doc_id", "text",
+          graft.operators.BpeTokenizer.fit(files, "text", numMerges = 500,
+            minWordCount = 2))
       }),
       // production variant: FNV-1a bucketing (the harness query uses the
       // md5 portable hash only so DuckDB can refit both distributions)
@@ -298,7 +320,9 @@ object Bench {
       "q_shuffle_export", "q_shuffle_scale",
       // the classifier queries' scoring columns are otherwise unused —
       // a bare count would time training only and skip the scan under test
-      "q_quality_classifier", "q_qualclf_scale")
+      "q_quality_classifier", "q_qualclf_scale",
+      // the BPE stats struct is the computation under test
+      "q_bpe", "q_bpe_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -249,6 +249,29 @@ object SparkEntry {
   def qualityWeightsDumpPath(dir: String): String =
     s"/tmp/graft_qualclf_weights_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** BPE segmentation dump: the fitted (word, tokens, n_tokens) table
+    * crosses as data (the centroid-dump pattern); DuckDB replays word
+    * construction, the segmentation join and every downstream aggregate.
+    * The fit itself is pinned by BpeTokenizerSpec's independent twin. */
+  def bpeSegDumpPath(dir: String): String =
+    s"/tmp/graft_bpe_seg_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
+  /** One deterministic BPE fit per sf dir, shared by q_bpe / q_bpe_vocab
+    * (map-ordering independent: whichever query runs first fits and
+    * dumps; the fit is a pure function of the corpus so a re-dump is
+    * byte-identical). */
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap.empty[String, BpeTokenizer.Model]
+  private def bpeModel(s: SparkSession, dir: String): BpeTokenizer.Model = {
+    oracleDir = dir
+    val m = bpeModels.getOrElseUpdate(dir,
+      BpeTokenizer.fit(docs(s, dir), "text", numMerges = 200))
+    import s.implicits._
+    m.segRows.toDF("word", "tokens", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(bpeSegDumpPath(dir))
+    m
+  }
+
   /** SimHash signature dump — the banding + verify is replayed by DuckDB
     * from SQL generated off the same Manku block geometry. */
   def simhashSigDumpPath(dir: String): String =
@@ -417,6 +440,19 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text", minTf = 3)
         .withColumnRenamed("id", "doc_id")),
+    "q_bpe" -> ((s, dir) =>
+      // BPE tokenizer: FIT = one map-side-combined word-count shuffle +
+      // a budget-guarded driver merge loop (Sennrich 2016); APPLY = a
+      // zero-shuffle broadcast pass. Per-doc token stats; the fitted
+      // (word, tokens) table is dumped and DuckDB replays words -> join
+      // -> aggregation (the centroid-dump pattern).
+      BpeTokenizer.tokenStats(docs(s, dir), "doc_id", "text",
+        bpeModel(s, dir))),
+    "q_bpe_vocab" -> ((s, dir) =>
+      // corpus token frequencies under the fitted model: vocabulary-
+      // coverage report, top-30 by (n desc, token asc) as TakeOrdered
+      BpeTokenizer.topTokens(docs(s, dir), "text", bpeModel(s, dir),
+        k = 30)),
     "q_packing" -> ((s, dir) =>
       // GPT-style sequence packing: distributed two-pass prefix sum
       // (never a single-task global window); DuckDB replays with one
@@ -1253,6 +1289,38 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE word <> ''
         |GROUP BY 1 ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // BPE: the fitted segmentation crosses as a dump; word construction
+    // (the shared trim/split contract), the join and the aggregation are
+    // replayed. Docs with zero words keep zero stats via the LEFT JOIN.
+    "q_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                w -> w <> '') AS words
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(words) AS word FROM t),
+         |seg AS (SELECT word, n_tokens
+         |        FROM read_parquet('${bpeSegDumpPath(oracleDir)}/*.parquet')),
+         |g AS (SELECT doc_id, count(*) AS n_words,
+         |        CAST(sum(len(word)) AS BIGINT) AS n_word_chars,
+         |        CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+         |      FROM w JOIN seg s USING (word) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(g.n_words, 0) AS BIGINT) AS n_words,
+         |  coalesce(g.n_word_chars, 0) AS n_word_chars,
+         |  coalesce(g.n_tokens, 0) AS n_tokens
+         |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_bpe_vocab" ->
+      s"""WITH t AS (
+         |  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                     w -> w <> '') AS words
+         |  FROM documents),
+         |w AS (SELECT unnest(words) AS word FROM t),
+         |seg AS (SELECT word, tokens
+         |        FROM read_parquet('${bpeSegDumpPath(oracleDir)}/*.parquet')),
+         |tok AS (SELECT unnest(s.tokens) AS token FROM w JOIN seg s USING (word))
+         |SELECT token, count(*) AS n FROM tok
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
     // shuffled export: shard = md5-hex[1..15] of 's|'||key mod shards
     // (the Dsir 60-bit bucketing trick — non-negative BIGINT in both
     // engines), training order = md5-hex[1..16] of 'o|'||key compared as

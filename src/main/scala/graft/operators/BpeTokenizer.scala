@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer FIT + APPLY over a document corpus — the
+  * tokenizer-training step of an LLM data pipeline (algorithm: Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units"; the word-frequency-table formulation every public
+  * implementation uses).
+  *
+  * Scale shape (the HF-tokenizers / SentencePiece deployment reality):
+  * the fit NEVER iterates over the corpus — it iterates over the DISTINCT
+  * WORD-FREQUENCY TABLE, which is produced by one map-side-combined
+  * shuffle and is many orders of magnitude smaller than the corpus
+  * (Heaps' law; at 10^12 files the table is further bounded by
+  * `minWordCount` pruning and, DCLM-style, by fitting on a deterministic
+  * hash sample — [[Sampling.hashSample]]). The collected table is budget-
+  * guarded ([[fit]]'s `maxVocabWords`, the connectedComponents /
+  * AsOfStream fail-fast pattern). The APPLY side is the part that must
+  * scale: one narrow pass, the fitted segmentation broadcast, zero
+  * shuffles ([[tokenStats]]).
+  *
+  * FROZEN semantics:
+  *  - words = space-trim + `\s+` split dropping empties — the
+  *    [[TextAnalysis.wordCounts]] / [[Dedup]] shingle tokenizer contract,
+  *    evaluated by the ENGINE (Catalyst `split`), so word construction is
+  *    byte-identical between the fit, the apply, and the DuckDB oracle;
+  *  - base symbols = Unicode code points (surrogate pairs stay whole);
+  *    no end-of-word marker (word-internal merges only);
+  *  - pair statistics count EVERY adjacent position, overlapping included
+  *    ("aaa" counts (a,a) twice) — Sennrich's `get_stats`;
+  *  - a merge rewrites every word left-to-right, non-overlapping —
+  *    Sennrich's `re.sub` semantics;
+  *  - merge selection = max total count, ties by (left, right) ascending
+  *    (String code-unit order), so the fit is a pure function of the
+  *    word-frequency MULTISET — partitioning/parallelism independent
+  *    (spec-pinned);
+  *  - the loop stops at `numMerges` or when the best pair's count falls
+  *    below `minPairCount` (merging singletons is pure vocab bloat).
+  *
+  * Cross-engine oracle (the k-means-centroid pattern): the learned state
+  * — the (word, tokens) segmentation table — crosses the engine boundary
+  * as a parquet dump; DuckDB replays word construction, the
+  * segmentation-table join and all downstream aggregation exactly
+  * (q_bpe / q_bpe_vocab). The fit itself is pinned by an independent
+  * from-scratch JVM twin (recount-per-iteration maps-and-lists shape)
+  * plus property specs in BpeTokenizerSpec.
+  */
+object BpeTokenizer {
+
+  /** Fitted model: ordered merge list + the segmentation of every word
+    * seen at fit time. [[segment]] memoizes through `seg` and falls back
+    * to replaying the merge list for out-of-vocabulary words (exactly
+    * what the fit would have produced had the word been present with
+    * count 0 — spec-pinned equal on every fitted word). */
+  final case class Model(merges: IndexedSeq[(String, String)],
+                         seg: Map[String, Array[String]]) {
+    /** OOV memo: replaying the merge list is O(merges × len) per word,
+      * but word instances are Zipf — per EXECUTOR each distinct OOV word
+      * is segmented once and then served from this cache (bounded so a
+      * pathological all-unique corpus can't grow it without limit;
+      * @transient: rebuilt empty on each executor after broadcast). */
+    @transient private lazy val oovCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    def segment(word: String): Array[String] = {
+      val hit = seg.getOrElse(word, null)
+      if (hit != null) hit
+      else {
+        val c = oovCache.get(word)
+        if (c != null) c
+        else {
+          val r = applyMerges(word, merges)
+          if (oovCache.size < 4000000) oovCache.put(word, r)
+          r
+        }
+      }
+    }
+    /** (word, tokens, n_tokens) rows for the oracle dump. */
+    def segRows: Seq[(String, Seq[String], Long)] =
+      seg.toSeq.map { case (w, ts) => (w, ts.toSeq, ts.length.toLong) }
+  }
+
+  /** Unicode-code-point base symbols. */
+  private[operators] def codePointTokens(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One merge pass: rewrite every (l, r) adjacency left-to-right,
+    * non-overlapping. Returns the SAME array when the pair is absent so
+    * the OOV path allocates nothing for the common no-op merge. */
+  private[operators] def mergeOnce(toks: Array[String], l: String,
+                                   r: String): Array[String] = {
+    var has = false
+    var i = 0
+    while (!has && i < toks.length - 1) {
+      if (toks(i) == l && toks(i + 1) == r) has = true
+      i += 1
+    }
+    if (!has) return toks
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += toks(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Replay the merge list in rank order over one word — the OOV apply
+    * path. Applying ranks sequentially to a single word reproduces the
+    * fit's incremental rewriting exactly (each fit iteration applies ONE
+    * merge to every word; order per word is the same rank order). */
+  private[operators] def applyMerges(word: String,
+                                     merges: IndexedSeq[(String, String)]): Array[String] = {
+    var toks = codePointTokens(word)
+    var m = 0
+    while (m < merges.length && toks.length >= 2) {
+      toks = mergeOnce(toks, merges(m)._1, merges(m)._2)
+      m += 1
+    }
+    toks
+  }
+
+  /** Fit over the collected word-frequency table. Incremental pair
+    * bookkeeping: a merge re-scans ONLY the words containing the merged
+    * pair (inverted index pair → word ids), so cost is
+    * O(sum of affected-word lengths) per merge, not O(vocab) —
+    * the standard fast-BPE trainer shape. Pure function of the
+    * word-count multiset: pair totals are exact integer sums
+    * (order-independent) and selection tie-breaks are total. */
+  private[operators] def fitLocal(wordCounts: Array[(String, Long)],
+                                  numMerges: Int,
+                                  minPairCount: Long): Model = {
+    import scala.collection.mutable
+    val segs: Array[Array[String]] =
+      wordCounts.map { case (w, _) => codePointTokens(w) }
+    val counts: Array[Long] = wordCounts.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    // add/remove one word's adjacencies; zero entries are dropped so the
+    // argmax scan never sees dead pairs. pairWords keeps stale ids (a
+    // word that no longer contains the pair) — harmless: the rewrite of
+    // a non-containing word is a no-op whose -/+ bookkeeping cancels.
+    def bookkeep(wi: Int, sign: Long): Unit = {
+      val s = segs(wi)
+      val c = counts(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nv = pairCount.getOrElse(p, 0L) + c
+        if (nv == 0L) pairCount.remove(p) else pairCount.update(p, nv)
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < segs.length) { bookkeep(wi, 1L); wi += 1 }
+
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC ||
+            (c == bestC && best != null &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p
+          bestC = c
+        }
+      }
+      if (best == null || bestC < minPairCount) done = true
+      else {
+        merges += best
+        // snapshot: bookkeep mutates pairWords while we iterate
+        val affected = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a)
+          bookkeep(w, -1L)
+          segs(w) = mergeOnce(segs(w), best._1, best._2)
+          bookkeep(w, 1L)
+          a += 1
+        }
+        pairWords.remove(best)
+        m += 1
+      }
+    }
+    Model(merges.result(),
+      wordCounts.indices.map(i => wordCounts(i)._1 -> segs(i)).toMap)
+  }
+
+  /** The engine-evaluated word array for `textCol` — the shared frozen
+    * tokenizer contract. */
+  private def wordsCol(textCol: Column): Column =
+    filter(split(trim(textCol), "\\s+"), w => w =!= "")
+
+  /** Distributed fit: one map-side-combined shuffle aggregates the
+    * word-frequency table (pruned by `minWordCount` BEFORE collection —
+    * the tail of hapax words is most of the vocabulary and contributes
+    * nothing above `minPairCount`); the driver-local merge loop is
+    * budget-guarded by `maxVocabWords` and fails fast with the
+    * remediation path (raise `minWordCount`, or fit on a
+    * [[Sampling.hashSample]] of the corpus — the DCLM recipe). */
+  def fit(df: DataFrame, textCol: String, numMerges: Int,
+          minPairCount: Long = 2L, minWordCount: Long = 1L,
+          maxVocabWords: Int = 1000000): Model = {
+    val wc = df
+      .select(explode(wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minWordCount)
+    val rows = wc.limit(maxVocabWords + 1).collect()
+    require(rows.length <= maxVocabWords,
+      s"BpeTokenizer.fit: > maxVocabWords=$maxVocabWords distinct words " +
+        s"(minWordCount=$minWordCount) — raise minWordCount to prune the " +
+        "hapax tail, or fit on a deterministic Sampling.hashSample of the " +
+        "corpus and apply everywhere (the fitted model is corpus-level " +
+        "state, not per-row state)")
+    fitLocal(rows.map(r => (r.getString(0), r.getLong(1))), numMerges,
+      minPairCount)
+  }
+
+  /** Per-document token statistics under a fitted model: n_words,
+    * n_word_chars (code points, the engine `length` semantics) and
+    * n_tokens. ZERO shuffles: words come from the engine split, the
+    * model rides an explicit broadcast, and only the words array crosses
+    * into ONE fused scalar UDF computing all three stats — a Catalyst
+    * `aggregate` HOF here would evaluate its lambda interpretively per
+    * WORD (584M instances at the 1.6M-row bench scale; the GopherLexical
+    * A/B measured that mechanism at ~16x). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String,
+                 model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val stats = udf { (words: Seq[String]) =>
+      val m = bc.value
+      var nw = 0L
+      var nc = 0L
+      var nt = 0L
+      words.foreach { w =>
+        nw += 1
+        nc += w.codePointCount(0, w.length)
+        nt += m.segment(w).length
+      }
+      (nw, nc, nt)
+    }
+    df.select(col(idCol), stats(wordsCol(col(textCol))).as("s"))
+      .select(col(idCol),
+        col("s._1").as("n_words"),
+        col("s._2").as("n_word_chars"),
+        col("s._3").as("n_tokens"))
+  }
+
+  /** Corpus token frequencies, top k (ties by token) — the vocabulary-
+    * coverage report a tokenizer fit ships with. Partial agg bounds the
+    * shuffle at (sub)vocab size; top-k is TakeOrdered, never a full sort
+    * (the [[TextAnalysis.topWords]] shape). */
+  def topTokens(df: DataFrame, textCol: String, model: Model,
+                k: Int): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val segUdf = udf { (w: String) => bc.value.segment(w).toSeq }
+    df.select(explode(wordsCol(col(textCol))).as("word"))
+      .select(explode(segUdf(col("word"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+}

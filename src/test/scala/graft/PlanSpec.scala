@@ -100,6 +100,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pa.split("Exchange hashpartitioning").length - 1 == 1, pa)
   }
 
+  test("BPE apply is a zero-shuffle narrow pass (broadcast model, no Exchange)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val m = operators.BpeTokenizer.fit(d, "text", numMerges = 50)
+    val p = plan(operators.BpeTokenizer.tokenStats(d, "doc_id", "text", m))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("opt-in physicalRepartition adds exactly one salted exchange") {
     val decided = operators.Pipeline.scoreAndDecide(spark,
       SparkEntry.fileRowsFromDocs(spark, sf),

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE tokenizer: the fit is pinned to an independent from-scratch naive
+  * twin (recount-per-iteration, immutable maps/lists — nothing shared
+  * with the incremental trainer), frozen-semantics hand cases
+  * (overlapping pair counts, left-to-right non-overlapping rewrite),
+  * partition independence, the concat invariant, the OOV apply path,
+  * the apply-side statistics, and the vocab budget guard. */
+class BpeTokenizerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------------------------------------------------------
+  // independent naive BPE: full pair recount every iteration,
+  // immutable List segmentations, sort-based argmax
+  // ---------------------------------------------------------------
+  private def naiveCps(w: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toList
+  }
+
+  private def naiveMerge(s: List[String], l: String, r: String): List[String] =
+    s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: naiveMerge(rest, l, r)
+      case a :: rest => a :: naiveMerge(rest, l, r)
+      case Nil => Nil
+    }
+
+  private def naiveFit(wc: Map[String, Long], numMerges: Int,
+                       minPairCount: Long)
+      : (List[(String, String)], Map[String, List[String]]) = {
+    var segs: Map[String, List[String]] = wc.keys.map(w => w -> naiveCps(w)).toMap
+    var merges = List.empty[(String, String)]
+    var stop = false
+    for (_ <- 1 to numMerges if !stop) {
+      // every adjacent position counts, overlap included
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- wc; pair <- segs(w).zip(segs(w).tail))
+        pc(pair) += c
+      val ranked = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+      ranked.headOption match {
+        case Some((p, c)) if c >= minPairCount =>
+          merges = merges :+ p
+          segs = segs.map { case (w, s) => w -> naiveMerge(s, p._1, p._2) }
+        case _ => stop = true
+      }
+    }
+    (merges, segs)
+  }
+
+  test("hand case: overlapping pair counts and sequential merges ('aaa' x5)") {
+    val m = BpeTokenizer.fitLocal(Array(("aaa", 5L)), numMerges = 10,
+      minPairCount = 2L)
+    // (a,a) counts BOTH positions (overlap included): 10; rewrite is
+    // left-to-right non-overlapping: [aa, a]; then (aa,a) count 5 merges
+    assert(m.merges == IndexedSeq(("a", "a"), ("aa", "a")))
+    assert(m.seg("aaa").toSeq == Seq("aaa"))
+  }
+
+  test("hand case: tie-break is (left, right) ascending at equal counts") {
+    // "xy" and "ab" both count 3; ("a","b") < ("x","y")
+    val m = BpeTokenizer.fitLocal(Array(("xy", 3L), ("ab", 3L)),
+      numMerges = 1, minPairCount = 2L)
+    assert(m.merges == IndexedSeq(("a", "b")))
+  }
+
+  test("fit == independent naive twin on seeded random corpora (merges + segs)") {
+    val rnd = new scala.util.Random(42L)
+    for (round <- 1 to 5) {
+      val alphabet = "abcdeé🙂"
+      // random words over a tiny alphabet so pair collisions are dense
+      val words = (1 to 60).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (1 to len).map { _ =>
+          val c = alphabet.charAt(rnd.nextInt(alphabet.length))
+          if (Character.isHighSurrogate(c)) "🙂" else c.toString
+        }.mkString
+      }
+      val wc = words.groupBy(identity).map { case (w, g) =>
+        w -> (g.size.toLong + rnd.nextInt(5))
+      }
+      val fast = BpeTokenizer.fitLocal(wc.toArray, numMerges = 30,
+        minPairCount = 2L)
+      val (nm, ns) = naiveFit(wc, numMerges = 30, minPairCount = 2L)
+      assert(fast.merges.toList == nm, s"round $round merges")
+      wc.keys.foreach { w =>
+        assert(fast.seg(w).toList == ns(w), s"round $round seg of '$w'")
+      }
+    }
+  }
+
+  test("concat invariant + OOV apply == fitted segmentation shape") {
+    val wc = Array(("hello", 10L), ("help", 6L), ("hero", 4L), ("lone", 3L))
+    val m = BpeTokenizer.fitLocal(wc, numMerges = 20, minPairCount = 2L)
+    wc.foreach { case (w, _) =>
+      assert(m.seg(w).mkString == w, s"concat of '$w'")
+      // the OOV path replayed on an in-vocab word must agree with the fit
+      assert(BpeTokenizer.applyMerges(w, m.merges).toSeq == m.seg(w).toSeq, w)
+    }
+    // true OOV: concat invariant still holds, known merges apply
+    val oov = m.segment("hellolone")
+    assert(oov.mkString == "hellolone")
+    assert(oov.length < "hellolone".length) // at least one merge applied
+  }
+
+  test("fit is partitioning-independent (pure function of the word multiset)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat", "the bat and the cat", "mat on mat",
+      "seventeen seventy seven", "on and on and on").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val a = BpeTokenizer.fit(docs.toDF("id", "text").repartition(7),
+      "text", numMerges = 15)
+    val b = BpeTokenizer.fit(docs.toDF("id", "text").coalesce(1),
+      "text", numMerges = 15)
+    assert(a.merges == b.merges)
+    assert(a.seg.keySet == b.seg.keySet)
+    a.seg.keys.foreach(w => assert(a.seg(w).toSeq == b.seg(w).toSeq, w))
+  }
+
+  test("tokenStats: engine words, broadcast segmentation, empty-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat  sat"),   // double space: split contract drops empties
+      (2L, "   "),            // whitespace-only: zero everything
+      (3L, "the the the")).toDF("doc_id", "text")
+    val m = BpeTokenizer.fit(df, "text", numMerges = 10)
+    val got = BpeTokenizer.tokenStats(df, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(1L)._1 == 3L && got(1L)._2 == 9L)
+    assert(got(3L)._1 == 3L && got(3L)._2 == 9L)
+    // n_tokens == sum of fitted segmentation lengths, computed directly
+    val expect1 = Seq("the", "cat", "sat").map(m.segment(_).length.toLong).sum
+    assert(got(1L)._3 == expect1)
+    assert(got(3L)._3 == 3L * m.segment("the").length)
+    // "the" occurs 4 times corpus-wide -> merged to one token
+    assert(m.segment("the").length == 1)
+  }
+
+  test("topTokens: deterministic (n desc, token asc) head") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ab cd cd"), (2L, "ab cd zz")).toDF("id", "text")
+    val m = BpeTokenizer.fit(df, "text", numMerges = 10)
+    val top = BpeTokenizer.topTokens(df, "text", m, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(top == List(("ab", 4L), ("cd", 3L)))
+  }
+
+  test("vocab budget guard fails fast with the remediation path") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTokenizer.fit(df, "text", numMerges = 5, maxVocabWords = 3)
+    }
+    assert(e.getMessage.contains("maxVocabWords"), e.getMessage)
+    assert(e.getMessage.contains("hashSample"), e.getMessage)
+  }
+}
