@@ -944,6 +944,14 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_byte", round(col("mean_byte"), 4))),
+    "q_resize" -> ((s, dir) =>
+      // REAL nearest-neighbor resize: decode pixels, sample, re-encode in
+      // the source format; audio rows drop out. The oracle re-derives the
+      // exact selected-pixel mean from the embeddings via the same
+      // integer quantization (the q_multimodal pattern); out 4x4 so the
+      // mean divisor is a power of two (no float drift either engine).
+      Multimodal.resizeImages(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
+        .withColumn("mean_val", round(col("mean_val"), 4))),
 
     // ---- repo governance over the derived code table (RepoGov) ----
     "q_latest_version" -> ((s, dir) =>
@@ -1781,6 +1789,27 @@ object SparkEntry {
         |    THEN list_sum(list_transform(gray, b -> abs(b - 128) * 256))
         |           * 1.0 / 64
         |    ELSE list_sum(gray) * 3.0 / 192 END, 4) AS mean_val
+        |FROM g""".stripMargin,
+    // Nearest-neighbor resize 8x8 -> 4x4 over the image payloads: the
+    // selected source pixel for out (y, x) is (2y, 2x) — gray list index
+    // (i // 4) * 16 + (i % 4) * 2 + 1 (1-based). n_bytes are geometry
+    // constants: bmp 54 + 4 rows x rowSize 12 = 102; ppm "P6\n4 4\n255\n"
+    // (11) + 48 = 59. The 4x4 mean divides by 16 — exact in binary.
+    "q_resize" ->
+      """WITH g AS (
+        |  SELECT vec_id AS media_id, label % 3 AS fm,
+        |    list_transform(embedding, x ->
+        |      ((CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256) + 256)
+        |        % 256) AS gray
+        |  FROM embeddings
+        |  WHERE label % 3 <> 1)
+        |SELECT media_id,
+        |  CASE fm WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+        |  CAST(8 AS INT) AS in_w, CAST(8 AS INT) AS in_h,
+        |  CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+        |  CAST(CASE fm WHEN 0 THEN 102 ELSE 59 END AS INT) AS n_bytes,
+        |  round(list_sum(list_transform(range(0, 16), i ->
+        |    gray[(i // 4) * 16 + (i % 4) * 2 + 1])) / 16.0, 4) AS mean_val
         |FROM g""".stripMargin,
     // Frame sampling over the same payloads: every payload yields exactly
     // one kept frame (nFrames = floor(len/64) = 2..3, stride 4 keeps frame

@@ -171,8 +171,10 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
   }
 
-  private def decodePpm(p: Array[Byte]): (String, Int, Int, Double) = {
-    // header: "P6" then whitespace-separated width, height, maxval
+  /** Parse the P6 header ("P6" + whitespace-separated width, height,
+    * maxval=255 + one whitespace); Some((w, h, dataStart)) only when the
+    * full pixel block fits. Shared by [[decodePpm]] and [[decodeGray]]. */
+  private def ppmHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 2
     def skipWs(): Unit = {
       var in = true
@@ -193,15 +195,21 @@ object Multimodal {
       if (any) v else -1
     }
     val w = readInt(); val h = readInt(); val maxVal = readInt()
-    if (w <= 0 || h <= 0 || maxVal != 255 || i >= p.length) return ("unknown", 0, 0, 0.0)
+    if (w <= 0 || h <= 0 || maxVal != 255 || i >= p.length) return None
     i += 1 // single whitespace after maxval
-    val need = w.toLong * h * 3
-    if (i + need > p.length) return ("unknown", 0, 0, 0.0)
-    var sum = 0L
-    var j = 0
-    while (j < need) { sum += p(i + j) & 0xFF; j += 1 }
-    ("ppm", w, h, sum.toDouble / need)
+    if (i + w.toLong * h * 3 > p.length) None else Some((w, h, i))
   }
+
+  private def decodePpm(p: Array[Byte]): (String, Int, Int, Double) =
+    ppmHeader(p) match {
+      case None => ("unknown", 0, 0, 0.0)
+      case Some((w, h, start)) =>
+        val need = w.toLong * h * 3
+        var sum = 0L
+        var j = 0
+        while (j < need) { sum += p(start + j) & 0xFF; j += 1 }
+        ("ppm", w, h, sum.toDouble / need)
+    }
 
   // ---------------------------------------------------------------------
   // Spark plumbing
@@ -218,6 +226,89 @@ object Multimodal {
         val (fmt, w, h, mean) = decode(r.payload)
         MediaFeatures(r.media_id, fmt,
           if (r.payload == null) 0 else r.payload.length, w, h, mean)
+      }
+    }.toDF()
+  }
+
+  /** Decode an IMAGE payload (BMP/PPM) to row-major TOP-DOWN grayscale
+    * pixels. FROZEN luma contract: the FIRST stored channel byte per
+    * pixel (B for BMP, R for PPM) — our encoders replicate gray into all
+    * three channels, so this recovers the original gray plane exactly;
+    * for foreign images it is a documented cheap luma. BMP bottom-up
+    * rows (positive height) are flipped to top-down; negative height is
+    * already top-down. None for audio / unknown / structurally invalid
+    * payloads (the [[decode]] never-throws discipline). */
+  private[operators] def decodeGray(p: Array[Byte])
+      : Option[(String, Int, Int, Array[Int])] = {
+    if (p == null || p.length < 2) None
+    else if (p(0) == 'B' && p(1) == 'M') {
+      if (p.length < 54) return None
+      val dataOffset = le32(p, 10)
+      val width = le32(p, 18)
+      val rawHeight = le32(p, 22)
+      val height = math.abs(rawHeight)
+      val bpp = le16(p, 28)
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      if (bpp != 24 || width <= 0 || height <= 0 || dataOffset < 54 ||
+          dataOffset.toLong + rowSize.toLong * height > p.length) None
+      else {
+        val g = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          val storedRow = if (rawHeight > 0) height - 1 - y else y
+          var x = 0
+          while (x < width) {
+            g(y * width + x) = p(dataOffset + storedRow * rowSize + x * 3) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Some(("bmp", width, height, g))
+      }
+    } else if (p(0) == 'P' && p(1) == '6') {
+      ppmHeader(p).map { case (w, h, start) =>
+        val g = new Array[Int](w * h)
+        var i = 0
+        while (i < g.length) { g(i) = p(start + i * 3) & 0xFF; i += 1 }
+        ("ppm", w, h, g)
+      }
+    } else None
+  }
+
+  /** Nearest-neighbor image resize, re-encoded in the source format —
+    * the resize step of a multimodal ingest pipeline. FROZEN sampling:
+    * src = (y*in_h/out_h, x*in_w/out_w) integer division (the classic
+    * floor NN). Audio/unknown payloads drop out (images only). One
+    * narrow mapPartitions pass, no shuffle; out_w×out_h is tiny so the
+    * re-encoded payload shrinks — at 10^12 rows this is the
+    * decode→transform→re-encode template whose cost is pure CPU.
+    * mean_val is over the OUT pixels (out_w*out_h is a power of two in
+    * the default, so the division is exact in binary — oracle-stable). */
+  final case class ResizedImage(media_id: Long, format: String,
+                                in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+                                n_bytes: Int, mean_val: Double)
+
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   outW: Int = 4, outH: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodeGray(r.payload).map { case (fmt, w, h, g) =>
+        val sel = new Array[Byte](outW * outH)
+        var sum = 0L
+        var i = 0
+        while (i < outH * outW) {
+          val sy = (i / outW) * h / outH
+          val sx = (i % outW) * w / outW
+          val v = g(sy * w + sx)
+          sel(i) = v.toByte
+          sum += v
+          i += 1
+        }
+        val payload =
+          if (fmt == "bmp") encodeBmp(outW, outH, sel)
+          else encodePpm(outW, outH, sel)
+        ResizedImage(r.media_id, fmt, w, h, outW, outH, payload.length,
+          sum.toDouble / (outW * outH))
       }
     }.toDF()
   }

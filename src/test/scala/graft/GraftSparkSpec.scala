@@ -527,6 +527,31 @@ class GraftSparkSpec extends AnyFunSuite {
     } finally feats.unpersist()
   }
 
+  test("resizeImages: NN 8x8 -> 4x4 picks (2y, 2x), re-encodes, audio drops out") {
+    import spark.implicits._
+    val gray = Array.tabulate(64)(i => i.toByte) // asymmetric pattern
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/bmp", Multimodal.encodeBmp(8, 8, gray)),
+      Multimodal.MediaRow(2L, "image/ppm", Multimodal.encodePpm(8, 8, gray)),
+      Multimodal.MediaRow(3L, "audio/wav",
+        Multimodal.encodeWav(Array.fill(64)(5.toShort)))).toDF()
+    val got = Multimodal.resizeImages(spark, media).orderBy("media_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // wav dropped
+    // expected mean: selected pixels (2y)*8 + 2x over the 0..63 ramp
+    val expMean = (for (y <- 0 until 4; x <- 0 until 4) yield 16 * y + 2 * x)
+      .sum.toDouble / 16
+    got.foreach { r =>
+      assert(r.getInt(2) == 8 && r.getInt(3) == 8, "in dims")
+      assert(r.getInt(4) == 4 && r.getInt(5) == 4, "out dims")
+      assert(r.getDouble(7) == expMean, s"mean ${r.getDouble(7)} vs $expMean")
+    }
+    // re-encoded geometry: bmp 54 + 4 * rowSize(12); ppm 11-byte header + 48
+    val byFmt = got.map(r => r.getString(1) -> r.getInt(6)).toMap
+    assert(byFmt == Map("bmp" -> 102, "ppm" -> 59), byFmt)
+    // (the resized-payload decode round-trip lives in CodecSpec, which
+    // can reach the package-private decodeGray)
+  }
+
   test("end-to-end golden: frozen (path, lang_pred, keep, sha256) fixture") {
     // SURVEY §5.2 "end-to-end golden": any drift in the frozen
     // normalize/scrub/quality/decision contracts fails here. Regenerate

@@ -156,4 +156,31 @@ class CodecSpec extends AnyFunSuite {
       assert(got == viaDouble && got >= 0 && got <= 255)
     }
   }
+
+  test("decodeGray: BMP bottom-up flip recovers top-down gray; PPM first channel; non-images None") {
+    val gray = Array.tabulate(4)(i => (i * 10 + 5).toByte) // asymmetric 2x2
+    Multimodal.decodeGray(Multimodal.encodeBmp(2, 2, gray)) match {
+      case Some(("bmp", 2, 2, g)) => assert(g.toSeq == Seq(5, 15, 25, 35))
+      case other => fail(other.toString)
+    }
+    Multimodal.decodeGray(Multimodal.encodePpm(2, 2, gray)) match {
+      case Some(("ppm", 2, 2, g)) => assert(g.toSeq == Seq(5, 15, 25, 35))
+      case other => fail(other.toString)
+    }
+    assert(Multimodal.decodeGray(Multimodal.encodeWav(Array[Short](1, 2, 3))).isEmpty)
+    assert(Multimodal.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeGray(null).isEmpty)
+  }
+
+  test("decodeGray never throws and stays structural on truncated/random payloads") {
+    val rnd = new scala.util.Random(7L)
+    val bmp = Multimodal.encodeBmp(4, 4, Array.fill(16)(9.toByte))
+    val ppm = Multimodal.encodePpm(4, 4, Array.fill(16)(9.toByte))
+    for (n <- 0 until bmp.length) assert(Multimodal.decodeGray(bmp.take(n)).isEmpty || n == bmp.length)
+    for (n <- 0 until ppm.length) assert(Multimodal.decodeGray(ppm.take(n)).isEmpty || n == ppm.length)
+    for (_ <- 1 to 200) {
+      val b = Array.fill(rnd.nextInt(80))(rnd.nextInt.toByte)
+      Multimodal.decodeGray(b) // must not throw
+    }
+  }
 }
