@@ -82,4 +82,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty && got.size < 500)
   }
+
+  test("QuotaAgg heap insert: k-smallest set matches brute force under random orders and merges") {
+    // The O(log k) heap replaced a linear worst-scan; the retained set
+    // must stay the k smallest by (unsigned hash, key) regardless of
+    // insertion order or how the stream is split across merged buffers.
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 40) {
+      val k = 1 + rnd.nextInt(12)
+      val n = rnd.nextInt(60)
+      // duplicated hashes (small modulus) exercise the key tie-break;
+      // nextLong covers the unsigned-compare branch (negative longs)
+      val items = Seq.tabulate(n)(i =>
+        (rnd.nextLong() % 5 match {
+          case m => if (rnd.nextBoolean()) m else rnd.nextLong()
+        }, i.toLong))
+      val agg = new Sampling.QuotaAgg(k)
+      // split the stream into 1..4 buffers, reduce each, merge in random order
+      val parts = items.grouped(math.max(1, n / (1 + rnd.nextInt(4))) max 1).toSeq
+      val bufs = parts.map(_.foldLeft(agg.zero)((b, a) => agg.reduce(b, a)))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).toSeq
+      val expect = items
+        .sortWith { case ((h1, k1), (h2, k2)) =>
+          val c = java.lang.Long.compareUnsigned(h1, h2)
+          c < 0 || (c == 0 && k1 < k2)
+        }
+        .take(k).map(_._2)
+      assert(got == expect, s"trial $trial k=$k n=$n")
+    }
+  }
 }
