@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B for the paragraph-dedup PROBE key shape at the staged
+  * 1.6M-row scale: (a) text-keyed groupBy(para) — the shipped shape, the
+  * shuffle carries every distinct paragraph string; (b) sha2-keyed
+  * groupBy(sha2(para)) — the shuffle carries 64-hex keys + the min
+  * struct. Also times the broadcast rewrite pass alone (with and without
+  * a per-paragraph JVM sha256 lookup key) so the probe win can be netted
+  * against the rewrite cost the hash key adds. Decision tool, not a
+  * shipped operator (the DedupProbe/CurAB pattern). */
+object ParaAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("para-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = sys.env.getOrElse("CAP_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val docs = spark.read.parquet(path)
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("id"),
+        col("content").as("text"))
+      .localCheckpoint(true)
+    docs.count()
+
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[pab] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs  (n=$r)")
+    }
+
+    val paras = docs.select(col("id"),
+      posexplode(split(coalesce(col("text"), lit("")), "\n\n", -1))
+        .as(Seq("pos", "para")))
+
+    val rounds = sys.env.getOrElse("CAP_ROUNDS", "3").toInt
+    (1 to rounds).foreach { r =>
+      System.err.println(s"[pab] ===== round $r =====")
+      t("probe text-keyed") {
+        paras.where(trim(col("para")) =!= "")
+          .groupBy("para")
+          .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("n"))
+          .where(col("n") > 1)
+          .select(col("para"), col("f"))
+          .limit(500001).collect().length.toLong
+      }
+      t("probe sha2-keyed") {
+        paras.where(trim(col("para")) =!= "")
+          .groupBy(sha2(col("para"), 256).as("ph"))
+          .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("n"))
+          .where(col("n") > 1)
+          .select(col("ph"), col("f"))
+          .limit(500001).collect().length.toLong
+      }
+      t("rewrite text-lookup") {
+        val bc = spark.sparkContext.broadcast(Map("x" -> (("1", 0))))
+        val rw = udf { (id: String, tx: String) =>
+          val m = bc.value
+          val ps = tx.split("\n\n", -1)
+          var kept = 0
+          var pos = 0
+          while (pos < ps.length) {
+            val p = ps(pos)
+            var allSpace = true
+            var i = 0
+            while (allSpace && i < p.length) { if (p.charAt(i) != ' ') allSpace = false; i += 1 }
+            if (allSpace) kept += 1
+            else m.get(p) match {
+              case None => kept += 1
+              case Some((mid, mpos)) => if (mid == id && mpos == pos) kept += 1
+            }
+            pos += 1
+          }
+          kept
+        }
+        docs.select(rw(col("id").cast("string"), col("text")).as("k"))
+          .agg(sum(col("k"))).collect()(0).getLong(0)
+      }
+      t("rewrite sha-lookup") {
+        val bc = spark.sparkContext.broadcast(Map("x" -> (("1", 0))))
+        val rw = udf { (id: String, tx: String) =>
+          val m = bc.value
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val hexd = "0123456789abcdef".toCharArray
+          val ps = tx.split("\n\n", -1)
+          var kept = 0
+          var pos = 0
+          while (pos < ps.length) {
+            val p = ps(pos)
+            var allSpace = true
+            var i = 0
+            while (allSpace && i < p.length) { if (p.charAt(i) != ' ') allSpace = false; i += 1 }
+            if (allSpace) kept += 1
+            else {
+              md.reset()
+              val dg = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val sb = new java.lang.StringBuilder(64)
+              var j = 0
+              while (j < dg.length) {
+                sb.append(hexd((dg(j) >> 4) & 0xF)); sb.append(hexd(dg(j) & 0xF)); j += 1
+              }
+              m.get(sb.toString) match {
+                case None => kept += 1
+                case Some((mid, mpos)) => if (mid == id && mpos == pos) kept += 1
+              }
+            }
+            pos += 1
+          }
+          kept
+        }
+        docs.select(rw(col("id").cast("string"), col("text")).as("k"))
+          .agg(sum(col("k"))).collect()(0).getLong(0)
+      }
+    }
+    spark.stop()
+  }
+}
