@@ -952,6 +952,13 @@ object SparkEntry {
       // mean divisor is a power of two (no float drift either engine).
       Multimodal.resizeImages(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_val", round(col("mean_val"), 4))),
+    "q_resample" -> ((s, dir) =>
+      // audio twin of q_resize: mono PCM decimation keeps samples
+      // 0,2,...,62 of the 64-sample synth payloads (images drop out);
+      // the oracle replays the same selected amplitudes from the
+      // embeddings ((gray-128)*256, 32-divisor mean — integer-exact).
+      Multimodal.resampleAudio(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
+        .withColumn("mean_abs", round(col("mean_abs"), 4))),
 
     // ---- repo governance over the derived code table (RepoGov) ----
     "q_latest_version" -> ((s, dir) =>
@@ -1795,6 +1802,25 @@ object SparkEntry {
     // (i // 4) * 16 + (i % 4) * 2 + 1 (1-based). n_bytes are geometry
     // constants: bmp 54 + 4 rows x rowSize 12 = 102; ppm "P6\n4 4\n255\n"
     // (11) + 48 = 59. The 4x4 mean divides by 16 — exact in binary.
+    // Audio decimation over the WAV payloads (label % 3 = 1): samples are
+    // (gray - 128) * 256; factor 2 keeps 1-based gray indices 1,3,..,63;
+    // n_bytes = 44-byte RIFF/fmt/data header + 32 * 2. The synth encodes
+    // at 8000 Hz, so out_rate = 4000.
+    "q_resample" ->
+      """WITH g AS (
+        |  SELECT vec_id AS media_id,
+        |    list_transform(embedding, x ->
+        |      ((CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256) + 256)
+        |        % 256) AS gray
+        |  FROM embeddings
+        |  WHERE label % 3 = 1)
+        |SELECT media_id,
+        |  CAST(8000 AS INT) AS in_rate, CAST(4000 AS INT) AS out_rate,
+        |  CAST(64 AS INT) AS in_samples, CAST(32 AS INT) AS out_samples,
+        |  CAST(108 AS INT) AS n_bytes,
+        |  round(list_sum(list_transform(range(0, 32), i ->
+        |    abs((gray[2 * i + 1] - 128) * 256))) / 32.0, 4) AS mean_abs
+        |FROM g""".stripMargin,
     "q_resize" ->
       """WITH g AS (
         |  SELECT vec_id AS media_id, label % 3 AS fm,

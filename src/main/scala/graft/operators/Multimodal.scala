@@ -171,6 +171,43 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sum.toDouble / nSamples)
   }
 
+  /** Decode a WAV payload to raw PCM: Some((sampleRate, channels,
+    * samples)) for PCM 16-bit payloads, None otherwise — the
+    * sample-level twin of [[decode]]'s WAV branch (same RIFF chunk walk,
+    * same never-throws discipline; samples are interleaved frames when
+    * channels > 1). */
+  private[operators] def decodePcm(p: Array[Byte])
+      : Option[(Int, Int, Array[Short])] = {
+    if (p == null || p.length < 12 || p(0) != 'R' || p(1) != 'I' ||
+        p(2) != 'F' || p(3) != 'F' || p(8) != 'W' || p(9) != 'A' ||
+        p(10) != 'V' || p(11) != 'E') return None
+    var off = 12
+    var channels = 0
+    var bits = 0
+    var rate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      if (id == "fmt " && size >= 16) {
+        channels = le16(p, off + 10)
+        rate = le32(p, off + 12)
+        bits = le16(p, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || bits != 16 || rate <= 0 || dataOff < 0) None
+    else {
+      val n = dataLen / 2
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) { s(i) = le16(p, dataOff + i * 2).toShort; i += 1 }
+      Some((rate, channels, s))
+    }
+  }
+
   /** Parse the P6 header ("P6" + whitespace-separated width, height,
     * maxval=255 + one whitespace); Some((w, h, dataStart)) only when the
     * full pixel block fits. Shared by [[decodePpm]] and [[decodeGray]]. */
@@ -309,6 +346,45 @@ object Multimodal {
           else encodePpm(outW, outH, sel)
         ResizedImage(r.media_id, fmt, w, h, outW, outH, payload.length,
           sum.toDouble / (outW * outH))
+      }
+    }.toDF()
+  }
+
+  /** Audio decimation — the audio twin of [[resizeImages]]: keep every
+    * `factor`-th sample of a MONO 16-bit PCM payload (FROZEN: out sample
+    * j = in sample j*factor, so sample 0 always survives and
+    * out_samples = ceil(in/factor)) and re-encode as WAV at rate/factor.
+    * Non-audio, non-mono and structurally invalid payloads drop out.
+    * Same scale shape as resize: one narrow flatMap pass, no shuffle,
+    * payloads shrink by ~factor. A real low-pass + windowed-sinc
+    * resampler would slot into the same row contract; decimation keeps
+    * the arithmetic integer-exact so the cross-engine oracle can replay
+    * the selected samples bit-for-bit. mean_abs is the mean |amplitude|
+    * of the OUT samples (factor=2 on the 64-sample synth payloads gives
+    * a 32-divisor — exact in binary, oracle-stable). */
+  final case class ResampledAudio(media_id: Long, in_rate: Int, out_rate: Int,
+                                  in_samples: Int, out_samples: Int,
+                                  n_bytes: Int, mean_abs: Double)
+
+  def resampleAudio(spark: SparkSession, media: DataFrame,
+                    factor: Int = 2): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodePcm(r.payload).collect { case (rate, 1, samples) if rate >= factor =>
+        val outN = (samples.length + factor - 1) / factor
+        val out = new Array[Short](outN)
+        var sum = 0L
+        var j = 0
+        while (j < outN) {
+          val s = samples(j * factor)
+          out(j) = s
+          sum += math.abs(s.toInt)
+          j += 1
+        }
+        val payload = encodeWav(out, rate / factor)
+        ResampledAudio(r.media_id, rate, rate / factor, samples.length, outN,
+          payload.length, if (outN == 0) 0.0 else sum.toDouble / outN)
       }
     }.toDF()
   }

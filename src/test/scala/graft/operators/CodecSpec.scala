@@ -172,6 +172,20 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeGray(null).isEmpty)
   }
 
+  test("decodePcm: WAV round-trip recovers rate, channels and exact samples; non-WAV None") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 42)
+    Multimodal.decodePcm(Multimodal.encodeWav(samples, 16000)) match {
+      case Some((16000, 1, s)) => assert(s.toSeq == samples.toSeq)
+      case other => fail(other.toString)
+    }
+    assert(Multimodal.decodePcm(Multimodal.encodeBmp(2, 2, Array.fill(4)(1.toByte))).isEmpty)
+    assert(Multimodal.decodePcm(Array[Byte](82, 73, 70, 70)).isEmpty) // truncated RIFF
+    assert(Multimodal.decodePcm(null).isEmpty)
+    // truncations never throw
+    val wav = Multimodal.encodeWav(samples, 8000)
+    for (n <- 0 until wav.length) Multimodal.decodePcm(wav.take(n))
+  }
+
   test("decodeGray never throws and stays structural on truncated/random payloads") {
     val rnd = new scala.util.Random(7L)
     val bmp = Multimodal.encodeBmp(4, 4, Array.fill(16)(9.toByte))
