@@ -145,6 +145,59 @@ object SparkEntry {
   def repoBucketsDumpPath(dir: String): String =
     s"/tmp/graft_repo_buckets_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  // ---- crawled-pages fixture (HtmlExtract / UrlOps input shape) ----
+  // HTML template fragments shared VERBATIM by the Spark derivation and
+  // the DuckDB CTE (no single quotes, so they drop into SQL literals
+  // unescaped). The wrapper exercises every frozen extraction rule:
+  // a script body containing a raw '<' and double quotes, a style
+  // block, a comment, 1-2-word nav/heading/ads lines (word-count
+  // floor), entity-encoded content (&lt; &gt; &quot; &amp;), and a
+  // ©/privacy-policy footer (marker drop).
+  private val HtmlF1 = "<html><head><title>Doc "
+  private val HtmlF2 = "</title><script type=\"text/javascript\">var x = 1 < 2 && track(\"d"
+  private val HtmlF3 = "\");</script><style>.main { color: #333; }</style></head><body>" +
+    "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+    "<a href=\"/contact\">Contact</a></nav><h1>Doc "
+  private val HtmlF4 = "</h1><!-- rendered by graft --><p>"
+  private val HtmlF5 = "</p><p>See &quot;docs&quot; &amp; more in section "
+  private val HtmlF6 = "</p><div class=\"ads\">Sponsored links</div>" +
+    "<footer>© 2024 Example Corp — Privacy Policy</footer></body></html>"
+
+  /** Deterministic crawled-pages table (doc_id, url, html) derived from
+    * the documents fixture in pure ANSI SQL on both engines
+    * ([[pagesCte]] is the DuckDB twin). Content paragraphs are
+    * entity-encoded ('data' → `&lt;data&gt;`, 'query' → `&amp;query`)
+    * so the decode step is exercised on real body text. */
+  def pagesFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(lit("https://ex"), (col("doc_id") % 20).cast("string"),
+        lit(".test/p/"), id).as("url"),
+      concat(lit(HtmlF1), id, lit(HtmlF2), id, lit(HtmlF3), id, lit(HtmlF4),
+        replace(replace(col("text"), lit("data"), lit("&lt;data&gt;")),
+          lit("query"), lit("&amp;query")),
+        lit(HtmlF5), (col("doc_id") % 7).cast("string"), lit(HtmlF6))
+        .as("html"))
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The identical pages derivation as a DuckDB CTE body. */
+  private def pagesCte: String =
+    s"""pages AS (
+       |  SELECT doc_id,
+       |    'https://ex' || (doc_id % 20)::VARCHAR || '.test/p/' ||
+       |      doc_id::VARCHAR AS url,
+       |    ${sqlLit(HtmlF1)} || doc_id::VARCHAR || ${sqlLit(HtmlF2)} ||
+       |      doc_id::VARCHAR || ${sqlLit(HtmlF3)} || doc_id::VARCHAR ||
+       |      ${sqlLit(HtmlF4)} ||
+       |      replace(replace(text, 'data', '&lt;data&gt;'),
+       |              'query', '&amp;query') ||
+       |      ${sqlLit(HtmlF5)} || (doc_id % 7)::VARCHAR || ${sqlLit(HtmlF6)}
+       |      AS html
+       |  FROM documents)""".stripMargin
+
   /** Flagship: full score+decide pipeline on sf0.001 (driver smoke). */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.scoreAndDecide(spark,
@@ -994,7 +1047,18 @@ object SparkEntry {
       RepoGov.governed(repoFilesFromDocs(s, dir), fileHash = md5(col("content")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_files"),
-          sum(expr("octet_length(content)")).as("total_bytes")))
+          sum(expr("octet_length(content)")).as("total_bytes"))),
+
+    // ---- HTML → text extraction over the derived pages table ----
+    "q_html_extract" -> ((s, dir) =>
+      // boilerplate-removal stage: fused-UDF production path; the
+      // DuckDB oracle replays strip/decode/line rules generated from
+      // the SAME frozen atoms (HtmlExtract.duck*), end-to-end from
+      // documents.parquet through the pages derivation
+      HtmlExtract.extracted(pagesFromDocs(s, dir), "html")
+        .select(col("url"), col("n_lines_kept"), col("n_lines_dropped"),
+          length(col("text")).cast("long").as("text_len"),
+          md5(col("text")).as("text_md5")))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -1932,6 +1996,19 @@ object SparkEntry {
          |    FROM in_scope) WHERE rn = 1)
          |SELECT lang, count(*) AS n_files,
          |  CAST(sum(strlen(content)) AS BIGINT) AS total_bytes
-         |FROM survivors GROUP BY 1""".stripMargin
+         |FROM survivors GROUP BY 1""".stripMargin,
+    "q_html_extract" ->
+      s"""WITH $pagesCte,
+         |l AS (SELECT url, ${HtmlExtract.duckLinesExpr("html")} AS lines
+         |      FROM pages),
+         |k AS (SELECT url, lines,
+         |        list_filter(lines, ${HtmlExtract.duckKeepLambda}) AS kept
+         |      FROM l)
+         |SELECT url,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+         |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS text_len,
+         |  md5(array_to_string(kept, chr(10))) AS text_md5
+         |FROM k""".stripMargin
   )
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → training-text extraction (the trafilatura/resiliparse-shaped
+  * stage every web-crawl curation pipeline runs BEFORE language-ID and
+  * quality filtering): strip non-content blocks, turn markup boundaries
+  * into line breaks, decode a frozen entity set, then keep only
+  * content-bearing lines (a word-count floor plus boilerplate markers —
+  * the "rule-based boilerplate removal" of RefinedWeb §3.1 / C4).
+  *
+  * Scale shape: a zero-shuffle narrow pass — one scalar-UDF call per row
+  * ([[extracted]]); no explode, no per-line HOF lambdas in production
+  * (the GopherLexical lesson: interpreted per-element lambdas cost ~16×
+  * at 10^9-element scale). The pure-Catalyst twin ([[extractedCatalyst]])
+  * stays as executable documentation of the DuckDB oracle rendering and
+  * as the fuzz cross-check; [[duckCleanExpr]]/[[duckKeepLambda]] GENERATE
+  * the oracle SQL from the same frozen atoms so the q_html_extract hash
+  * can only match if both engines implement the same extraction.
+  *
+  * FROZEN semantics (deliberately simple, engine-exact):
+  *  1. `<script…>…</script>`, `<style…>…</style>` and `<!-- … -->`
+  *     blocks are removed first (non-greedy, dot-matches-newline; a raw
+  *     '<' INSIDE a script body is handled because the block match does
+  *     not rely on tag balance), each replaced by a line break;
+  *  2. every remaining tag `<[^>]*>` becomes a line break — inline tags
+  *     therefore SPLIT lines (a known simplification vs DOM-aware
+  *     extractors, frozen here); a stray unencoded '<' swallows text up
+  *     to the next '>' (garbage-in contract, same both engines);
+  *  3. entities decode AFTER tag-stripping (so "&lt;b&gt;" in content
+  *     can never resurrect a tag), frozen set in [[Entities]] order with
+  *     `&amp;` LAST (so "&amp;lt;" decodes to "&lt;" not "<");
+  *  4. lines = split on '\n' keeping empty segments; each line is
+  *     normalized by collapsing runs of space/tab to one space and
+  *     trimming edge spaces;
+  *  5. keep a line iff it is non-empty, has ≥ [[MinWords]]
+  *     space-separated words, and its lowercase form contains no
+  *     [[Markers]] entry (nav/footer boilerplate: "privacy policy",
+  *     the © rights line); extracted text joins kept lines with '\n'.
+  *
+  * Regex subset note: every pattern below uses only literals, `[^…]`
+  * classes, `.*?` and `(?s)` — the intersection where java.util.regex
+  * (Spark) and RE2 (DuckDB) agree; no `\s` (Java's includes U+000B,
+  * RE2's does not), no backreferences, no lookaround.
+  */
+object HtmlExtract {
+
+  /** Minimum space-separated words for a content line (C4 uses 3+ for
+    * its sentence filter; frozen at 3). */
+  final val MinWords = 3
+
+  /** Boilerplate markers — a line whose LOWERCASED normalized form
+    * contains any of these is dropped regardless of word count. */
+  final val Markers: Seq[String] = Seq("privacy policy", "©")
+
+  /** Frozen entity decode set, applied in order (`&amp;` last). */
+  final val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Block/tag strip patterns, applied in order, each match → '\n'. */
+  final val StripPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]*>")
+
+  private val compiled = StripPatterns.map(Pattern.compile)
+
+  final case class HtmlText(text: String, n_kept: Long, n_dropped: Long)
+
+  /** Markup strip + entity decode, shared by the fused row impl. */
+  private[operators] def cleanRow(html0: String): String = {
+    val t0 = if (html0 == null) "" else html0
+    var s = t0
+    var p = 0
+    while (p < compiled.length) { s = compiled(p).matcher(s).replaceAll("\n"); p += 1 }
+    var e = 0
+    while (e < Entities.length) { s = s.replace(Entities(e)._1, Entities(e)._2); e += 1 }
+    s
+  }
+
+  /** Collapse space/tab runs to one space and trim edge spaces —
+    * equivalent to trim(regexp_replace(l, "[ \t]+", " ")) on both
+    * engines (proved by the fuzz spec). */
+  private def normLine(s: String, from: Int, to: Int): String = {
+    val b = new java.lang.StringBuilder(to - from)
+    var pendingSpace = false
+    var i = from
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t') { if (b.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { b.append(' '); pendingSpace = false }
+        b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private def keepLine(norm: String): Boolean = {
+    if (norm.isEmpty) return false
+    var words = 1
+    var i = 0
+    while (i < norm.length) { if (norm.charAt(i) == ' ') words += 1; i += 1 }
+    if (words < MinWords) return false
+    val low = norm.toLowerCase(java.util.Locale.ROOT)
+    var m = 0
+    while (m < Markers.length) {
+      if (low.contains(Markers(m))) return false
+      m += 1
+    }
+    true
+  }
+
+  /** The fused per-row extraction — one imperative scan, precompiled
+    * patterns, no per-line lambda dispatch. */
+  private[operators] def extractRow(html: String): HtmlText = {
+    val s = cleanRow(html)
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var nKept = 0L
+    var nLines = 0L
+    var ls = 0
+    while (ls <= n) {
+      var le = s.indexOf('\n', ls)
+      if (le < 0) le = n
+      nLines += 1
+      val norm = normLine(s, ls, le)
+      if (keepLine(norm)) {
+        if (nKept > 0) out.append('\n')
+        out.append(norm)
+        nKept += 1
+      }
+      ls = le + 1
+    }
+    HtmlText(out.toString, nKept, nLines - nKept)
+  }
+
+  private val extractUdf = udf((h: String) => extractRow(h))
+
+  /** PRODUCTION: df + (text, n_lines_kept, n_lines_dropped), html column
+    * dropped — a zero-shuffle narrow projection (PlanSpec-pinned). */
+  def extracted(df: DataFrame, htmlCol: String): DataFrame = {
+    val ex = df.withColumn("_ex", extractUdf(col(htmlCol)))
+    ex.select((df.columns.filter(_ != htmlCol).map(col).toSeq ++ Seq(
+      col("_ex.text").as("text"),
+      col("_ex.n_kept").as("n_lines_kept"),
+      col("_ex.n_dropped").as("n_lines_dropped"))): _*)
+  }
+
+  // ---------- Catalyst twin (executable documentation of the oracle) ----
+
+  /** Markup strip + entity decode as a Catalyst expression chain. */
+  def cleanCatalyst(html: Column): Column = {
+    val stripped = StripPatterns.foldLeft(coalesce(html, lit("")))(
+      (c, p) => regexp_replace(c, p, "\n"))
+    Entities.foldLeft(stripped) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+  }
+
+  private def keepCatalyst(l: Column): Column = {
+    val base = (l =!= "") && (size(split(l, " ", -1)) >= MinWords)
+    Markers.foldLeft(base)((acc, m) => acc && !lower(l).contains(lit(m)))
+  }
+
+  /** Twin of [[extracted]] via pure-Catalyst HOFs (per-element lambdas
+    * interpret — fuzz/oracle documentation only, not the hot path). */
+  def extractedCatalyst(df: DataFrame, htmlCol: String): DataFrame = {
+    val lines = transform(split(cleanCatalyst(col(htmlCol)), "\n", -1),
+      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    val ex = df.withColumn("_lines", lines)
+      .withColumn("_kept", filter(col("_lines"), l => keepCatalyst(l)))
+    ex.select((df.columns.filter(_ != htmlCol).map(col).toSeq ++ Seq(
+      array_join(col("_kept"), "\n").as("text"),
+      size(col("_kept")).cast("long").as("n_lines_kept"),
+      (size(col("_lines")) - size(col("_kept"))).cast("long")
+        .as("n_lines_dropped"))): _*)
+  }
+
+  // ---------- DuckDB rendering, generated from the same atoms ----------
+
+  /** DuckDB expression for the stripped+decoded text of column `c`. */
+  def duckCleanExpr(c: String): String = {
+    val stripped = StripPatterns.foldLeft(c)(
+      (acc, p) => s"regexp_replace($acc, '$p', chr(10), 'g')")
+    Entities.foldLeft(stripped) { case (acc, (e, v)) =>
+      val vSql = if (v == "'") "chr(39)" else s"'$v'"
+      s"replace($acc, '$e', $vSql)"
+    }
+  }
+
+  /** DuckDB lambda body for the keep test over a normalized line `x`. */
+  def duckKeepLambda: String = {
+    val markers = Markers.map(m => s"NOT contains(lower(x), '$m')").mkString(" AND ")
+    s"x -> x <> '' AND len(string_split(x, ' ')) >= $MinWords AND $markers"
+  }
+
+  /** DuckDB expression for the normalized line list of column `c`. */
+  def duckLinesExpr(c: String): String =
+    s"list_transform(string_split(${duckCleanExpr(c)}, chr(10)), " +
+      "x -> trim(regexp_replace(x, '[ \\t]+', ' ', 'g')))"
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HtmlExtract: hand goldens over the frozen strip/decode/line rules,
+  * null safety, a zero-shuffle plan pin, and a fuzz pinning the fused
+  * UDF == pure-Catalyst twin == an independent naive reimplementation
+  * (the DuckDB-parity half is the q_html_extract oracle). */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Independent naive impl: Scala regex/collection idioms instead of
+    * the fused imperative scan (shares only the frozen atom TABLES). */
+  private def naive(html: String): (String, Long, Long) = {
+    var s = if (html == null) "" else html
+    for (p <- HtmlExtract.StripPatterns) s = s.replaceAll(p, "\n")
+    for ((e, v) <- HtmlExtract.Entities) s = s.replace(e, v)
+    val lines = s.split("\n", -1).toSeq
+      .map(l => l.replaceAll("[ \t]+", " ").stripPrefix(" ").stripSuffix(" "))
+    val kept = lines.filter { l =>
+      val low = l.toLowerCase(java.util.Locale.ROOT)
+      l.nonEmpty && l.split(" ", -1).length >= HtmlExtract.MinWords &&
+        HtmlExtract.Markers.forall(m => !low.contains(m))
+    }
+    (kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong)
+  }
+
+  private def fused(html: String): (String, Long, Long) = {
+    val r = HtmlExtract.extractRow(html)
+    (r.text, r.n_kept, r.n_dropped)
+  }
+
+  test("hand golden: tags split lines, entities decode, markers drop") {
+    val html = "<html><body><p>alpha beta gamma</p><br>one two" +
+      "<p>x &amp;amp; y z</p>" +
+      "<footer>read our Privacy Policy here</footer></body></html>"
+    // kept: the 3-word paragraph and the decoded 4-word one; dropped:
+    // "one two" (< 3 words), the footer (marker), and 8 empty segments.
+    assert(fused(html) === (("alpha beta gamma\nx &amp; y z", 2L, 10L)))
+    assert(fused(html) === naive(html))
+  }
+
+  test("script body with raw '<' and quotes strips as a block") {
+    val html = "<script>if(a<b){track(\"x\")}</script>ok fine then"
+    assert(fused(html) === (("ok fine then", 1L, 1L)))
+    assert(fused(html) === naive(html))
+  }
+
+  test("style and comment blocks strip; whitespace collapses") {
+    val html = "<style>.a { x: 1; }</style><!-- hi\nthere --><p>  a\tb   c  </p>"
+    assert(fused(html) === (("a b c", 1L, 4L)))
+    assert(fused(html) === naive(html))
+  }
+
+  test("&amp; decodes last and without rescanning its own output") {
+    // "&amp;lt;" must become the literal text "&lt;", never "<"
+    val html = "<p>w1 w2 &amp;lt;tag&amp;gt;</p>"
+    assert(fused(html)._1 === "w1 w2 &lt;tag&gt;")
+  }
+
+  test("null html → empty text, one dropped line") {
+    assert(fused(null) === (("", 0L, 1L)))
+    import spark.implicits._
+    val out = HtmlExtract.extracted(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "html"), "html")
+      .collect()(0)
+    assert(out.getAs[String]("text") === "")
+    assert(out.getAs[Long]("n_lines_kept") === 0L)
+    assert(out.getAs[Long]("n_lines_dropped") === 1L)
+  }
+
+  test("extracted is a zero-shuffle narrow pass") {
+    import spark.implicits._
+    val plan = HtmlExtract.extracted(
+      Seq((1L, "<p>a b c</p>")).toDF("id", "html"), "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("fuzz: fused == catalyst twin == naive on adversarial markup") {
+    import spark.implicits._
+    val pool = Vector("<p>", "</p>", "<script>", "</script>", "<style>",
+      "</style>", "<!--", "-->", "<div class=\"x\">", "<br/>", "&amp;",
+      "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;amp;",
+      "Privacy Policy", "privacy", "policy", "©", " ", "\t", "\n", "<",
+      ">", "word", "alpha beta gamma delta", "a", "-", "…")
+    val rnd = new scala.util.Random(20250818L)
+    val cases = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(20)
+      val sep = if (i % 3 == 0) "" else " "
+      (i.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(sep))
+    }
+    // row-level: fused == naive
+    cases.foreach { case (_, h) => assert(fused(h) === naive(h), s"on: $h") }
+    // DataFrame-level: fused == catalyst twin
+    val df = cases.toDF("id", "html")
+    def collectMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[Long]("n_lines_dropped")))).toMap
+    val a = collectMap(HtmlExtract.extracted(df, "html"))
+    val b = collectMap(HtmlExtract.extractedCatalyst(df, "html"))
+    assert(a === b)
+  }
+}
