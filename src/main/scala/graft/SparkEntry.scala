@@ -183,6 +183,58 @@ object SparkEntry {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Deterministic crawl-URL table (doc_id, url) derived from documents
+    * in pure ANSI SQL on both engines ([[urlsCte]] is the DuckDB twin).
+    * The derivation plants every frozen-canonicalization case: scheme
+    * http/https, www. and blog. prefixes, UPPERCASED hosts, default
+    * ports, a second TLD, trailing slashes, utm query strings and
+    * fragments — and doc_id % 120 path keys so distinct crawls collide
+    * on the same canonical URL (real duplicate groups for urlDedup). */
+  def urlsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, lit("http")).otherwise(lit("https"))
+    val hostLower = concat(
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 8 === 0, lit("blog.")).otherwise(lit("")),
+      lit("ex"), (id % 20).cast("string"),
+      when(id % 6 === 0, lit(".example")).otherwise(lit(".test")))
+    val host = when(id % 5 === 0, upper(hostLower)).otherwise(hostLower)
+    val port = when(id % 9 === 0,
+      when(id % 2 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit(""))
+    val path = concat(lit("/p/"), (id % 120).cast("string"),
+      when(id % 11 === 0, lit("/")).otherwise(lit("")))
+    val query = when(id % 4 === 0,
+      concat(lit("?utm_source=feed&ref="), id.cast("string"))).otherwise(lit(""))
+    val frag = when(id % 7 === 0,
+      concat(lit("#sec"), (id % 3).cast("string"))).otherwise(lit(""))
+    docs(s, dir).select(id.as("doc_id"),
+      concat(scheme, lit("://"), host, port, path, query, frag).as("url"))
+  }
+
+  /** The identical URL derivation as a DuckDB CTE body. */
+  private def urlsCte: String =
+    """urls0 AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 8 = 0 THEN 'blog.' ELSE '' END) ||
+      |    'ex' || (doc_id % 20)::VARCHAR ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '.example' ELSE '.test' END) AS h
+      |  FROM documents),
+      |urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN
+      |       (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |     ELSE '' END) ||
+      |    '/p/' || (doc_id % 120)::VARCHAR ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' ||
+      |       doc_id::VARCHAR ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3)::VARCHAR
+      |     ELSE '' END) AS url
+      |  FROM urls0)""".stripMargin
+
   /** The identical pages derivation as a DuckDB CTE body. */
   private def pagesCte: String =
     s"""pages AS (
@@ -1058,7 +1110,22 @@ object SparkEntry {
       HtmlExtract.extracted(pagesFromDocs(s, dir), "html")
         .select(col("url"), col("n_lines_kept"), col("n_lines_dropped"),
           length(col("text")).cast("long").as("text_len"),
-          md5(col("text")).as("text_md5")))
+          md5(col("text")).as("text_md5"))),
+
+    // ---- URL canonicalization / dedup / domain governance (UrlOps) ----
+    "q_url_canon" -> ((s, dir) =>
+      // per-row frozen canonicalization — pure Catalyst, zero UDFs; the
+      // oracle SQL is generated from the same atoms (UrlOps.duck*)
+      UrlOps.canonicalized(urlsFromDocs(s, dir), "url")
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("canonical"), col("blocked"))),
+    "q_url_dedup" -> ((s, dir) =>
+      // RefinedWeb-style URL-level dedup: one map-side-combined shuffle
+      // on the canonical key, min-id survivor
+      UrlOps.urlDedup(urlsFromDocs(s, dir), "url", "doc_id")),
+    "q_domain_census" -> ((s, dir) =>
+      // blocklist gate + per-registrable-domain crawl/page census
+      UrlOps.domainCensus(urlsFromDocs(s, dir), "url"))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2009,6 +2076,23 @@ object SparkEntry {
          |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
          |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS text_len,
          |  md5(array_to_string(kept, chr(10))) AS text_md5
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+    "q_url_canon" ->
+      s"""WITH $urlsCte,
+         |${UrlOps.duckCanonExprs("url")}
+         |SELECT doc_id, url, host, domain, canonical, blocked
+         |FROM curl""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH $urlsCte,
+         |${UrlOps.duckCanonExprs("url")}
+         |SELECT canonical, min(doc_id) AS survivor_id,
+         |  count(*) AS n_crawls
+         |FROM curl GROUP BY 1""".stripMargin,
+    "q_domain_census" ->
+      s"""WITH $urlsCte,
+         |${UrlOps.duckCanonExprs("url")}
+         |SELECT domain, count(*) AS n_crawls,
+         |  count(DISTINCT canonical) AS n_pages
+         |FROM curl WHERE NOT blocked GROUP BY 1""".stripMargin
   )
 }

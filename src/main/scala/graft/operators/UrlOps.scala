@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + per-URL dedup + domain governance — the
+  * crawl-side operators a web-curation pipeline runs BEFORE content
+  * dedup (RefinedWeb §3.1 deduplicates by canonical URL; C4 and Gopher
+  * filter by domain blocklist). Everything here is pure Catalyst string
+  * expressions — whole-stage-codegen'd, zero UDFs — and the DuckDB
+  * oracle rendering is GENERATED from the same frozen atoms
+  * ([[duckCanonExprs]]) so the q_url_* hashes can only match if both
+  * engines canonicalize identically.
+  *
+  * FROZEN canonicalization (deliberately conservative — a canonical
+  * collision merges crawls of the same logical page, a miss only leaves
+  * a near-dup for the content-level dedup to catch):
+  *  1. strip the fragment (everything from the first '#') and the query
+  *     string (from the first '?') — tracking params (utm_*, ref) die
+  *     with the query;
+  *  2. strip a leading "http://" or "https://" scheme;
+  *  3. host = text before the first '/', lowercased, with one leading
+  *     "www." and one default-port suffix (":80"/":443") removed;
+  *     the remaining path keeps its case;
+  *  4. strip one trailing '/';
+  *  5. canonical = host ++ path; registrable domain = last two
+  *     '.'-labels of the host (public-suffix lists are environment
+  *     data — frozen to the 2-label rule here, the eTLD+1 shape).
+  *
+  * Scale shape: canonicalization is a narrow projection; URL-level
+  * dedup is one hash-partitioned aggregation on `canonical` (the only
+  * shuffle, map-side combined — URL keys are near-unique so no skew);
+  * the domain census aggregates on the much smaller `domain` key.
+  */
+object UrlOps {
+
+  /** Frozen regex atoms (anchored → at most one match, so Spark's
+    * replace-all and DuckDB's replace-first agree by construction). */
+  final val SchemePattern = "^https?://"
+  final val WwwPattern = "^www\\."
+  final val PortPattern = ":(80|443)$"
+  final val TrailingSlashPattern = "/$"
+
+  /** Frozen domain blocklist (the fixture's governance case; real
+    * deployments broadcast a table instead — see
+    * [[Decontaminate.contaminatedIdsBloom]] for the big-list shape). */
+  final val BlockedDomains: Seq[String] =
+    Seq("ex7.test", "ex13.test", "ex4.example")
+
+  /** df + (host, domain, canonical, blocked) — narrow, codegen'd. */
+  def canonicalized(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = substring_index(coalesce(col(urlCol), lit("")), "#", 1)
+    val noQuery = substring_index(noFrag, "?", 1)
+    val noScheme = regexp_replace(noQuery, SchemePattern, "")
+    val hostRaw = substring_index(noScheme, "/", 1)
+    val rest = noScheme.substr(length(hostRaw) + 1, length(noScheme))
+    val host = regexp_replace(
+      regexp_replace(lower(hostRaw), WwwPattern, ""), PortPattern, "")
+    val restC = regexp_replace(rest, TrailingSlashPattern, "")
+    val labels = split(host, "\\.")
+    val domain = when(size(labels) >= 2,
+      concat(element_at(labels, -2), lit("."), element_at(labels, -1)))
+      .otherwise(host)
+    df.withColumn("host", host)
+      .withColumn("domain", domain)
+      .withColumn("canonical", concat(host, restC))
+      .withColumn("blocked", domain.isin(BlockedDomains: _*))
+  }
+
+  /** Per-canonical-URL dedup: survivor = min id (deterministic), plus
+    * the crawl multiplicity. One map-side-combined shuffle. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    canonicalized(df, urlCol)
+      .groupBy(col("canonical"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_crawls"))
+
+  /** Domain census over unblocked pages: crawl count + distinct
+    * canonical pages per registrable domain. */
+  def domainCensus(df: DataFrame, urlCol: String): DataFrame =
+    canonicalized(df, urlCol)
+      .where(!col("blocked"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_crawls"),
+        countDistinct(col("canonical")).as("n_pages"))
+
+  // -------- DuckDB rendering, generated from the same atoms ----------
+
+  /** SELECT-list fragments (host, domain, canonical, blocked) over a
+    * url column `c` — splice into the oracle's CTE. */
+  def duckCanonExprs(c: String): String = {
+    val noScheme =
+      s"regexp_replace(split_part(split_part($c, '#', 1), '?', 1), " +
+        s"'$SchemePattern', '')"
+    // DuckDB lacks let-bindings inside an expression; rebuild via CTE in
+    // the caller: this emits one SELECT body computing all four columns.
+    s"""ns AS (SELECT *, $noScheme AS ns FROM urls),
+       |hp AS (SELECT *, split_part(ns, '/', 1) AS hostraw,
+       |         substr(ns, length(split_part(ns, '/', 1)) + 1) AS rest
+       |       FROM ns),
+       |canon AS (SELECT *,
+       |    regexp_replace(regexp_replace(lower(hostraw), '$WwwPattern', ''),
+       |                   '$PortPattern', '') AS host,
+       |    regexp_replace(rest, '$TrailingSlashPattern', '') AS restc
+       |  FROM hp),
+       |cu AS (SELECT *,
+       |    CASE WHEN len(string_split(host, '.')) >= 2
+       |         THEN string_split(host, '.')[-2] || '.' ||
+       |              string_split(host, '.')[-1]
+       |         ELSE host END AS domain,
+       |    host || restc AS canonical
+       |  FROM canon),
+       |curl AS (SELECT *, domain IN (${
+      BlockedDomains.map(d => s"'$d'").mkString(", ")}) AS blocked
+       |  FROM cu)""".stripMargin
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UrlOps: canonicalization goldens over every frozen rule, dedup
+  * survivor semantics, blocklist census, null safety, and a
+  * zero-shuffle plan pin for the narrow pass (the DuckDB-parity half is
+  * the q_url_* oracle trio). */
+class UrlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def canon(url: String): (String, String, String, Boolean) = {
+    import spark.implicits._
+    val r = UrlOps.canonicalized(Seq((1L, url)).toDF("id", "url"), "url")
+      .collect()(0)
+    (r.getAs[String]("host"), r.getAs[String]("domain"),
+      r.getAs[String]("canonical"), r.getAs[Boolean]("blocked"))
+  }
+
+  test("golden: case, www, default port, query, fragment all strip") {
+    assert(canon("https://WWW.Ex7.TEST:443/p/5?utm_source=x&ref=1#frag") ===
+      (("ex7.test", "ex7.test", "ex7.test/p/5", true)))
+  }
+
+  test("golden: subdomain kept, registrable domain is last two labels") {
+    assert(canon("http://blog.ex4.example:80/p/9") ===
+      (("blog.ex4.example", "ex4.example", "blog.ex4.example/p/9", true)))
+  }
+
+  test("golden: schemeless input, single-label host, unblocked") {
+    assert(canon("ex1.test/p/2") ===
+      (("ex1.test", "ex1.test", "ex1.test/p/2", false)))
+    assert(canon("localhost") ===
+      (("localhost", "localhost", "localhost", false)))
+  }
+
+  test("golden: exactly one trailing slash strips; path case kept") {
+    assert(canon("http://a.test/P/Q/")._3 === "a.test/P/Q")
+    assert(canon("http://a.test//")._3 === "a.test/")
+  }
+
+  test("golden: non-default port stays (frozen conservative rule)") {
+    assert(canon("http://a.test:8080/x")._1 === "a.test:8080")
+  }
+
+  test("null url canonicalizes to empty, never throws") {
+    assert(canon(null) === (("", "", "", false)))
+  }
+
+  test("urlDedup: canonical collisions merge, min-id survivor") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "https://www.a.test/p/1?x=1"),
+      (3L, "http://A.TEST/p/1#z"),
+      (7L, "https://a.test/p/2")).toDF("doc_id", "url")
+    val out = UrlOps.urlDedup(df, "url", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("a.test/p/1", 3L, 2L), ("a.test/p/2", 7L, 1L)))
+  }
+
+  test("domainCensus: blocked domains excluded, distinct pages counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://ex7.test/p/1"), // blocked
+      (2L, "https://b.test/p/1?a=1"),
+      (3L, "https://www.b.test/p/1"),
+      (4L, "https://sub.b.test/p/2")).toDF("doc_id", "url")
+    val out = UrlOps.domainCensus(df, "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("b.test", 3L, 2L)))
+  }
+
+  test("canonicalized is a zero-shuffle, UDF-free narrow pass") {
+    import spark.implicits._
+    val plan = UrlOps.canonicalized(
+      Seq((1L, "https://a.test/x")).toDF("id", "url"), "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
