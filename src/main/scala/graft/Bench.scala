@@ -72,7 +72,8 @@ object Bench {
       "q_bpe", "q_bpe_scale",
       "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
       "q_shuffle_export", "q_shuffle_scale",
-      "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale")
+      "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale",
+      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -292,6 +293,36 @@ object Bench {
         graft.operators.RepoGov.repoLicenses(latest)
           .join(partners, Seq("repo"), "left_outer")
           .na.fill(0L, Seq("n_forks"))
+      }),
+      // HTML extraction at FLAGSHIP scale: the fused strip/decode/line
+      // UDF over all 1.6M staged rows, each wrapped in a realistic
+      // boilerplate template (~6.4 GB of body text through 4 regex
+      // passes + the line filter — zero shuffle, pure scan throughput).
+      // Raw '<'/'&' inside code content exercise the garbage-in
+      // contract; no entity-encoding needed for a bench.
+      "q_html_scale" -> (s => {
+        import org.apache.spark.sql.functions.{concat, lit}
+        val pages = s.read.parquet(inputPath).select(concat(
+          lit("<html><head><title>f</title><script>var x = 1 < 2;" +
+            "</script><style>.m { color: #333; }</style></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+          col("content"),
+          lit("</p><footer>© 2024 Example Corp — Privacy Policy" +
+            "</footer></body></html>")).as("html"))
+        graft.operators.HtmlExtract.extracted(pages, "html")
+      }),
+      // URL dedup at FLAGSHIP scale: canonicalize 1.6M synthetic crawl
+      // URLs (narrow codegen pass) + one map-side-combined shuffle on
+      // the canonical key — ~24 duplicate crawls per canonical page
+      // (path truncation), the RefinedWeb URL-level dedup shape.
+      "q_url_scale" -> (s => {
+        import org.apache.spark.sql.functions.{concat, lit, substring, xxhash64 => xx}
+        val crawls = s.read.parquet(inputPath).select(
+          xx(col("repo"), col("path"), col("commit")).as("doc_id"),
+          concat(lit("https://www."), col("repo"), lit(".example:443/"),
+            substring(col("path"), 1, 12), lit("?utm_source=feed#top"))
+            .as("url"))
+        graft.operators.UrlOps.urlDedup(crawls, "url", "doc_id")
       }))
 
     // Timing via bare count() would let Catalyst prune the final Project
@@ -322,7 +353,10 @@ object Bench {
       // a bare count would time training only and skip the scan under test
       "q_quality_classifier", "q_qualclf_scale",
       // the BPE stats struct is the computation under test
-      "q_bpe", "q_bpe_scale")
+      "q_bpe", "q_bpe_scale",
+      // extraction text / canonical survivors are the computation under
+      // test — a bare count would prune the UDF / the min() aggregate
+      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -322,15 +322,84 @@ object Dedup {
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 64,
                      bands: Int = 16): DataFrame = {
-    val rows = numHashes / bands
     val withSig = df
       .where(size(split(trim(col(textCol)), "\\s+")) >= shingleK)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
     withSig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+        posexplode(bandHashesFromSig(col("sig"), numHashes, bands)))
       .toDF("id", "band_id", "band_hash")
+  }
+
+  /** Band-hash array over an ALREADY-MATERIALIZED signature column —
+    * shared by [[minhashBuckets]] and [[nearDupGate]] so their band keys
+    * are structurally the same expression. (Takes a materialized sig on
+    * purpose: referencing the signature UDF inside the transform lambda
+    * would re-evaluate it once per band.) */
+  private[graft] def bandHashesFromSig(sig: Column, numHashes: Int,
+                                       bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows))))
+  }
+
+  /** Near-dup GATE against a STATIC corpus — the streaming-safe face of
+    * MinHash LSH (the batch operators own corpus-vs-corpus dedup): the
+    * static side's distinct (band, hash) keys are collected under a size
+    * guard into one sorted array per band and broadcast; each incoming
+    * row computes its signature ONCE and is dropped iff any of its band
+    * hashes collides with the static index — exactly the candidate
+    * condition of [[minhashPairsFromBuckets]] restricted to
+    * (incoming, static) pairs, which is what the spec asserts.
+    *
+    * FROZEN: recall-oriented — an LSH collision drops the row WITHOUT
+    * the exact-verify stage (a false-positive drop costs one stream
+    * document; at 16 bands of 4 rows the collision probability for
+    * truly unrelated text is negligible, and batch dedup downstream
+    * remains the completeness backstop). Rows with fewer than
+    * `shingleK` tokens have no shingles and are always kept, matching
+    * the batch bucket builder's filter. Stateless pure function of row
+    * content + the frozen index: composes into a streaming plan with
+    * zero state, O(bands · log |index|) per row. */
+  def nearDupGate(rows0: DataFrame, textCol: String, staticCorpus: DataFrame,
+                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                  maxStaticBuckets: Long = 5000000L): DataFrame = {
+    val spark = staticCorpus.sparkSession
+    val keys = staticCorpus
+      .where(size(split(trim(col(textCol)), "\\s+")) >= shingleK)
+      .select(minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      .select(posexplode(bandHashesFromSig(col("sig"), numHashes, bands)))
+      .toDF("band_id", "band_hash").distinct()
+    val n = keys.count()
+    require(n <= maxStaticBuckets,
+      s"static LSH index has $n distinct band keys > maxStaticBuckets=" +
+        s"$maxStaticBuckets: a driver collect this large risks OOM - run " +
+        "the batch operators (minhashPairs + connectedComponents) instead")
+    val perBand: Array[Array[Long]] = {
+      val bufs = Array.fill(bands)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      keys.collect().foreach(r => bufs(r.getInt(0)) += r.getLong(1))
+      bufs.map(_.toArray.sorted)
+    }
+    val bc = spark.sparkContext.broadcast(perBand)
+    val hit = udf { (bh: Seq[Long]) =>
+      bh != null && {
+        val idx = bc.value
+        var b = 0
+        var found = false
+        while (b < bh.length && !found) {
+          if (java.util.Arrays.binarySearch(idx(b), bh(b)) >= 0) found = true
+          b += 1
+        }
+        found
+      }
+    }
+    val withSig = rows0.withColumn("_nd_sig",
+      when(size(split(trim(col(textCol)), "\\s+")) >= shingleK,
+        minhashSignature(col(textCol), shingleK, numHashes)))
+    withSig
+      .where(!hit(when(col("_nd_sig").isNotNull,
+        bandHashesFromSig(col("_nd_sig"), numHashes, bands))))
+      .drop("_nd_sig")
   }
 
   /** Bucket-collision pairs: docs sharing any full band, (id_a < id_b),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Decontaminate, GopherLexical, QualityClassifier, Repetition, Sampling}
+import graft.operators.{Decontaminate, Dedup, GopherLexical, QualityClassifier, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +33,8 @@ object CurateStream {
                watermarkDelay: String = "10 minutes",
                lexicalGate: Boolean = false,
                decontaminateAgainst: Option[DataFrame] = None,
-               qualityModel: Option[QualityClassifier.Model] = None): DataFrame = {
+               qualityModel: Option[QualityClassifier.Model] = None,
+               nearDupAgainst: Option[DataFrame] = None): DataFrame = {
     val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
       .where(Repetition.keepColumn(col(textCol)))
     val gated =
@@ -63,6 +64,16 @@ object CurateStream {
       case None => decon
       case Some(m) => decon.where(QualityClassifier.keepColumn(col(textCol), m))
     }
-    Sampling.hashSample(classed, Seq(col("content_hash")), num, den)
+    // near-dup gate against a STATIC reference corpus (e.g. the already-
+    // curated training set a stream must not re-add to): broadcast
+    // per-band sorted LSH index, signature computed once per row,
+    // stateless — stream drop set == the batch bucket join's candidate
+    // condition restricted to (stream, static) pairs (spec'd).
+    val nd = nearDupAgainst match {
+      case None => classed
+      case Some(staticCorpus) =>
+        Dedup.nearDupGate(classed, textCol, staticCorpus)
+    }
+    Sampling.hashSample(nd, Seq(col("content_hash")), num, den)
   }
 }

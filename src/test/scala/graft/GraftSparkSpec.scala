@@ -839,6 +839,56 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxEvalShingles"), e.getMessage)
   }
 
+  test("streaming near-dup gate == batch LSH candidate set vs the static corpus; size guard trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftndst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // 15 distinct words/row: passes the repetition gate with margin
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar", t(1)),
+      (2L, "apple banana cherry damson elder fig grape honeydew imbe jackfruit kiwi lemon mango nectarine orange", t(2)),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince", t(3)))
+    // static corpus: an exact copy of row 1's text (all 16 bands must
+    // collide) plus an unrelated doc
+    val staticCorpus = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"),
+      (101L, "zeta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"))
+      .toDF("sid", "text")
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1, nearDupAgainst = Some(staticCorpus))
+      .writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nd_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin: a row is flagged iff its band keys intersect the
+    // static bucket keys — minhashPairsFromBuckets' candidate condition
+    // restricted to (stream, static) pairs
+    val flagged = operators.Dedup.minhashBuckets(
+        rows.toDF("doc_id", "text", "ts"), "doc_id", "text")
+      .join(operators.Dedup.minhashBuckets(staticCorpus, "sid", "text")
+          .select("band_id", "band_hash").distinct(),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(1L), flagged)
+    assert(streamed == rows.map(_._1).toSet -- flagged, streamed)
+    // a short row (< shingleK tokens) has no shingles and is always kept
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(operators.Dedup.nearDupGate(short, "text", staticCorpus)
+      .count() == 1L)
+    // driver-collect guard: an oversized static index fails loudly
+    val e = intercept[IllegalArgumentException] {
+      operators.Dedup.nearDupGate(rows.toDF("doc_id", "text", "ts"), "text",
+        staticCorpus, maxStaticBuckets = 1L)
+    }
+    assert(e.getMessage.contains("maxStaticBuckets"), e.getMessage)
+  }
+
   test("streaming classifier gate == batch score keep_pred (frozen model, stateless)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftqcst").toString
