@@ -145,6 +145,11 @@ object SparkEntry {
   def repoBucketsDumpPath(dir: String): String =
     s"/tmp/graft_repo_buckets_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** CCNet perplexity dump (q_ccnet_bucket) — LM scores are JVM-specific;
+    * DuckDB replays the per-language ntile from the frozen integers. */
+  def ccnetDumpPath(dir: String): String =
+    s"/tmp/graft_ccnet_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   // ---- crawled-pages fixture (HtmlExtract / UrlOps input shape) ----
   // HTML template fragments shared VERBATIM by the Spark derivation and
   // the DuckDB CTE (no single quotes, so they drop into SQL literals
@@ -1125,7 +1130,18 @@ object SparkEntry {
       UrlOps.urlDedup(urlsFromDocs(s, dir), "url", "doc_id")),
     "q_domain_census" -> ((s, dir) =>
       // blocklist gate + per-registrable-domain crawl/page census
-      UrlOps.domainCensus(urlsFromDocs(s, dir), "url"))
+      UrlOps.domainCensus(urlsFromDocs(s, dir), "url")),
+
+    // ---- CCNet head/middle/tail perplexity buckets ----
+    "q_ccnet_bucket" -> ((s, dir) => {
+      // LM scores cross as frozen integers (the centroid-dump pattern);
+      // DuckDB replays the per-language ntile(3) end-to-end
+      oracleDir = dir
+      val b = CcnetBucket.buckets(docs(s, dir), "doc_id", "text", "lang")
+      b.select(col("doc_id"), col("ppl_micro"))
+        .coalesce(1).write.mode("overwrite").parquet(ccnetDumpPath(dir))
+      b.select(col("doc_id"), col("lang"), col("ppl_micro"), col("bucket"))
+    })
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2093,6 +2109,15 @@ object SparkEntry {
          |${UrlOps.duckCanonExprs("url")}
          |SELECT domain, count(*) AS n_crawls,
          |  count(DISTINCT canonical) AS n_pages
-         |FROM curl WHERE NOT blocked GROUP BY 1""".stripMargin
+         |FROM curl WHERE NOT blocked GROUP BY 1""".stripMargin,
+    "q_ccnet_bucket" ->
+      s"""WITH p AS (SELECT doc_id, ppl_micro
+         |           FROM read_parquet('${ccnetDumpPath(oracleDir)}/*.parquet')),
+         |j AS (SELECT d.doc_id, d.lang, p.ppl_micro
+         |      FROM documents d JOIN p ON p.doc_id = d.doc_id)
+         |SELECT doc_id, lang, ppl_micro,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_micro, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM j""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.core.Normalize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+  * every document under the per-language character-n-gram LM and split
+  * each language into head / middle / tail terciles — the curation move
+  * that lets a pipeline keep "head" for pretraining, sample "middle",
+  * and drop or re-review "tail", instead of a single hard perplexity
+  * threshold (which [[Pipeline]]'s keep rule applies).
+  *
+  * FROZEN semantics:
+  *  - ppl is computed on [[Normalize]]d text under the document's OWN
+  *    lang column (CCNet buckets within the already-identified
+  *    language); unknown lang / <3-char text takes the LM's 1e9 guard
+  *    and therefore lands in the last bucket;
+  *  - scores freeze to integer micro-units `floor(ppl·1e6 + 0.5)` (the
+  *    [[Dsir]] discipline) so ordering is bit-stable cross-engine;
+  *  - exact buckets = SQL `ntile(n)` over (PARTITION BY lang ORDER BY
+  *    ppl_micro, id) — a total order, so ties can't flap; bucket 1
+  *    (lowest perplexity) is "head".
+  *
+  * Scale shape: [[buckets]] pays one full sort per language partition —
+  * correct and what CCNet itself does per shard, but a global sort of
+  * 10^12 rows per language is the expensive way. [[bucketsApprox]] is
+  * the production path at that scale: per-language cut points from
+  * `percentile_approx` (one map-side-combined aggregation), broadcast
+  * back, bucket assignment as a narrow comparison — no sort, no
+  * per-language shuffle of the data rows. The spec pins ≥95% agreement
+  * on the fixture corpus (disagreement is confined to cut-point ties,
+  * where ntile splits equal scores by position and thresholds cannot).
+  */
+object CcnetBucket {
+
+  final val BucketNames = Map(1 -> "head", 2 -> "middle", 3 -> "tail")
+
+  private def bucketName(id: org.apache.spark.sql.Column, n: Int) =
+    if (n == 3)
+      when(id === 1, "head").when(id === 2, "middle").otherwise(lit("tail"))
+    else concat(lit("b"), id.cast("string"))
+
+  /** docs + `ppl_micro` (frozen integer perplexity) — one broadcast of
+    * the model bundle, zero shuffle. */
+  def withPplMicro(docs: DataFrame, textCol: String, langCol: String,
+                   bundle: ScoreStage.ModelBundle = ScoreStage.defaultBundle): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bundle)
+    val pplUdf = udf { (text: String, lang: String) =>
+      val norm = Normalize(if (text == null) "" else text)
+      val ppl = bc.value.lm.perplexity(norm, if (lang == null) "" else lang)
+      math.floor(ppl * 1e6 + 0.5).toLong
+    }
+    docs.withColumn("ppl_micro", pplUdf(col(textCol), col(langCol)))
+  }
+
+  /** EXACT terciles: + (ppl_micro, bucket_id, bucket). One sort per
+    * language (the oracle-replayable path). */
+  def buckets(docs: DataFrame, idCol: String, textCol: String,
+              langCol: String, nBuckets: Int = 3,
+              bundle: ScoreStage.ModelBundle = ScoreStage.defaultBundle): DataFrame = {
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("ppl_micro"), col(idCol))
+    withPplMicro(docs, textCol, langCol, bundle)
+      .withColumn("bucket_id", ntile(nBuckets).over(w))
+      .withColumn("bucket", bucketName(col("bucket_id"), nBuckets))
+  }
+
+  /** APPROXIMATE buckets — the 10^12-row path: per-language cut points
+    * via percentile_approx (`accuracy` trades memory for precision),
+    * broadcast join (the threshold table is |langs| rows), narrow
+    * assignment: bucket = 1 + #cuts strictly below the score (ties sit
+    * in the lower bucket, frozen). */
+  def bucketsApprox(docs: DataFrame, idCol: String, textCol: String,
+                    langCol: String, nBuckets: Int = 3,
+                    accuracy: Int = 10000,
+                    bundle: ScoreStage.ModelBundle = ScoreStage.defaultBundle): DataFrame = {
+    val scored = withPplMicro(docs, textCol, langCol, bundle)
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = scored.groupBy(col(langCol)).agg(
+      percentile_approx(col("ppl_micro"), array(qs.map(lit): _*),
+        lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket_id",
+        (size(filter(col("cuts"), c => col("ppl_micro") > c)) + 1))
+      .withColumn("bucket", bucketName(col("bucket_id"), nBuckets))
+      .drop("cuts")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CcnetBucket: tercile structure, ordering invariant (head ppl ≤ tail
+  * ppl within a language), guard-value routing, determinism, and the
+  * exact-vs-approx agreement bound (the DuckDB-parity half is the
+  * q_ccnet_bucket oracle's ntile replay). */
+class CcnetBucketSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val corpusDf = {
+    import spark.implicits._
+    graft.core.Synth.corpus(perLang = 40).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text) }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("terciles: near-even sizes per language, larger buckets first") {
+    val counts = CcnetBucket.buckets(corpusDf, "doc_id", "text", "lang")
+      .groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val langs = counts.keys.map(_._1).toSet
+    assert(langs.size > 1)
+    langs.foreach { l =>
+      val h = counts.getOrElse((l, "head"), 0L)
+      val m = counts.getOrElse((l, "middle"), 0L)
+      val t = counts.getOrElse((l, "tail"), 0L)
+      assert(h + m + t == 40L, s"$l: $h/$m/$t")
+      assert(h >= m && m >= t && h - t <= 1, s"$l: $h/$m/$t")
+    }
+  }
+
+  test("ordering invariant: every head ppl <= every tail ppl per lang") {
+    val rows = CcnetBucket.buckets(corpusDf, "doc_id", "text", "lang")
+      .select("lang", "bucket", "ppl_micro")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val maxHead = rs.filter(_._2 == "head").map(_._3).max
+      val minTail = rs.filter(_._2 == "tail").map(_._3).min
+      assert(maxHead <= minTail, s"$l: $maxHead > $minTail")
+    }
+  }
+
+  test("guard values: null/short text and unknown lang land in tail") {
+    import spark.implicits._
+    val base = (1 to 9).map(i =>
+      (i.toLong, "en", s"this is document number $i with steady text"))
+    val df = (base :+ ((100L, "en", null.asInstanceOf[String]))
+      :+ ((101L, "xx", "unknown language text here")))
+      .toDF("doc_id", "lang", "text")
+    val out = CcnetBucket.buckets(df, "doc_id", "text", "lang")
+      .select("doc_id", "ppl_micro", "bucket")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(100L)._1 == 1000000000000000L) // 1e9 guard in micro units
+    assert(out(100L)._2 == "tail")
+    assert(out(101L)._1 == 1000000000000000L)
+  }
+
+  test("deterministic: two runs produce identical buckets") {
+    def run() = CcnetBucket.buckets(corpusDf, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run() === run())
+  }
+
+  test("approx path agrees >=95% with exact ntile on the fixture corpus") {
+    val exact = CcnetBucket.buckets(corpusDf, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val approx = CcnetBucket.bucketsApprox(corpusDf, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    val agree = exact.count { case (k, v) => approx(k) == v }
+    assert(agree.toDouble / exact.size >= 0.95,
+      s"$agree/${exact.size} agreement")
+  }
+}
