@@ -72,12 +72,81 @@ object HtmlExtract {
 
   final case class HtmlText(text: String, n_kept: Long, n_dropped: Long)
 
-  /** Markup strip + entity decode, shared by the fused row impl. */
-  private[operators] def cleanRow(html0: String): String = {
+  /** Markup strip + entity decode via the java.util.regex patterns —
+    * the executable definition of the frozen semantics (the fuzz spec
+    * pins [[cleanRowScan]] to it; production uses the scanner, measured
+    * ~faster at 1.6M rows since `.*?` backtracking is pure overhead for
+    * patterns this shape). */
+  private[operators] def cleanRowRegex(html0: String): String = {
     val t0 = if (html0 == null) "" else html0
     var s = t0
     var p = 0
     while (p < compiled.length) { s = compiled(p).matcher(s).replaceAll("\n"); p += 1 }
+    var e = 0
+    while (e < Entities.length) { s = s.replace(Entities(e)._1, Entities(e)._2); e += 1 }
+    s
+  }
+
+  /** One strip pass as a hand-rolled scan, exactly equivalent to the
+    * regex `(?s)OPEN[^>]*>.*?CLOSE` (openTag=true) or `(?s)OPEN.*?CLOSE`
+    * (openTag=false) under replaceAll("\n"): leftmost-first,
+    * non-overlapping, resume after the match. Equivalence notes:
+    * `[^>]*>` always reaches the FIRST '>' after the open prefix; a
+    * missing '>' (openTag) or missing CLOSE kills every later candidate
+    * too (any later open sits after this one, so its '>'/CLOSE search
+    * space is a subset) — the scan may stop outright. */
+  private def stripBlock(s: String, open: String, close: String,
+                         openTag: Boolean): String = {
+    var i = s.indexOf(open)
+    if (i < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (i >= 0) {
+      var j = i + open.length
+      if (openTag) {
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        j += 1 // past '>' (j == length + 1 when missing)
+      }
+      if (j > s.length) i = -1
+      else {
+        val k = s.indexOf(close, j)
+        if (k < 0) i = -1
+        else {
+          b.append(s, pos, i).append('\n')
+          pos = k + close.length
+          i = s.indexOf(open, pos)
+        }
+      }
+    }
+    if (pos == 0) s else { b.append(s, pos, s.length); b.toString }
+  }
+
+  /** `<[^>]*>` → '\n' as a scan (same leftmost/non-overlap argument). */
+  private def stripTags(s: String): String = {
+    var i = s.indexOf('<')
+    if (i < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (i >= 0) {
+      val j = s.indexOf('>', i + 1)
+      if (j < 0) i = -1
+      else {
+        b.append(s, pos, i).append('\n')
+        pos = j + 1
+        i = s.indexOf('<', pos)
+      }
+    }
+    if (pos == 0) s else { b.append(s, pos, s.length); b.toString }
+  }
+
+  /** PRODUCTION clean: the scanner passes (regex-free), frozen equal to
+    * [[cleanRowRegex]] — fuzz-pinned. */
+  private[operators] def cleanRowScan(html0: String): String = {
+    val t0 = if (html0 == null) "" else html0
+    var s = stripBlock(t0, "<script", "</script>", openTag = true)
+    s = stripBlock(s, "<style", "</style>", openTag = true)
+    s = stripBlock(s, "<!--", "-->", openTag = false)
+    s = stripTags(s)
     var e = 0
     while (e < Entities.length) { s = s.replace(Entities(e)._1, Entities(e)._2); e += 1 }
     s
@@ -119,8 +188,14 @@ object HtmlExtract {
 
   /** The fused per-row extraction — one imperative scan, precompiled
     * patterns, no per-line lambda dispatch. */
-  private[operators] def extractRow(html: String): HtmlText = {
-    val s = cleanRow(html)
+  private[operators] def extractRow(html: String): HtmlText =
+    fromCleaned(cleanRowScan(html))
+
+  /** Regex-clean twin for the tools/HxAB interleaved measurement. */
+  private[graft] def extractRowRegex(html: String): HtmlText =
+    fromCleaned(cleanRowRegex(html))
+
+  private def fromCleaned(s: String): HtmlText = {
     val n = s.length
     val out = new java.lang.StringBuilder(n)
     var nKept = 0L

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B: HtmlExtract clean stage as java.util.regex passes vs
+  * the hand-rolled scanner, at 1.6M staged FileRows each wrapped in the
+  * bench's boilerplate template (the NOTES_r4 lesson: perf questions on
+  * this drifting VM are only decidable by interleaved same-session
+  * pairs). Forces the full output via xxhash64-of-struct. */
+object HxAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("hx-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rounds = sys.env.getOrElse("HX_AB_ROUNDS", "4").toInt
+    val path = sys.env.getOrElse("HX_AB_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val pages = spark.read.parquet(path).select(concat(
+      lit("<html><head><title>f</title><script>var x = 1 < 2;" +
+        "</script><style>.m { color: #333; }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+      col("content"),
+      lit("</p><footer>© 2024 Example Corp — Privacy Policy" +
+        "</footer></body></html>")).as("html"))
+      .cache()
+    println(s"rows=${pages.count()}")
+    val regexUdf = udf((h: String) => graft.operators.HtmlExtract.extractRowRegex(h))
+    def viaRegex(df: DataFrame): DataFrame =
+      df.select(regexUdf(col("html")).as("ex"))
+        .select(col("ex.text"), col("ex.n_kept"), col("ex.n_dropped"))
+    def force(df: DataFrame): Long = {
+      val all = struct(df.columns.map(col): _*)
+      df.select(xxhash64(all).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("double"))).collect()(0).getLong(0)
+    }
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    force(viaRegex(pages))
+    force(graft.operators.HtmlExtract.extracted(pages, "html"))
+    (1 to rounds).foreach { r =>
+      val (ta, na) = time(force(viaRegex(pages)))
+      val (tb, nb) = time(force(graft.operators.HtmlExtract.extracted(pages, "html")))
+      println(f"round $r: regex $ta%7.2fs  scanner $tb%7.2fs  (rows $na/$nb)  ratio ${ta / tb}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -97,8 +97,16 @@ class HtmlExtractSpec extends AnyFunSuite {
       val sep = if (i % 3 == 0) "" else " "
       (i.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(sep))
     }
-    // row-level: fused == naive
+    // row-level: fused (scanner clean) == naive (regex clean)
     cases.foreach { case (_, h) => assert(fused(h) === naive(h), s"on: $h") }
+    // clean-stage equivalence directly, including unterminated blocks
+    val nasty = cases.map(_._2) ++ Seq("<script>no close", "<script no gt",
+      "<!--", "<!-->", "<!---->", "<style>a<script>b</script>c</style>",
+      "<", "a<b", "<script></script", "x<!--y-->z<!--w")
+    nasty.foreach { h =>
+      assert(HtmlExtract.cleanRowScan(h) === HtmlExtract.cleanRowRegex(h),
+        s"clean mismatch on: $h")
+    }
     // DataFrame-level: fused == catalyst twin
     val df = cases.toDF("id", "html")
     def collectMap(d: org.apache.spark.sql.DataFrame) =
