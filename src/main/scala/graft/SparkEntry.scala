@@ -160,9 +160,12 @@ object SparkEntry {
   // ©/privacy-policy footer (marker drop).
   private val HtmlF1 = "<html><head><title>Doc "
   private val HtmlF2 = "</title><script type=\"text/javascript\">var x = 1 < 2 && track(\"d"
-  private val HtmlF3 = "\");</script><style>.main { color: #333; }</style></head><body>" +
+  private val HtmlF3a = "\");</script><style>.main { color: #333; }</style></head><body>" +
     "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
-    "<a href=\"/contact\">Contact</a></nav><h1>Doc "
+    "<a href=\"/contact\">Contact</a> <a href=\"https://ex"
+  private val HtmlF3b = ".test/p/"
+  private val HtmlF3c = "\">Next</a> <a href=\"https://ex"
+  private val HtmlF3d = ".test/\">Hub</a></nav><h1>Doc "
   private val HtmlF4 = "</h1><!-- rendered by graft --><p>"
   private val HtmlF5 = "</p><p>See &quot;docs&quot; &amp; more in section "
   private val HtmlF6 = "</p><div class=\"ads\">Sponsored links</div>" +
@@ -172,14 +175,21 @@ object SparkEntry {
     * the documents fixture in pure ANSI SQL on both engines
     * ([[pagesCte]] is the DuckDB twin). Content paragraphs are
     * entity-encoded ('data' → `&lt;data&gt;`, 'query' → `&amp;query`)
-    * so the decode step is exercised on real body text. */
+    * so the decode step is exercised on real body text; the nav carries
+    * two ABSOLUTE cross-site links — a ring edge (domain k → k+1 mod
+    * 20) and a hub edge (→ ex{id%7}.test) — so the LinkGraph operators
+    * see a connected inter-domain graph with hub skew. */
   def pagesFromDocs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     docs(s, dir).select(
       col("doc_id"),
       concat(lit("https://ex"), (col("doc_id") % 20).cast("string"),
         lit(".test/p/"), id).as("url"),
-      concat(lit(HtmlF1), id, lit(HtmlF2), id, lit(HtmlF3), id, lit(HtmlF4),
+      concat(lit(HtmlF1), id, lit(HtmlF2), id,
+        lit(HtmlF3a), ((col("doc_id") + 1) % 20).cast("string"),
+        lit(HtmlF3b), (col("doc_id") % 120).cast("string"),
+        lit(HtmlF3c), (col("doc_id") % 7).cast("string"),
+        lit(HtmlF3d), id, lit(HtmlF4),
         replace(replace(col("text"), lit("data"), lit("&lt;data&gt;")),
           lit("query"), lit("&amp;query")),
         lit(HtmlF5), (col("doc_id") % 7).cast("string"), lit(HtmlF6))
@@ -247,8 +257,11 @@ object SparkEntry {
        |    'https://ex' || (doc_id % 20)::VARCHAR || '.test/p/' ||
        |      doc_id::VARCHAR AS url,
        |    ${sqlLit(HtmlF1)} || doc_id::VARCHAR || ${sqlLit(HtmlF2)} ||
-       |      doc_id::VARCHAR || ${sqlLit(HtmlF3)} || doc_id::VARCHAR ||
-       |      ${sqlLit(HtmlF4)} ||
+       |      doc_id::VARCHAR || ${sqlLit(HtmlF3a)} ||
+       |      ((doc_id + 1) % 20)::VARCHAR || ${sqlLit(HtmlF3b)} ||
+       |      (doc_id % 120)::VARCHAR || ${sqlLit(HtmlF3c)} ||
+       |      (doc_id % 7)::VARCHAR || ${sqlLit(HtmlF3d)} ||
+       |      doc_id::VARCHAR || ${sqlLit(HtmlF4)} ||
        |      replace(replace(text, 'data', '&lt;data&gt;'),
        |              'query', '&amp;query') ||
        |      ${sqlLit(HtmlF5)} || (doc_id % 7)::VARCHAR || ${sqlLit(HtmlF6)}
@@ -1141,7 +1154,20 @@ object SparkEntry {
       b.select(col("doc_id"), col("ppl_micro"))
         .coalesce(1).write.mode("overwrite").parquet(ccnetDumpPath(dir))
       b.select(col("doc_id"), col("lang"), col("ppl_micro"), col("bucket"))
-    })
+    }),
+
+    // ---- crawl link graph over the derived pages table (LinkGraph) ----
+    "q_outlinks" -> ((s, dir) =>
+      // per-page href extraction + external-link stats (narrow explode)
+      LinkGraph.pageLinkStats(pagesFromDocs(s, dir), "doc_id", "url", "html")),
+    "q_link_graph" -> ((s, dir) =>
+      // inter-domain weighted edge census, self-loops excluded
+      LinkGraph.domainEdges(pagesFromDocs(s, dir), "url", "html")),
+    "q_pagerank" -> ((s, dir) =>
+      // deterministic integer PageRank, 3 iterations — DuckDB replays
+      // the whole power iteration from documents.parquet (no dumps)
+      LinkGraph.pagerank(
+        LinkGraph.domainEdges(pagesFromDocs(s, dir), "url", "html"), iters = 3))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2118,6 +2144,29 @@ object SparkEntry {
          |SELECT doc_id, lang, ppl_micro,
          |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_micro, doc_id)
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+    "q_outlinks" ->
+      s"""WITH $pagesCte,
+         |l AS (SELECT doc_id, url,
+         |    lower(split_part(regexp_replace(url, '${UrlOps.SchemePattern}', ''),
+         |      '/', 1)) AS src_domain,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM pages)
+         |SELECT doc_id, url, count(*) AS n_links,
+         |  CAST(sum(CASE WHEN (CASE WHEN href LIKE 'http://%'
+         |        OR href LIKE 'https://%'
+         |      THEN lower(split_part(regexp_replace(href,
+         |        '${UrlOps.SchemePattern}', ''), '/', 1))
+         |      ELSE src_domain END) <> src_domain THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_external
+         |FROM l GROUP BY 1, 2""".stripMargin,
+    "q_link_graph" ->
+      s"""WITH $pagesCte,
+         |${LinkGraph.duckPagerankCtes(0)}
+         |SELECT src, dst, w FROM dedges""".stripMargin,
+    "q_pagerank" ->
+      s"""WITH $pagesCte,
+         |${LinkGraph.duckPagerankCtes(3)}
+         |SELECT domain, rank_micro FROM r3""".stripMargin
   )
 }

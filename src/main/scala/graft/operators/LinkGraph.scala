@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl link-graph operators: outlink extraction from raw HTML, the
+  * inter-domain edge census, and a deterministic integer PageRank — the
+  * link-based quality signal web curation ranks domains by (Common
+  * Crawl publishes exactly this domain-level ranking; crawl frontiers
+  * prioritize by it).
+  *
+  * FROZEN semantics:
+  *  - outlinks = every `href="…"` attribute value, in document order
+  *    (the regex `href="([^"]*)"` — plain double-quoted attributes
+  *    only; single-quoted/unquoted hrefs are out of scope, frozen);
+  *  - a link starting with "http://" or "https://" resolves to its own
+  *    host (lowercased text before the first '/' after the scheme);
+  *    every other href (relative, fragment, mailto) resolves to the
+  *    SOURCE page's host — graph edges only need the domain;
+  *  - domain edges aggregate link counts per (src, dst) and EXCLUDE
+  *    self-loops (intra-domain navigation is not an endorsement);
+  *  - PageRank runs a FIXED iteration count in pure integer math
+  *    (micro-units, the [[Dsir]] discipline): share(s) = rank(s) div
+  *    out_weight(s); rank'(d) = (15·SCALE + 85·Σ w(s,d)·share(s)) div
+  *    100 — damping 0.85, no dangling-mass redistribution ("sink-lossy"
+  *    PageRank, frozen: mass lost to dangling domains just dampens
+  *    everyone, which preserves ORDER, the signal curation consumes).
+  *    Integer div is truncation on both engines, identical for the
+  *    non-negative values here — so DuckDB replays the whole power
+  *    iteration from the raw table, no dumps.
+  *
+  * Scale shape: extraction is a narrow explode; the edge census is one
+  * map-side-combined shuffle on (src,dst); each PageRank iteration is
+  * one broadcast-or-shuffle join (ranks/out-weights are |domains| rows
+  * — millions, not trillions — so at web scale the rank table
+  * broadcasts and the only big pass is the edge scan) + one aggregation
+  * on dst. Iterations are a fixed small constant; lineage stays
+  * shallow, no checkpoint needed.
+  */
+object LinkGraph {
+
+  final val HrefPattern = "href=\"([^\"]*)\""
+  final val Scale = 1000000L
+  final val DampingNum = 85L // /100
+
+  /** Lowercased host of an absolute URL (text before the first '/'
+    * after stripping the scheme). */
+  private def hostOf(u: Column): Column =
+    lower(substring_index(regexp_replace(u, UrlOps.SchemePattern, ""), "/", 1))
+
+  /** One row per href occurrence: (all page columns minus html) +
+    * (href, dst_domain, src_domain). */
+  def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val hrefs = expr(
+      s"""regexp_extract_all($htmlCol, 'href="([^"]*)"', 1)""")
+    val src = hostOf(col(urlCol))
+    pages
+      .withColumn("src_domain", src)
+      .withColumn("href", explode(hrefs))
+      .withColumn("dst_domain",
+        when(col("href").startsWith("http://") ||
+          col("href").startsWith("https://"), hostOf(col("href")))
+          .otherwise(col("src_domain")))
+      .drop(htmlCol)
+  }
+
+  /** Per-page link stats: total links and external (cross-domain). */
+  def pageLinkStats(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String): DataFrame =
+    outlinks(pages, idCol +: urlCol +: Nil, urlCol, htmlCol)
+      .groupBy(col(idCol), col(urlCol))
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(col("dst_domain") =!= col("src_domain"), 1L).otherwise(0L))
+          .as("n_external"))
+
+  private def outlinks(pages: DataFrame, keep: Seq[String], urlCol: String,
+                       htmlCol: String): DataFrame =
+    outlinks(pages.select(keep.distinct.map(col) :+ col(htmlCol): _*),
+      urlCol, htmlCol)
+
+  /** Inter-domain weighted edges (self-loops excluded). */
+  def domainEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    outlinks(pages.select(col(urlCol), col(htmlCol)), urlCol, htmlCol)
+      .where(col("dst_domain") =!= col("src_domain"))
+      .groupBy(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Deterministic integer PageRank over a weighted edge table
+    * (src, dst, w): (domain, rank_micro) after `iters` iterations. */
+  def pagerank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val nodes = edges.select(col("src").as("domain"))
+      .union(edges.select(col("dst").as("domain"))).distinct()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    var ranks = nodes.withColumn("rank_micro", lit(Scale))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst"),
+          (col("w") * expr("rank_micro div out_w")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "domain"), Seq("domain"), "left_outer")
+        .select(col("domain"),
+          expr(s"(15 * $Scale + $DampingNum * coalesce(in_sum, 0L)) div 100")
+            .as("rank_micro"))
+    }
+    ranks
+  }
+
+  // -------- DuckDB rendering, generated from the same atoms ----------
+
+  /** CTE chain (links → dedges → outw → nodes → r0..r{iters}) over a
+    * `pages(url, html)` CTE — splice into the oracle. */
+  def duckPagerankCtes(iters: Int): String = {
+    val base =
+      s"""links AS (
+         |  SELECT lower(split_part(regexp_replace(url, '${UrlOps.SchemePattern}', ''),
+         |           '/', 1)) AS src_domain,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM pages),
+         |resolved AS (
+         |  SELECT src_domain,
+         |    CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+         |      THEN lower(split_part(regexp_replace(href, '${UrlOps.SchemePattern}', ''),
+         |             '/', 1))
+         |      ELSE src_domain END AS dst_domain
+         |  FROM links),
+         |dedges AS (
+         |  SELECT src_domain AS src, dst_domain AS dst, count(*) AS w
+         |  FROM resolved WHERE dst_domain <> src_domain GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+         |         FROM dedges GROUP BY 1),
+         |nodes AS (SELECT src AS domain FROM dedges
+         |          UNION SELECT dst FROM dedges),
+         |r0 AS (SELECT domain, CAST($Scale AS BIGINT) AS rank_micro
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.domain,
+         |    CAST((15 * $Scale + $DampingNum * COALESCE(c.in_sum, 0)) // 100
+         |      AS BIGINT) AS rank_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS domain,
+         |      CAST(sum(e.w * (r.rank_micro // o.out_w)) AS BIGINT) AS in_sum
+         |    FROM dedges e
+         |    JOIN r${i - 1} r ON r.domain = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY 1) c ON c.domain = n.domain)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LinkGraph: extraction goldens, resolution rules, self-loop handling,
+  * a hand-computed integer-PageRank golden, an independent JVM PageRank
+  * twin, and determinism (the DuckDB-parity half is the q_outlinks /
+  * q_link_graph / q_pagerank oracles, which replay everything from the
+  * raw table). */
+class LinkGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pagesDf(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "url", "html")
+  }
+
+  test("outlinks: href extraction in order, resolution rules") {
+    val out = LinkGraph.outlinks(pagesDf(
+      (1L, "https://a.test/p/1",
+        "<a href=\"/x\">i</a><a href=\"https://B.TEST/y\">e</a>" +
+          "<a href=\"mailto:z@q.test\">m</a>")), "url", "html")
+      .select("href", "src_domain", "dst_domain")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      ("/x", "a.test", "a.test"),
+      ("https://B.TEST/y", "a.test", "b.test"),
+      ("mailto:z@q.test", "a.test", "a.test")))
+  }
+
+  test("pageLinkStats counts external links only once resolved") {
+    val stats = LinkGraph.pageLinkStats(pagesDf(
+      (1L, "https://a.test/",
+        "<a href=\"/x\">i</a><a href=\"http://b.test/\">e</a>" +
+          "<a href=\"https://a.test/self\">s</a>")),
+      "doc_id", "url", "html").collect()(0)
+    assert(stats.getAs[Long]("n_links") === 3L)
+    assert(stats.getAs[Long]("n_external") === 1L)
+  }
+
+  test("domainEdges: weights aggregate, self-loops excluded") {
+    val edges = LinkGraph.domainEdges(pagesDf(
+      (1L, "https://a.test/", "<a href=\"https://b.test/\">x</a>" +
+        "<a href=\"https://b.test/2\">y</a><a href=\"/self\">s</a>"),
+      (2L, "https://b.test/", "<a href=\"https://a.test/\">z</a>")),
+      "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges === Set(("a.test", "b.test", 2L), ("b.test", "a.test", 1L)))
+  }
+
+  test("pagerank hand golden: 2-node ring, 1 iteration") {
+    import spark.implicits._
+    // a->b w=1, b->a w=1; out_w=1 each; share = 1e6
+    // rank1 = (15e6 + 85 * 1e6) div 100 = 1_000_000 (stationary)
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.pagerank(edges, iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("pagerank hand golden: star a,b -> hub; hub dangles") {
+    import spark.implicits._
+    // iter1: share(a)=share(b)=1e6; hub in = 2e6
+    //   rank(hub) = (15e6 + 85*2e6) div 100 = 1_850_000
+    //   rank(a) = rank(b) = (15e6 + 0) div 100 = 150_000 (no inlinks)
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.pagerank(edges, iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 150000L, "b" -> 150000L, "hub" -> 1850000L))
+  }
+
+  test("pagerank == independent JVM power iteration on the fixture graph") {
+    val pages = graft.SparkEntry.pagesFromDocs(spark, "/root/testdata/sf0.001")
+    val edgesDf = LinkGraph.domainEdges(pages, "url", "html")
+    val edges = edgesDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val spark3 = LinkGraph.pagerank(edgesDf, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // naive twin: mutable maps, same frozen integer recurrence
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => in(d) += w * (rank(s) / outw(s)) }
+      rank = nodes.map(n => n -> ((15L * 1000000L + 85L * in(n)) / 100L)).toMap
+    }
+    assert(spark3 === rank)
+    // the hub structure must rank hub domains above pure ring members
+    val hubs = (0 to 6).map(i => s"ex$i.test")
+    val hubMin = hubs.flatMap(spark3.get).min
+    val ringOnly = spark3.view.filterKeys(k => !hubs.contains(k)).values.max
+    assert(hubMin > ringOnly, s"hubMin=$hubMin ringMax=$ringOnly")
+  }
+
+  test("deterministic across runs and partitioning") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("a", "c", 1L)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LinkGraph.pagerank(df, iters = 3)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(run(edges) === run(edges.repartition(7)))
+  }
+}
