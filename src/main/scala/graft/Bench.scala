@@ -73,7 +73,8 @@ object Bench {
       "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
       "q_shuffle_export", "q_shuffle_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale",
-      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale")
+      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
+      "q_pagerank", "q_pagerank_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -323,6 +324,19 @@ object Bench {
             substring(col("path"), 1, 12), lit("?utm_source=feed#top"))
             .as("url"))
         graft.operators.UrlOps.urlDedup(crawls, "url", "doc_id")
+      }),
+      // integer PageRank at FLAGSHIP scale: ~1.6M raw links over 100k
+      // synthetic domains (hash-derived edges), 3 power iterations —
+      // each is one join + one map-side-combined aggregation; the rank
+      // table is |domains| rows, so AQE broadcasts it per iteration
+      "q_pagerank_scale" -> (s => {
+        import org.apache.spark.sql.functions.{lit, pmod, sum => fsum, xxhash64 => xx}
+        val edges = s.read.parquet(inputPath).select(
+            pmod(xx(col("path")), lit(100000L)).as("src"),
+            pmod(xx(col("commit")), lit(100000L)).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(fsum(lit(1L)).as("w"))
+        graft.operators.LinkGraph.pagerank(edges, iters = 3)
       }))
 
     // Timing via bare count() would let Catalyst prune the final Project
@@ -356,7 +370,9 @@ object Bench {
       "q_bpe", "q_bpe_scale",
       // extraction text / canonical survivors are the computation under
       // test — a bare count would prune the UDF / the min() aggregate
-      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale")
+      "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
+      // rank values are the computation under test
+      "q_pagerank", "q_pagerank_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

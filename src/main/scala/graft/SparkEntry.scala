@@ -160,7 +160,9 @@ object SparkEntry {
   // ©/privacy-policy footer (marker drop).
   private val HtmlF1 = "<html><head><title>Doc "
   private val HtmlF2 = "</title><script type=\"text/javascript\">var x = 1 < 2 && track(\"d"
-  private val HtmlF3a = "\");</script><style>.main { color: #333; }</style></head><body>" +
+  private val HtmlF3m = "\");</script><style>.main { color: #333; }</style>"
+  private val HtmlRobotsMeta = "<meta name=\"robots\" content=\"noindex,nofollow\">"
+  private val HtmlF3a = "</head><body>" +
     "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
     "<a href=\"/contact\">Contact</a> <a href=\"https://ex"
   private val HtmlF3b = ".test/p/"
@@ -185,7 +187,8 @@ object SparkEntry {
       col("doc_id"),
       concat(lit("https://ex"), (col("doc_id") % 20).cast("string"),
         lit(".test/p/"), id).as("url"),
-      concat(lit(HtmlF1), id, lit(HtmlF2), id,
+      concat(lit(HtmlF1), id, lit(HtmlF2), id, lit(HtmlF3m),
+        when(col("doc_id") % 13 === 0, lit(HtmlRobotsMeta)).otherwise(lit("")),
         lit(HtmlF3a), ((col("doc_id") + 1) % 20).cast("string"),
         lit(HtmlF3b), (col("doc_id") % 120).cast("string"),
         lit(HtmlF3c), (col("doc_id") % 7).cast("string"),
@@ -257,7 +260,9 @@ object SparkEntry {
        |    'https://ex' || (doc_id % 20)::VARCHAR || '.test/p/' ||
        |      doc_id::VARCHAR AS url,
        |    ${sqlLit(HtmlF1)} || doc_id::VARCHAR || ${sqlLit(HtmlF2)} ||
-       |      doc_id::VARCHAR || ${sqlLit(HtmlF3a)} ||
+       |      doc_id::VARCHAR || ${sqlLit(HtmlF3m)} ||
+       |      (CASE WHEN doc_id % 13 = 0 THEN ${sqlLit(HtmlRobotsMeta)}
+       |       ELSE '' END) || ${sqlLit(HtmlF3a)} ||
        |      ((doc_id + 1) % 20)::VARCHAR || ${sqlLit(HtmlF3b)} ||
        |      (doc_id % 120)::VARCHAR || ${sqlLit(HtmlF3c)} ||
        |      (doc_id % 7)::VARCHAR || ${sqlLit(HtmlF3d)} ||
@@ -1167,7 +1172,13 @@ object SparkEntry {
       // deterministic integer PageRank, 3 iterations — DuckDB replays
       // the whole power iteration from documents.parquet (no dumps)
       LinkGraph.pagerank(
-        LinkGraph.domainEdges(pagesFromDocs(s, dir), "url", "html"), iters = 3))
+        LinkGraph.domainEdges(pagesFromDocs(s, dir), "url", "html"), iters = 3)),
+    "q_robots_gate" -> ((s, dir) =>
+      // robots-exclusion compliance gate: meta directive extraction +
+      // the noindex verdict (narrow, codegen'd)
+      pagesFromDocs(s, dir).select(col("doc_id"), col("url"),
+        HtmlExtract.robotsContent(col("html")).as("robots"),
+        HtmlExtract.noindex(col("html")).as("noindex")))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2167,6 +2178,17 @@ object SparkEntry {
     "q_pagerank" ->
       s"""WITH $pagesCte,
          |${LinkGraph.duckPagerankCtes(3)}
-         |SELECT domain, rank_micro FROM r3""".stripMargin
+         |SELECT domain, rank_micro FROM r3""".stripMargin,
+    "q_robots_gate" ->
+      s"""WITH $pagesCte
+         |SELECT doc_id, url,
+         |  CASE WHEN regexp_matches(html, '${HtmlExtract.RobotsPattern}')
+         |    THEN regexp_extract(html, '${HtmlExtract.RobotsPattern}', 1)
+         |  END AS robots,
+         |  contains(COALESCE(CASE
+         |    WHEN regexp_matches(html, '${HtmlExtract.RobotsPattern}')
+         |    THEN regexp_extract(html, '${HtmlExtract.RobotsPattern}', 1)
+         |  END, ''), 'noindex') AS noindex
+         |FROM pages""".stripMargin
   )
 }

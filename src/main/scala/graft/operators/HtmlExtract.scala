@@ -228,6 +228,20 @@ object HtmlExtract {
       col("_ex.n_dropped").as("n_lines_dropped"))): _*)
   }
 
+  /** Robots meta directive (frozen: the double-quoted lowercase
+    * `<meta name="robots" content="…">` shape, first occurrence; real
+    * crawlers normalize attribute order/case upstream — out of scope).
+    * Returns the content string, null when absent. */
+  final val RobotsPattern = "<meta name=\"robots\" content=\"([^\"]*)\""
+
+  def robotsContent(html: Column): Column =
+    when(html.rlike(RobotsPattern), regexp_extract(html, RobotsPattern, 1))
+
+  /** True iff the robots directive contains the `noindex` token —
+    * pages a compliant curation pipeline must drop before training. */
+  def noindex(html: Column): Column =
+    coalesce(robotsContent(html).contains("noindex"), lit(false))
+
   // ---------- Catalyst twin (executable documentation of the oracle) ----
 
   /** Markup strip + entity decode as a Catalyst expression chain. */

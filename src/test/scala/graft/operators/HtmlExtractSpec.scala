@@ -84,6 +84,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("robots meta: content extracted, noindex verdict, absent -> null/false") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "<head><meta name=\"robots\" content=\"noindex,nofollow\"></head>"),
+      (2L, "<head><meta name=\"robots\" content=\"index,follow\"></head>"),
+      (3L, "<head><title>t</title></head>")).toDF("id", "html")
+    val out = df.select(col("id"),
+        HtmlExtract.robotsContent(col("html")).as("r"),
+        HtmlExtract.noindex(col("html")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === (("noindex,nofollow", true)))
+    assert(out(2L) === (("index,follow", false)))
+    assert(out(3L)._1 == null)
+    assert(!out(3L)._2)
+  }
+
   test("fuzz: fused == catalyst twin == naive on adversarial markup") {
     import spark.implicits._
     val pool = Vector("<p>", "</p>", "<script>", "</script>", "<style>",
