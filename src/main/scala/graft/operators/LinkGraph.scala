@@ -88,12 +88,20 @@ object LinkGraph {
   /** Deterministic integer PageRank over a weighted edge table
     * (src, dst, w): (domain, rank_micro) after `iters` iterations. */
   def pagerank(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val nodes = edges.select(col("src").as("domain"))
-      .union(edges.select(col("dst").as("domain"))).distinct()
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // every iteration references edges/nodes/outw — persist (lazily: the
+    // first action materializes once, later references reuse the cached
+    // partitions) so the caller's edge-derivation lineage isn't re-run
+    // 2·iters+1 times; values are exact integers, so caching is
+    // semantics-free. At a fixed small iteration count the rank lineage
+    // stays shallow — no checkpoint needed.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain"))).distinct().persist(lvl)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w")).persist(lvl)
     var ranks = nodes.withColumn("rank_micro", lit(Scale))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
         .join(outw, Seq("src"))
         .select(col("dst"),
