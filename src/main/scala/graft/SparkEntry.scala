@@ -1178,7 +1178,37 @@ object SparkEntry {
       // the noindex verdict (narrow, codegen'd)
       pagesFromDocs(s, dir).select(col("doc_id"), col("url"),
         HtmlExtract.robotsContent(col("html")).as("robots"),
-        HtmlExtract.noindex(col("html")).as("noindex")))
+        HtmlExtract.noindex(col("html")).as("noindex"))),
+
+    "q_web_curation" -> ((s, dir) => {
+      // crawl-side CAPSTONE: robots gate → HTML extraction → URL
+      // canonicalization → URL-level dedup (min-id survivor) →
+      // blocklist + text-length gate → per-domain census joined with
+      // the 3-iteration PageRank of the FULL crawl graph. The entire
+      // chain is replayed by ONE DuckDB WITH from documents.parquet
+      // (no dumps) — extraction, canon, pagerank CTEs all generated
+      // from the operators' own frozen atoms.
+      val pages = pagesFromDocs(s, dir)
+      val indexable = pages.where(!HtmlExtract.noindex(col("html")))
+      val ex = HtmlExtract.extracted(indexable, "html")
+        .withColumn("text_len", length(col("text")).cast("long"))
+        .select("doc_id", "url", "text_len")
+      val canon = UrlOps.canonicalized(ex, "url")
+      val surv = canon.groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("sid"))
+      val kept = canon.join(surv,
+          canon("canonical") === surv("canonical") &&
+            canon("doc_id") === surv("sid"))
+        .where(!col("blocked") && col("text_len") >= 200)
+      val census = kept.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("text_len")).as("total_text_len"))
+      val ranks = LinkGraph.pagerank(
+        LinkGraph.domainEdges(pages, "url", "html"), iters = 3)
+      census.join(ranks, Seq("domain"), "left_outer")
+        .select(col("domain"), col("n_pages"), col("total_text_len"),
+          coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
+    })
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2189,6 +2219,34 @@ object SparkEntry {
          |    WHEN regexp_matches(html, '${HtmlExtract.RobotsPattern}')
          |    THEN regexp_extract(html, '${HtmlExtract.RobotsPattern}', 1)
          |  END, ''), 'noindex') AS noindex
-         |FROM pages""".stripMargin
+         |FROM pages""".stripMargin,
+    "q_web_curation" ->
+      s"""WITH $pagesCte,
+         |${LinkGraph.duckPagerankCtes(3)},
+         |ex0 AS (SELECT doc_id, url,
+         |    ${HtmlExtract.duckLinesExpr("html")} AS lines
+         |  FROM pages
+         |  WHERE NOT contains(COALESCE(CASE
+         |    WHEN regexp_matches(html, '${HtmlExtract.RobotsPattern}')
+         |    THEN regexp_extract(html, '${HtmlExtract.RobotsPattern}', 1)
+         |  END, ''), 'noindex')),
+         |urls AS (SELECT doc_id, url,
+         |    length(array_to_string(
+         |      list_filter(lines, ${HtmlExtract.duckKeepLambda}),
+         |      chr(10))) AS text_len
+         |  FROM ex0),
+         |${UrlOps.duckCanonExprs("url")},
+         |surv AS (SELECT canonical, min(doc_id) AS sid
+         |         FROM curl GROUP BY 1),
+         |kept AS (SELECT c.* FROM curl c
+         |         JOIN surv s ON s.canonical = c.canonical
+         |           AND s.sid = c.doc_id
+         |         WHERE NOT c.blocked AND c.text_len >= 200),
+         |census AS (SELECT domain, count(*) AS n_pages,
+         |    CAST(sum(text_len) AS BIGINT) AS total_text_len
+         |  FROM kept GROUP BY 1)
+         |SELECT c.domain, c.n_pages, c.total_text_len,
+         |  COALESCE(r.rank_micro, 0) AS rank_micro
+         |FROM census c LEFT JOIN r3 r ON r.domain = c.domain""".stripMargin
   )
 }
