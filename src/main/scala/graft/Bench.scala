@@ -74,7 +74,7 @@ object Bench {
       "q_shuffle_export", "q_shuffle_scale",
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale",
       "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
-      "q_pagerank", "q_pagerank_scale")
+      "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_web_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -337,6 +337,43 @@ object Bench {
           .where(col("src") =!= col("dst"))
           .groupBy("src", "dst").agg(fsum(lit(1L)).as("w"))
         graft.operators.LinkGraph.pagerank(edges, iters = 3)
+      }),
+      // the operator without the harness's score-dump write; LM scoring
+      // (one UDF pass) + the per-lang ntile sort are the costs
+      "q_ccnet_bucket" -> (s => graft.operators.CcnetBucket.buckets(
+        docsDf(s), "doc_id", "text", "lang")),
+      // crawl capstone at FLAGSHIP scale: wrap 1.6M staged rows in the
+      // boilerplate template, extract, canonicalize a synthetic crawl
+      // URL, URL-dedup (min-id survivor), length-gate, census — the
+      // q_web_curation chain minus the fixture-sized PageRank join
+      // (q_pagerank_scale measures that shuffle shape separately)
+      "q_web_scale" -> (s => {
+        import org.apache.spark.sql.functions.{concat, length => flen, lit, substring, xxhash64 => xx}
+        val files = s.read.parquet(inputPath)
+        val pages = files.select(
+          xx(col("repo"), col("path"), col("commit")).as("doc_id"),
+          concat(lit("https://www."), col("repo"), lit(".example:443/"),
+            substring(col("path"), 1, 12), lit("?utm_source=feed#top"))
+            .as("url"),
+          concat(lit("<html><head><script>var x = 1 < 2;" +
+            "</script></head><body><p>"), col("content"),
+            lit("</p><footer>© 2024 Example Corp — Privacy Policy" +
+              "</footer></body></html>")).as("html"))
+        val ex = graft.operators.HtmlExtract.extracted(
+            pages.where(!graft.operators.HtmlExtract.noindex(col("html"))),
+            "html")
+          .withColumn("text_len", flen(col("text")).cast("long"))
+          .select("doc_id", "url", "text_len")
+        val canon = graft.operators.UrlOps.canonicalized(ex, "url")
+        val surv = canon.groupBy(col("canonical"))
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("sid"))
+        canon.join(surv, canon("canonical") === surv("canonical") &&
+            canon("doc_id") === surv("sid"))
+          .where(!col("blocked") && col("text_len") >= 200)
+          .groupBy(col("domain"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_pages"),
+            org.apache.spark.sql.functions.sum(col("text_len"))
+              .as("total_text_len"))
       }))
 
     // Timing via bare count() would let Catalyst prune the final Project
@@ -372,7 +409,9 @@ object Bench {
       // test — a bare count would prune the UDF / the min() aggregate
       "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
       // rank values are the computation under test
-      "q_pagerank", "q_pagerank_scale")
+      "q_pagerank", "q_pagerank_scale",
+      // bucket/census columns are the computation under test
+      "q_ccnet_bucket", "q_web_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0
