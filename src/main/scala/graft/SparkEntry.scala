@@ -201,6 +201,24 @@ object SparkEntry {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Two deterministic crawl snapshots derived from documents (DuckDB
+    * twin inline in the q_snapshot_* oracles): the new snapshot drops
+    * %11 keys, updates %9 texts, and adds %13 synthetic pages — every
+    * CDC class populated, incl. the removed∩changed overlap (%99). */
+  def snapOldFromDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"))
+
+  def snapNewFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new page "), col("doc_id").cast("string")).as("text")))
+  }
+
   /** Deterministic crawl-URL table (doc_id, url) derived from documents
     * in pure ANSI SQL on both engines ([[urlsCte]] is the DuckDB twin).
     * The derivation plants every frozen-canonicalization case: scheme
@@ -1208,7 +1226,19 @@ object SparkEntry {
       census.join(ranks, Seq("domain"), "left_outer")
         .select(col("domain"), col("n_pages"), col("total_text_len"),
           coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
-    })
+    }),
+
+    // ---- incremental-crawl snapshot diff / merge (SnapshotDiff) ----
+    "q_snapshot_diff" -> ((s, dir) =>
+      // CDC between two crawl snapshots: one (key, hash)-only
+      // full-outer join — content never shuffles
+      SnapshotDiff.diff(snapOldFromDocs(s, dir), snapNewFromDocs(s, dir),
+        "doc_id", "text")),
+    "q_snapshot_merge" -> ((s, dir) =>
+      // the merged next state (append-only variant: removed keys kept)
+      SnapshotDiff.upsert(snapOldFromDocs(s, dir), snapNewFromDocs(s, dir),
+        "doc_id", keepRemoved = true)
+        .select(col("doc_id"), md5(col("text")).as("text_md5")))
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2247,6 +2277,33 @@ object SparkEntry {
          |  FROM kept GROUP BY 1)
          |SELECT c.domain, c.n_pages, c.total_text_len,
          |  COALESCE(r.rank_micro, 0) AS rank_micro
-         |FROM census c LEFT JOIN r3 r ON r.domain = c.domain""".stripMargin
+         |FROM census c LEFT JOIN r3 r ON r.domain = c.domain""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""WITH $snapCte
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  md5(o.text) AS old_hash, md5(n.text) AS new_hash
+         |FROM so o FULL OUTER JOIN sn n ON n.doc_id = o.doc_id""".stripMargin,
+    "q_snapshot_merge" ->
+      s"""WITH $snapCte
+         |SELECT doc_id, md5(text) AS text_md5 FROM sn
+         |UNION ALL
+         |SELECT o.doc_id, md5(o.text) FROM so o
+         |WHERE o.doc_id NOT IN (SELECT doc_id FROM sn)""".stripMargin
   )
+
+  /** The snapshot derivation as a DuckDB CTE body (tables so / sn). */
+  private def snapCte: String =
+    """so AS (SELECT doc_id, text FROM documents),
+      |sn AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0 THEN text || ' updated' ELSE text END
+      |      AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'new page ' || doc_id::VARCHAR
+      |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
 }

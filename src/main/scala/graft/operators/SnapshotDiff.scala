@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental-crawl snapshot diff + upsert (the CDC step between two
+  * crawl/corpus snapshots — what an Iceberg MERGE INTO does on a real
+  * lakehouse, expressed engine-neutrally): classify every key as
+  * added / removed / changed / unchanged by content hash, and produce
+  * the merged next-state corpus.
+  *
+  * FROZEN semantics:
+  *  - keys are compared by equality; content by a caller-supplied hash
+  *    column (md5 in the oracle queries for engine parity; pass
+  *    xxhash64 in production for 8-byte comparisons);
+  *  - `changed` means both sides present and hashes differ; null
+  *    content hashes compare with null-safe equality (two nulls =
+  *    unchanged);
+  *  - upsert = every new-snapshot row, plus old rows whose key is
+  *    absent from the new snapshot ONLY when `keepRemoved` (a crawl
+  *    refresh usually drops them; an append-only corpus keeps them).
+  *
+  * Scale shape: one hash-partitioned full-outer join on the key — the
+  * unavoidable shuffle; both sides partial-aggregate nothing and carry
+  * only (key, hash), so the shuffle is ~40 bytes/row, not content. At
+  * 10^12 rows co-locate both snapshots with the bucketed layout
+  * ([[graft.sources.BucketedTables]]) and the join runs zero-exchange;
+  * a small incremental delta broadcasts. The upsert's anti-join
+  * reuses the same key partitioning.
+  */
+object SnapshotDiff {
+
+  /** (id, change, old_hash, new_hash) — change ∈ added / removed /
+    * changed / unchanged. `hashOf` maps the content column to the
+    * comparison hash. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+           contentCol: String,
+           hashOf: Column => Column = c => md5(c)): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(
+      col(idCol).as(s"${tag}_id"),
+      hashOf(col(contentCol)).as(s"${tag}_hash"))
+    side(oldSnap, "old")
+      .join(side(newSnap, "new"), col("old_id") === col("new_id"),
+        "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as("id"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
+          .otherwise(lit("unchanged")).as("change"),
+        col("old_hash"), col("new_hash"))
+  }
+
+  /** The merged next state: new rows win; removed keys drop unless
+    * `keepRemoved`. Columns = the new snapshot's. */
+  def upsert(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+             keepRemoved: Boolean = false): DataFrame =
+    if (!keepRemoved) newSnap
+    else newSnap.unionByName(
+      oldSnap.select(newSnap.columns.map(col): _*)
+        .join(newSnap.select(col(idCol)), Seq(idCol), "left_anti"))
+}

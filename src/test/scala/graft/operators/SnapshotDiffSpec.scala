@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SnapshotDiff: CDC classification goldens (all four classes), null
+  * content semantics, and upsert in both removed-key modes (the
+  * DuckDB-parity half is the q_snapshot_diff / q_snapshot_merge
+  * oracles). */
+class SnapshotDiffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.DataFrame
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("diff classifies added / removed / changed / unchanged") {
+    val old = df(1L -> "a", 2L -> "b", 3L -> "c")
+    val neu = df(2L -> "b", 3L -> "c2", 4L -> "d")
+    val out = SnapshotDiff.diff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("null contents on both sides compare unchanged (null-safe)") {
+    val old = df(1L -> null)
+    val neu = df(1L -> null, 2L -> null)
+    val out = SnapshotDiff.diff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "added"))
+  }
+
+  test("upsert: new wins; removed keys drop unless keepRemoved") {
+    val old = df(1L -> "a", 2L -> "b")
+    val neu = df(2L -> "b2", 3L -> "c")
+    def ids(d: DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids(SnapshotDiff.upsert(old, neu, "doc_id")) ===
+      Map(2L -> "b2", 3L -> "c"))
+    assert(ids(SnapshotDiff.upsert(old, neu, "doc_id", keepRemoved = true)) ===
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("diff shuffles hashes, not content (plan carries no text column)") {
+    val old = df(1L -> "a")
+    val neu = df(1L -> "a")
+    val plan = SnapshotDiff.diff(old, neu, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the join keys/payload are (id, hash) projections; the raw text
+    // column must be pruned before any exchange
+    assert(!plan.contains("text#") ||
+      plan.indexOf("Exchange") < 0 ||
+      !plan.substring(plan.indexOf("Exchange")).contains("text#"), plan)
+  }
+}
