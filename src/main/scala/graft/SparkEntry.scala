@@ -150,6 +150,10 @@ object SparkEntry {
   def ccnetDumpPath(dir: String): String =
     s"/tmp/graft_ccnet_dump_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** WARC shard dir (q_warc round-trip fixture). */
+  def warcDumpPath(dir: String): String =
+    s"/tmp/graft_warc_${dir.split('/').filter(_.nonEmpty).last}"
+
   // ---- crawled-pages fixture (HtmlExtract / UrlOps input shape) ----
   // HTML template fragments shared VERBATIM by the Spark derivation and
   // the DuckDB CTE (no single quotes, so they drop into SQL literals
@@ -1238,7 +1242,20 @@ object SparkEntry {
       // the merged next state (append-only variant: removed keys kept)
       SnapshotDiff.upsert(snapOldFromDocs(s, dir), snapNewFromDocs(s, dir),
         "doc_id", keepRemoved = true)
-        .select(col("doc_id"), md5(col("text")).as("text_md5")))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))),
+
+    // ---- WARC ingestion round-trip (sources.WarcIO) ----
+    "q_warc" -> ((s, dir) => {
+      // write the pages fixture as 8 WARC shards (frozen grammar), read
+      // them back distributed; the oracle checks the round-trip inverts
+      // the derivation byte-exactly (md5 + octet length per url)
+      val path = warcDumpPath(dir)
+      graft.sources.WarcIO.writeWarc(
+        pagesFromDocs(s, dir), "doc_id", "url", "html", path)
+      graft.sources.WarcIO.readWarc(s, path)
+        .select(col("url"), md5(col("html")).as("html_md5"),
+          expr("octet_length(html)").cast("long").as("html_bytes"))
+    })
   )
 
   /** DuckDB oracles — column names MUST match the Spark results above. */
@@ -2292,7 +2309,12 @@ object SparkEntry {
          |SELECT doc_id, md5(text) AS text_md5 FROM sn
          |UNION ALL
          |SELECT o.doc_id, md5(o.text) FROM so o
-         |WHERE o.doc_id NOT IN (SELECT doc_id FROM sn)""".stripMargin
+         |WHERE o.doc_id NOT IN (SELECT doc_id FROM sn)""".stripMargin,
+    "q_warc" ->
+      s"""WITH $pagesCte
+         |SELECT url, md5(html) AS html_md5,
+         |  CAST(strlen(html) AS BIGINT) AS html_bytes
+         |FROM pages""".stripMargin
   )
 
   /** The snapshot derivation as a DuckDB CTE body (tables so / sn). */

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC-lite reader/writer — the crawl-native container format (ISO
+  * 28500 shape, restricted): ingestion jobs read web captures from WARC
+  * long before anything is parquet. The READER is the operator (one
+  * `binaryFile` scan → per-file record parse, embarrassingly parallel,
+  * zero shuffle); the writer exists to produce deterministic fixtures
+  * and small exports.
+  *
+  * FROZEN record grammar (the subset this engine reads and writes):
+  * `WARC/1.0\r\n` + header lines `Name: value\r\n` + `\r\n` + exactly
+  * `Content-Length` payload BYTES + `\r\n\r\n`. Required headers:
+  * `WARC-Target-URI`, `Content-Length`. Payloads are UTF-8 text here
+  * (HTML captures); the byte-exact Content-Length is what the oracle
+  * checks. Parsing is FAIL-FAST: a malformed record raises with the
+  * file path and byte offset — an ingestion job must halt loudly on a
+  * corrupt shard, not silently drop tail records (deliberate contrast
+  * with [[graft.operators.Multimodal]]'s never-throw decode of
+  * genuinely untrusted payload bytes).
+  *
+  * Scale shape: `spark.read.format("binaryFile")` gives one task per
+  * WARC shard; parsing is a linear byte scan per file. Shard size is
+  * the parallelism knob (real crawls write ~1 GB shards); records never
+  * shuffle until the caller asks for it.
+  */
+object WarcIO {
+
+  private val Magic = "WARC/1.0\r\n".getBytes(UTF_8)
+
+  /** Parse one WARC file into (record_index, url, html) tuples. */
+  private[graft] def parseWarc(path: String, bytes: Array[Byte]): Seq[(Int, String, String)] = {
+    def fail(off: Int, why: String) = throw new IllegalArgumentException(
+      s"malformed WARC record in $path at byte $off: $why")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var pos = 0
+    var idx = 0
+    while (pos < bytes.length) {
+      if (pos + Magic.length > bytes.length ||
+        !java.util.Arrays.equals(bytes, pos, pos + Magic.length,
+          Magic, 0, Magic.length)) fail(pos, "missing WARC/1.0 magic")
+      var p = pos + Magic.length
+      var uri: String = null
+      var len = -1L
+      var headersDone = false
+      while (!headersDone) {
+        val eol = indexOf(bytes, "\r\n".getBytes(UTF_8), p)
+        if (eol < 0) fail(p, "unterminated header line")
+        if (eol == p) { headersDone = true; p = eol + 2 }
+        else {
+          val line = new String(bytes, p, eol - p, UTF_8)
+          val sep = line.indexOf(": ")
+          if (sep < 0) fail(p, s"header without ': ' - '$line'")
+          val (name, value) = (line.substring(0, sep), line.substring(sep + 2))
+          if (name == "WARC-Target-URI") uri = value
+          if (name == "Content-Length") len =
+            try value.toLong catch {
+              case _: NumberFormatException =>
+                fail(p, s"bad Content-Length '$value'"); -1L
+            }
+          p = eol + 2
+        }
+      }
+      if (uri == null) fail(pos, "missing WARC-Target-URI header")
+      if (len < 0) fail(pos, "missing Content-Length header")
+      if (p + len + 4 > bytes.length) fail(p,
+        s"payload of $len bytes + record terminator overruns the file")
+      val body = new String(bytes, p, len.toInt, UTF_8)
+      p += len.toInt
+      if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n'))
+        fail(p, "missing \\r\\n\\r\\n record terminator")
+      out += ((idx, uri, body))
+      idx += 1
+      pos = p + 4
+    }
+    out.toSeq
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Distributed read: (warc_file, record_index, url, html), one task
+    * per shard, zero shuffle. */
+  def readWarc(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        val file = p.split('/').last
+        parseWarc(p, b).map { case (i, u, h) => (file, i, u, h) }
+      }
+      .toDF("warc_file", "record_index", "url", "html")
+  }
+
+  /** Serialize one record in the frozen grammar. */
+  private[graft] def record(url: String, html: String): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(UTF_8)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Fixture/export writer: rows → `nFiles` WARC shards at `dir`
+    * (shard = id % nFiles, records in ascending id order — fully
+    * deterministic bytes). DRIVER-SIDE by design, guarded: this is the
+    * fixture generator and small-export path; big corpora are written
+    * by the engine's parquet/Iceberg sinks, WARC is an INPUT format. */
+  def writeWarc(df: DataFrame, idCol: String, urlCol: String,
+                htmlCol: String, dir: String, nFiles: Int = 8,
+                maxRows: Long = 100000L): Unit = {
+    val n = df.count()
+    require(n <= maxRows, s"writeWarc is the driver-side fixture/export " +
+      s"path ($n rows > maxRows=$maxRows); write big corpora via the " +
+      "parquet sinks - WARC is an ingestion format here")
+    val rows = df.select(col(idCol).cast("long"), col(urlCol), col(htmlCol))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val d = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(d))
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    java.nio.file.Files.createDirectories(d)
+    (0 until nFiles).foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      rows.iterator.filter(_._1 % nFiles == f)
+        .foreach { case (_, u, h) => bos.write(record(u, h)) }
+      java.nio.file.Files.write(d.resolve(f"part-$f%05d.warc"), bos.toByteArray)
+    }
+  }
+}

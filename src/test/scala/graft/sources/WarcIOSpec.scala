@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WarcIO: byte-exact record golden, multibyte Content-Length, write →
+  * distributed-read round-trip, fail-fast parse errors, and the writer
+  * size guard (the DuckDB-parity half is the q_warc oracle). */
+class WarcIOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("record golden: exact frozen grammar bytes") {
+    val b = WarcIO.record("https://a.test/x", "ab")
+    val expect = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.test/x\r\nContent-Length: 2\r\n\r\n" +
+      "ab\r\n\r\n"
+    assert(new String(b, UTF_8) === expect)
+  }
+
+  test("Content-Length is BYTES: multibyte payloads round-trip") {
+    val html = "<p>© café — ß</p>"
+    val rec = WarcIO.record("u", html)
+    val parsed = WarcIO.parseWarc("t", rec)
+    assert(parsed === Seq((0, "u", html)))
+    // header carries the UTF-8 byte count, not the char count
+    assert(new String(rec, UTF_8).contains(
+      s"Content-Length: ${html.getBytes(UTF_8).length}"))
+    assert(html.getBytes(UTF_8).length > html.length)
+  }
+
+  test("empty body and multi-record files parse in order") {
+    val bytes = WarcIO.record("u1", "") ++ WarcIO.record("u2", "body two")
+    assert(WarcIO.parseWarc("t", bytes) ===
+      Seq((0, "u1", ""), (1, "u2", "body two")))
+  }
+
+  test("fail-fast: truncation, bad magic, missing headers raise loudly") {
+    val good = WarcIO.record("u", "abc")
+    def err(b: Array[Byte]) = intercept[IllegalArgumentException] {
+      WarcIO.parseWarc("t", b)
+    }.getMessage
+    assert(err(good.dropRight(2)).contains("overruns") ||
+      err(good.dropRight(2)).contains("terminator"))
+    assert(err("XARC/1.0\r\n".getBytes(UTF_8)).contains("magic"))
+    assert(err(("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+      .getBytes(UTF_8)).contains("WARC-Target-URI"))
+    assert(err(("WARC/1.0\r\nWARC-Target-URI: u\r\n\r\n\r\n\r\n")
+      .getBytes(UTF_8)).contains("Content-Length"))
+  }
+
+  test("write -> distributed read round-trip (8 shards, id%8 layout)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftwarc").toString
+    val rows = (0L until 40L).map(i =>
+      (i, s"https://ex${i % 5}.test/p/$i", s"<p>doc $i body ©</p>"))
+    WarcIO.writeWarc(rows.toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html", dir)
+    val back = WarcIO.readWarc(spark, dir)
+      .select("url", "html").as[(String, String)].collect().toSet
+    assert(back === rows.map(r => (r._2, r._3)).toSet)
+    // record order inside a shard is ascending id
+    val perFile = WarcIO.readWarc(spark, dir)
+      .select("warc_file", "record_index", "url")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    perFile.groupBy(_._1).foreach { case (_, rs) =>
+      val ids = rs.sortBy(_._2)
+        .map(_._3.split('/').last.toLong)
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
+
+  test("writer size guard trips loudly") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      WarcIO.writeWarc(Seq((1L, "u", "h"), (2L, "u2", "h2"))
+        .toDF("doc_id", "url", "html"), "doc_id", "url", "html",
+        "/tmp/graftwarc_guard", maxRows = 1L)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+}
