@@ -1215,13 +1215,14 @@ object SparkEntry {
       val ex = HtmlExtract.extracted(indexable, "html")
         .withColumn("text_len", length(col("text")).cast("long"))
         .select("doc_id", "url", "text_len")
+      // survivor via min-over-window, not groupBy+self-join: the join
+      // shape re-derives the extraction lineage twice; the window is one
+      // exchange on canonical and a single pass
       val canon = UrlOps.canonicalized(ex, "url")
-      val surv = canon.groupBy(col("canonical"))
-        .agg(min(col("doc_id")).as("sid"))
-      val kept = canon.join(surv,
-          canon("canonical") === surv("canonical") &&
-            canon("doc_id") === surv("sid"))
-        .where(!col("blocked") && col("text_len") >= 200)
+      val kept = canon.withColumn("sid",
+          min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+        .where(col("doc_id") === col("sid") &&
+          !col("blocked") && col("text_len") >= 200)
       val census = kept.groupBy(col("domain"))
         .agg(count(lit(1)).as("n_pages"),
           sum(col("text_len")).as("total_text_len"))
