@@ -2237,18 +2237,17 @@ object SparkEntry {
     "q_outlinks" ->
       s"""WITH $pagesCte,
          |l AS (SELECT doc_id, url,
-         |    lower(split_part(regexp_replace(url, '${UrlOps.SchemePattern}', ''),
-         |      '/', 1)) AS src_domain,
-         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |    ${LinkGraph.duckHostExpr("url")} AS src_domain,
+         |    regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
          |  FROM pages)
-         |SELECT doc_id, url, count(*) AS n_links,
-         |  CAST(sum(CASE WHEN (CASE WHEN href LIKE 'http://%'
-         |        OR href LIKE 'https://%'
-         |      THEN lower(split_part(regexp_replace(href,
-         |        '${UrlOps.SchemePattern}', ''), '/', 1))
-         |      ELSE src_domain END) <> src_domain THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_external
-         |FROM l GROUP BY 1, 2""".stripMargin,
+         |SELECT doc_id, url,
+         |  CAST(len(hrefs) AS BIGINT) AS n_links,
+         |  CAST(len(list_filter(hrefs, h ->
+         |    (CASE WHEN h LIKE 'http://%' OR h LIKE 'https://%'
+         |      THEN ${LinkGraph.duckHostExpr("h")}
+         |      ELSE src_domain END) <> src_domain)) AS BIGINT)
+         |    AS n_external
+         |FROM l""".stripMargin,
     "q_link_graph" ->
       s"""WITH $pagesCte,
          |${LinkGraph.duckPagerankCtes(0)}

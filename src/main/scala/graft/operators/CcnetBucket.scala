@@ -79,9 +79,14 @@ object CcnetBucket {
     val scored = withPplMicro(docs, textCol, langCol, bundle)
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val cuts = scored.groupBy(col(langCol)).agg(
-      percentile_approx(col("ppl_micro"), array(qs.map(lit): _*),
-        lit(accuracy)).as("cuts"))
-    scored.join(broadcast(cuts), Seq(langCol))
+        percentile_approx(col("ppl_micro"), array(qs.map(lit): _*),
+          lit(accuracy)).as("cuts"))
+      .withColumnRenamed(langCol, "_cb_lang")
+    // null-safe join: GROUP BY keeps the null-lang group, so the exact
+    // path buckets those rows — an equi-join here would silently drop
+    // them (null == null is never true); <=> keeps both paths aligned
+    scored.join(broadcast(cuts), col(langCol) <=> col("_cb_lang"))
+      .drop("_cb_lang")
       .withColumn("bucket_id",
         (size(filter(col("cuts"), c => col("ppl_micro") > c)) + 1))
       .withColumn("bucket", bucketName(col("bucket_id"), nBuckets))

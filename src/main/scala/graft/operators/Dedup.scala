@@ -343,12 +343,39 @@ object Dedup {
       b => xxhash64(slice(sig, b * rows + 1, lit(rows))))
   }
 
+  /** Tokens → per-band hashes in pure JVM: the signature computed once,
+    * each band's `numHashes/bands` permutation minima mixed with
+    * splitmix64. Used for BOTH sides of [[nearDupGate]], so the gate is
+    * self-consistent; two documents share a band hash iff their band's
+    * minima tuples are equal (modulo a ~2^-64 mix collision, which can
+    * only ADD a drop — the safe direction for a recall-oriented gate),
+    * i.e. exactly when [[minhashBuckets]] would bucket them together.
+    * A Catalyst formulation existed first but evaluating the signature
+    * UDF under a `transform` lambda risks per-band re-evaluation when
+    * the optimizer inlines the projection into the filter — one JVM
+    * function per row has no such hazard. */
+  private[graft] def jvmBandHashes(shingleK: Int, numHashes: Int,
+                                   bands: Int): Array[String] => Array[Long] = {
+    val sigF = minhashSigFromTokens(shingleK, numHashes)
+    val rows = numHashes / bands
+    tokens => {
+      val sig = sigF(tokens)
+      Array.tabulate(bands) { b =>
+        var h = 0x9E3779B97F4A7C15L
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = splitmix64(h ^ sig(i)); i += 1 }
+        h
+      }
+    }
+  }
+
   /** Near-dup GATE against a STATIC corpus — the streaming-safe face of
     * MinHash LSH (the batch operators own corpus-vs-corpus dedup): the
     * static side's distinct (band, hash) keys are collected under a size
     * guard into one sorted array per band and broadcast; each incoming
-    * row computes its signature ONCE and is dropped iff any of its band
-    * hashes collides with the static index — exactly the candidate
+    * row computes its signature ONCE (one scalar UDF: tokenize →
+    * signature → band hashes → binary search) and is dropped iff any
+    * band collides with the static index — exactly the candidate
     * condition of [[minhashPairsFromBuckets]] restricted to
     * (incoming, static) pairs, which is what the spec asserts.
     *
@@ -365,12 +392,15 @@ object Dedup {
                   shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                   maxStaticBuckets: Long = 5000000L): DataFrame = {
     val spark = staticCorpus.sparkSession
+    val bandFn = jvmBandHashes(shingleK, numHashes, bands)
+    val bandsUdf = udf((tokens: Seq[String]) =>
+      bandFn(if (tokens == null) Array.empty[String] else tokens.toArray))
     val keys = staticCorpus
       .where(size(split(trim(col(textCol)), "\\s+")) >= shingleK)
-      .select(minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
-      .select(posexplode(bandHashesFromSig(col("sig"), numHashes, bands)))
+      .select(posexplode(bandsUdf(split(trim(col(textCol)), "\\s+"))))
       .toDF("band_id", "band_hash").distinct()
-    val n = keys.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count() // also materializes the cache for the collect
     require(n <= maxStaticBuckets,
       s"static LSH index has $n distinct band keys > maxStaticBuckets=" +
         s"$maxStaticBuckets: a driver collect this large risks OOM - run " +
@@ -380,9 +410,11 @@ object Dedup {
       keys.collect().foreach(r => bufs(r.getInt(0)) += r.getLong(1))
       bufs.map(_.toArray.sorted)
     }
+    keys.unpersist()
     val bc = spark.sparkContext.broadcast(perBand)
-    val hit = udf { (bh: Seq[Long]) =>
-      bh != null && {
+    val hit = udf { (tokens: Seq[String]) =>
+      tokens != null && tokens.length >= shingleK && {
+        val bh = bandFn(tokens.toArray)
         val idx = bc.value
         var b = 0
         var found = false
@@ -393,13 +425,7 @@ object Dedup {
         found
       }
     }
-    val withSig = rows0.withColumn("_nd_sig",
-      when(size(split(trim(col(textCol)), "\\s+")) >= shingleK,
-        minhashSignature(col(textCol), shingleK, numHashes)))
-    withSig
-      .where(!hit(when(col("_nd_sig").isNotNull,
-        bandHashesFromSig(col("_nd_sig"), numHashes, bands))))
-      .drop("_nd_sig")
+    rows0.where(!hit(split(trim(col(textCol)), "\\s+")))
   }
 
   /** Bucket-collision pairs: docs sharing any full band, (id_a < id_b),

@@ -43,10 +43,23 @@ object LinkGraph {
   final val Scale = 1000000L
   final val DampingNum = 85L // /100
 
-  /** Lowercased host of an absolute URL (text before the first '/'
-    * after stripping the scheme). */
-  private def hostOf(u: Column): Column =
-    lower(substring_index(regexp_replace(u, UrlOps.SchemePattern, ""), "/", 1))
+  /** Normalized host of an absolute URL — the SAME normalization
+    * [[UrlOps]] applies (lowercase, one leading "www.", one default
+    * port stripped), so link-graph domains join cleanly against
+    * UrlOps-derived census domains and intra-site www↔apex navigation
+    * is a self-loop, not a fake endorsement edge. */
+  private def hostOf(u: Column): Column = {
+    val raw = lower(substring_index(
+      regexp_replace(u, UrlOps.SchemePattern, ""), "/", 1))
+    regexp_replace(regexp_replace(raw, UrlOps.WwwPattern, ""),
+      UrlOps.PortPattern, "")
+  }
+
+  /** The identical host normalization as a DuckDB expression. */
+  def duckHostExpr(c: String): String =
+    s"regexp_replace(regexp_replace(lower(split_part(" +
+      s"regexp_replace($c, '${UrlOps.SchemePattern}', ''), '/', 1)), " +
+      s"'${UrlOps.WwwPattern}', ''), '${UrlOps.PortPattern}', '')"
 
   /** One row per href occurrence: (all page columns minus html) +
     * (href, dst_domain, src_domain). */
@@ -64,19 +77,22 @@ object LinkGraph {
       .drop(htmlCol)
   }
 
-  /** Per-page link stats: total links and external (cross-domain). */
+  /** Per-page link stats: total links and external (cross-domain) —
+    * computed per ROW over the extracted href array (no explode), so
+    * pages with zero links report n_links = 0 instead of vanishing.
+    * The filter lambda interprets per element, but elements are links
+    * per page (a handful), not tokens — not the GopherLexical regime. */
   def pageLinkStats(pages: DataFrame, idCol: String, urlCol: String,
-                    htmlCol: String): DataFrame =
-    outlinks(pages, idCol +: urlCol +: Nil, urlCol, htmlCol)
-      .groupBy(col(idCol), col(urlCol))
-      .agg(count(lit(1)).as("n_links"),
-        sum(when(col("dst_domain") =!= col("src_domain"), 1L).otherwise(0L))
-          .as("n_external"))
-
-  private def outlinks(pages: DataFrame, keep: Seq[String], urlCol: String,
-                       htmlCol: String): DataFrame =
-    outlinks(pages.select(keep.distinct.map(col) :+ col(htmlCol): _*),
-      urlCol, htmlCol)
+                    htmlCol: String): DataFrame = {
+    val hrefs = expr(
+      s"""regexp_extract_all($htmlCol, 'href="([^"]*)"', 1)""")
+    val src = hostOf(col(urlCol))
+    pages.select(col(idCol), col(urlCol),
+      size(hrefs).cast("long").as("n_links"),
+      size(filter(hrefs, h =>
+        when(h.startsWith("http://") || h.startsWith("https://"),
+          hostOf(h)).otherwise(src) =!= src)).cast("long").as("n_external"))
+  }
 
   /** Inter-domain weighted edges (self-loops excluded). */
   def domainEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
@@ -113,7 +129,14 @@ object LinkGraph {
           expr(s"(15 * $Scale + $DampingNum * coalesce(in_sum, 0L)) div 100")
             .as("rank_micro"))
     }
-    ranks
+    // materialize the (small — |domains| rows) result eagerly so the
+    // three persisted inputs can be released here instead of leaking
+    // caches across every invocation; callers get a lineage-free table
+    val out = ranks.localCheckpoint(true)
+    e.unpersist()
+    nodes.unpersist()
+    outw.unpersist()
+    out
   }
 
   // -------- DuckDB rendering, generated from the same atoms ----------
@@ -123,15 +146,13 @@ object LinkGraph {
   def duckPagerankCtes(iters: Int): String = {
     val base =
       s"""links AS (
-         |  SELECT lower(split_part(regexp_replace(url, '${UrlOps.SchemePattern}', ''),
-         |           '/', 1)) AS src_domain,
+         |  SELECT ${duckHostExpr("url")} AS src_domain,
          |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
          |  FROM pages),
          |resolved AS (
          |  SELECT src_domain,
          |    CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
-         |      THEN lower(split_part(regexp_replace(href, '${UrlOps.SchemePattern}', ''),
-         |             '/', 1))
+         |      THEN ${duckHostExpr("href")}
          |      ELSE src_domain END AS dst_domain
          |  FROM links),
          |dedges AS (

@@ -89,9 +89,12 @@ object UrlOps {
   /** SELECT-list fragments (host, domain, canonical, blocked) over a
     * url column `c` — splice into the oracle's CTE. */
   def duckCanonExprs(c: String): String = {
+    // COALESCE mirrors the Spark side's coalesce(url, '') — without it a
+    // null url propagates NULL through the DuckDB chain while Spark
+    // canonicalizes to '', a cross-engine divergence
     val noScheme =
-      s"regexp_replace(split_part(split_part($c, '#', 1), '?', 1), " +
-        s"'$SchemePattern', '')"
+      s"regexp_replace(split_part(split_part(COALESCE($c, ''), '#', 1), " +
+        s"'?', 1), '$SchemePattern', '')"
     // DuckDB lacks let-bindings inside an expression; rebuild via CTE in
     // the caller: this emits one SELECT body computing all four columns.
     s"""ns AS (SELECT *, $noScheme AS ns FROM urls),

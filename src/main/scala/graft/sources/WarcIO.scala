@@ -136,13 +136,18 @@ object WarcIO {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
     val d = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(d))
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+    if (java.nio.file.Files.exists(d)) {
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close()
+    }
     java.nio.file.Files.createDirectories(d)
     (0 until nFiles).foreach { f =>
       val bos = new java.io.ByteArrayOutputStream()
-      rows.iterator.filter(_._1 % nFiles == f)
+      // floorMod: negative ids (xxhash64 keys are signed) must land in
+      // a real shard — Scala % would route them to none, silent loss
+      rows.iterator.filter(r => java.lang.Math.floorMod(r._1, nFiles.toLong) == f)
         .foreach { case (_, u, h) => bos.write(record(u, h)) }
       java.nio.file.Files.write(d.resolve(f"part-$f%05d.warc"), bos.toByteArray)
     }

@@ -73,13 +73,20 @@ class CcnetBucketSpec extends AnyFunSuite {
   }
 
   test("approx path agrees >=95% with exact ntile on the fixture corpus") {
-    val exact = CcnetBucket.buckets(corpusDf, "doc_id", "text", "lang")
+    import spark.implicits._
+    // include a null-lang row: the approx join must be null-safe, not
+    // an equi-join that silently drops the null-lang group
+    val withNull = corpusDf.unionByName(
+      Seq((99999L, null.asInstanceOf[String], "null lang doc text here"))
+        .toDF("doc_id", "lang", "text"))
+    val exact = CcnetBucket.buckets(withNull, "doc_id", "text", "lang")
       .select("doc_id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val approx = CcnetBucket.bucketsApprox(corpusDf, "doc_id", "text", "lang")
+    val approx = CcnetBucket.bucketsApprox(withNull, "doc_id", "text", "lang")
       .select("doc_id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(approx.keySet === exact.keySet)
+    assert(approx.contains(99999L))
     val agree = exact.count { case (k, v) => approx(k) == v }
     assert(agree.toDouble / exact.size >= 0.95,
       s"$agree/${exact.size} agreement")

@@ -35,6 +35,30 @@ class LinkGraphSpec extends AnyFunSuite {
       ("mailto:z@q.test", "a.test", "a.test")))
   }
 
+  test("host normalization matches UrlOps: www/default ports strip") {
+    val out = LinkGraph.outlinks(pagesDf(
+      (1L, "https://WWW.A.TEST:443/p/1",
+        "<a href=\"https://www.a.test/x\">self</a>" +
+          "<a href=\"http://www.b.test:80/y\">ext</a>")), "url", "html")
+      .select("src_domain", "dst_domain")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("a.test", "a.test"), ("a.test", "b.test")))
+    // www↔apex navigation is a self-loop, never an edge
+    val edges = LinkGraph.domainEdges(pagesDf(
+      (1L, "https://www.a.test/",
+        "<a href=\"https://a.test/x\">apex</a>")), "url", "html").collect()
+    assert(edges.isEmpty)
+  }
+
+  test("pageLinkStats reports zero-link pages instead of dropping them") {
+    val stats = LinkGraph.pageLinkStats(pagesDf(
+      (1L, "https://a.test/", "<p>no links at all</p>")),
+      "doc_id", "url", "html").collect()
+    assert(stats.length === 1)
+    assert(stats(0).getAs[Long]("n_links") === 0L)
+    assert(stats(0).getAs[Long]("n_external") === 0L)
+  }
+
   test("pageLinkStats counts external links only once resolved") {
     val stats = LinkGraph.pageLinkStats(pagesDf(
       (1L, "https://a.test/",

@@ -77,6 +77,18 @@ class WarcIOSpec extends AnyFunSuite {
     }
   }
 
+  test("negative ids (xxhash64 keys) land in real shards — no silent loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftwarcneg").toString
+    val rows = Seq((-9223372036854775708L, "u1", "h1"), (-3L, "u2", "h2"),
+      (5L, "u3", "h3"))
+    WarcIO.writeWarc(rows.toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html", dir)
+    val back = WarcIO.readWarc(spark, dir)
+      .select("url", "html").as[(String, String)].collect().toSet
+    assert(back === rows.map(r => (r._2, r._3)).toSet)
+  }
+
   test("writer size guard trips loudly") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
