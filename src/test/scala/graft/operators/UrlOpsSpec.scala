@@ -77,6 +77,42 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out === Set(("b.test", 3L, 2L)))
   }
 
+  test("fuzz: Catalyst chain == independent JVM canonicalizer") {
+    import spark.implicits._
+    def naive(url0: String): (String, String, String, Boolean) = {
+      val u = if (url0 == null) "" else url0
+      val noQ = u.takeWhile(_ != '#').takeWhile(_ != '?')
+      val noScheme = noQ.replaceFirst("^https?://", "")
+      val hostRaw = noScheme.takeWhile(_ != '/')
+      val rest = noScheme.drop(hostRaw.length)
+      val host = hostRaw.toLowerCase(java.util.Locale.ROOT)
+        .replaceFirst("^www\\.", "").replaceFirst(":(80|443)$", "")
+      val canonical = host + rest.replaceFirst("/$", "")
+      val labels = host.split("\\.", -1)
+      val domain = if (labels.length >= 2)
+        labels(labels.length - 2) + "." + labels(labels.length - 1)
+      else host
+      (host, domain, canonical, UrlOps.BlockedDomains.contains(domain))
+    }
+    val pool = Vector("http://", "https://", "htp://", "www.", "WWW.",
+      "blog.", "EX7", "ex7", "a", ".test", ".example", ":443", ":80",
+      ":8080", "/", "/p/1", "/P/Q", "?utm=1&x=2", "#frag", ".", "..",
+      "", "x y", ":")
+    val rnd = new scala.util.Random(8181818L)
+    val cases = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+        .mkString(""))
+    }
+    val got = UrlOps.canonicalized(cases.toDF("id", "url"), "url")
+      .select("id", "host", "domain", "canonical", "blocked")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    cases.foreach { case (id, u) =>
+      assert(got(id) === naive(u), s"on: '$u'")
+    }
+  }
+
   test("canonicalized is a zero-shuffle, UDF-free narrow pass") {
     import spark.implicits._
     val plan = UrlOps.canonicalized(
