@@ -1,0 +1,36 @@
+package graft.streaming
+
+import graft.operators.{HtmlExtract, UrlOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming crawl-ingest prefix — the URL/HTML face of the curation
+  * stream ([[CurateStream]] is the text face): robots-noindex drop →
+  * URL canonicalization → domain blocklist → canonical-URL dedup
+  * bounded by the event-time watermark → HTML text extraction. This is
+  * the RefinedWeb ingestion order (cheap URL-level gates before any
+  * content work), and every stage is stateless except the dedup, whose
+  * state is O(distinct canonical URLs inside the horizon) — the only
+  * shape that survives an unbounded crawl; corpus-global URL dedup
+  * belongs to the batch [[UrlOps.urlDedup]].
+  *
+  * Stage decisions are pure functions of row content (canonicalization,
+  * noindex, blocklist, extraction) plus first-occurrence-per-canonical,
+  * so replaying the same rows through the batch operators yields the
+  * same kept (canonical, text) set — what the spec asserts. */
+object CrawlStream {
+
+  /** `rows`: streaming DataFrame with `urlCol`, `htmlCol` and
+    * event-time `tsCol`. Emits extracted text rows for first-seen,
+    * indexable, unblocked canonical URLs. */
+  def gate(rows: DataFrame, urlCol: String, htmlCol: String, tsCol: String,
+           watermarkDelay: String = "10 minutes"): DataFrame = {
+    val indexable = rows.where(!HtmlExtract.noindex(col(htmlCol)))
+    val canon = UrlOps.canonicalized(indexable, urlCol)
+      .where(!col("blocked"))
+    val deduped = canon
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("canonical")
+    HtmlExtract.extracted(deduped, htmlCol)
+  }
+}

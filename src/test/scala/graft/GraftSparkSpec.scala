@@ -839,6 +839,46 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxEvalShingles"), e.getMessage)
   }
 
+  test("streaming crawl gate == batch robots/canon/blocklist/dedup/extract composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcrawlst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    def page(id: Long, url: String, body: String, noindex: Boolean = false) =
+      (id, url, s"<html><head>${
+        if (noindex) "<meta name=\"robots\" content=\"noindex\">" else ""
+      }</head><body><p>$body</p></body></html>", t(id))
+    val rows = Seq(
+      page(1, "https://www.a.test/p/1?utm=1", "alpha beta gamma delta"),
+      page(2, "http://A.TEST/p/1#x", "alpha beta gamma delta"), // canonical dup of 1
+      page(3, "https://b.test/p/2", "epsilon zeta eta theta"),
+      page(4, "https://ex7.test/p/3", "blocked domain page text"), // blocklisted
+      page(5, "https://c.test/p/4", "kappa lambda mu nu", noindex = true))
+    rows.toDF("doc_id", "url", "html", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, url STRING, html STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CrawlStream.gate(stream, "url", "html", "ts")
+      .writeStream.format("memory").queryName("crawl_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("crawl_stream")
+      .select("canonical", "text").as[(String, String)].collect().toSet
+    // batch twin: same stages, first-occurrence = distinct since dup
+    // rows carry identical (canonical, text)
+    val batch = operators.HtmlExtract.extracted(
+        operators.UrlOps.canonicalized(
+          rows.toDF("doc_id", "url", "html", "ts")
+            .where(!operators.HtmlExtract.noindex(col("html"))), "url")
+          .where(!col("blocked")), "html")
+      .select("canonical", "text").distinct()
+      .as[(String, String)].collect().toSet
+    assert(streamed === batch, streamed)
+    assert(streamed === Set(
+      ("a.test/p/1", "alpha beta gamma delta"),
+      ("b.test/p/2", "epsilon zeta eta theta")))
+  }
+
   test("streaming near-dup gate == batch LSH candidate set vs the static corpus; size guard trips") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftndst").toString
