@@ -95,7 +95,14 @@ object Bench {
     // per-row-overhead-dominated
     val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
     val inputPath = s"/tmp/graft_bench_filerows_${benchRows}_x$bodyScale"
-    if (!graft.sources.ParquetTableIO.exists(spark, inputPath)) {
+    // SPARK_GRAFT_ONLY must gate the flagship block and the staging too,
+    // or "iterate on one query" still pays the 1.6M-row stage + 6 full
+    // pipeline passes
+    val runPipelineSynth = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(',').map(_.trim).contains("pipeline_synth"))
+    val needsStaged = runPipelineSynth || headline.exists(_.endsWith("_scale"))
+    if (needsStaged &&
+      !graft.sources.ParquetTableIO.exists(spark, inputPath)) {
       System.err.println(s"[bench] staging $benchRows synthetic FileRows (bodyScale=$bodyScale) -> $inputPath")
       graft.core.Synth.fileRowsDistributed(spark, benchRows.toLong, bodyScale = bodyScale)
         .write.mode("overwrite").parquet(inputPath)
@@ -528,7 +535,7 @@ object Bench {
         all.map { case (s, o, p) => f"$s%.2f${if (o) "" else "!"}@$p%.2f" }.mkString("[", " ", "]") +
         (if (failures > 0) s" ($failures failed)" else ""))
       name -> mn
-    } ++ {
+    } ++ (if (!runPipelineSynth) Seq.empty[(String, Double)] else {
       // flagship throughput on the staged synthetic FileRow table (the
       // documents fixture is only 5k rows at sf0.1 — too small to load
       // 32 cores; staging happens above, shared with q_curation_scale
@@ -582,7 +589,7 @@ object Bench {
       retries("pipeline_synth") = extra
       System.err.println(f"[bench] pipeline_synth min ${sec}%8.2fs / median ${med}%8.2fs over ${times.size} (${n/sec}%.0f rows/s best)")
       Seq("pipeline_synth" -> sec)
-    }
+    })
 
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

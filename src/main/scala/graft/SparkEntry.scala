@@ -1271,7 +1271,9 @@ object SparkEntry {
     * hash (Dsir.portableBucket's SQL twin). */
   private def gramBucketCtes(srcSql: String): String =
     """src AS (__SRC__),
-      |toks AS (SELECT id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      |toks AS (SELECT id, lang,
+      |           list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                       w -> w <> '') AS t
       |         FROM src WHERE length(trim(text)) > 0),
       |g1 AS (SELECT id, lang, unnest(t) AS g FROM toks),
       |g2 AS (SELECT id, lang, array_to_string(t[i:i+1], ' ') AS g

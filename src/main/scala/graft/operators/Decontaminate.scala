@@ -90,16 +90,20 @@ object Decontaminate {
     val evalHashes = evalSet
       .select(explode(Dedup.shingleHashes(col(textCol), k)).as("h"))
       .distinct()
-    val n = evalHashes.count()
-    require(n <= maxEvalShingles,
-      s"eval shingle set has $n distinct shingles > maxEvalShingles=$maxEvalShingles: " +
-        "a driver collect this large risks OOM - use the batch operators " +
-        "(Decontaminate.contaminatedIds broadcast semi-join, or " +
-        "contaminatedIdsBloom sketch + shuffled confirm) instead")
-    val sorted: Array[Long] = {
+    // one-pass guard+payload (limit probe): a separate count() would run
+    // the explode+distinct aggregation twice at stream-build time
+    val collected: Array[Long] = {
       import spark.implicits._
-      evalHashes.as[Long].collect().sorted
+      evalHashes.as[Long]
+        .limit(math.min(maxEvalShingles, Int.MaxValue - 1L).toInt + 1)
+        .collect()
     }
+    require(collected.length <= maxEvalShingles,
+      s"eval shingle set exceeds maxEvalShingles=$maxEvalShingles distinct " +
+        "shingles: a driver collect this large risks OOM - use the batch " +
+        "operators (Decontaminate.contaminatedIds broadcast semi-join, or " +
+        "contaminatedIdsBloom sketch + shuffled confirm) instead")
+    val sorted: Array[Long] = collected.sorted
     val bc = spark.sparkContext.broadcast(sorted)
     val anyHit = udf { (hs: Seq[Long]) =>
       val arr = bc.value

@@ -66,10 +66,15 @@ object Dedup {
     * first (the Curate contract). */
   def dropExactDuplicatesBroadcast(df: DataFrame, idCol: String, textCol: String,
                                    maxDupGroups: Int = 1000000): DataFrame = {
-    val h = sha2(col(textCol), 256)
+    // null-safe hash: sha2(null) is null, and an isNotNull filter here
+    // would keep EVERY null-text row while the min_by path (grouping
+    // under the null key) keeps exactly one — the two shapes and the
+    // over-budget fallback must agree. "null" can never collide with a
+    // 64-hex-char sha2 value.
+    val h = coalesce(sha2(col(textCol), 256), lit("null"))
     val dupRows = df.groupBy(h.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
-      .where(col("n") > 1 && col("content_hash").isNotNull)
+      .where(col("n") > 1)
       .select(col("content_hash"), col("keep_id").cast("string"))
       .limit(maxDupGroups + 1)
       .collect()

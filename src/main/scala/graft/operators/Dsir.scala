@@ -42,10 +42,30 @@ object Dsir {
   // ---------------------------------------------------------------
 
   /** Tokens per the repo-wide contract: trim, split on \s+, drop the
-    * empty token an empty/blank text produces. */
-  private def tokensOf(text: String): Array[String] =
+    * empty token an empty/blank text produces. Shared with
+    * [[QualityClassifier]] — the two operators' oracles replay ONE
+    * frozen gram definition ([[graft.SparkEntry]] gramBucketCtes), so
+    * there must be exactly one JVM implementation of it. */
+  private[operators] def tokensOf(text: String): Array[String] =
     if (text == null) Array.empty
     else text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Unigram+bigram hash buckets in the frozen 2n-1 layout (unigrams
+    * first, then adjacent bigrams joined by one space) — the single
+    * source of the gram definition for DSIR and the classifier. */
+  private[operators] def gramBucketInts(text: String, buckets: Int,
+                                        portable: Boolean): Array[Int] = {
+    val t = tokensOf(text)
+    val out = new Array[Int](math.max(0, 2 * t.length - 1))
+    var i = 0
+    while (i < t.length) { out(i) = bucketOf(t(i), buckets, portable); i += 1 }
+    i = 0
+    while (i + 1 < t.length) {
+      out(t.length + i) = bucketOf(t(i) + " " + t(i + 1), buckets, portable)
+      i += 1
+    }
+    out
+  }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -82,15 +102,10 @@ object Dsir {
     * one UDF call per document for the fitting explode. */
   private def gramBucketsUdf(buckets: Int, portable: Boolean) =
     udf { (text: String) =>
-      val t = tokensOf(text)
-      val out = new Array[Long](math.max(0, 2 * t.length - 1))
+      val bs = gramBucketInts(text, buckets, portable)
+      val out = new Array[Long](bs.length)
       var i = 0
-      while (i < t.length) { out(i) = bucketOf(t(i), buckets, portable); i += 1 }
-      i = 0
-      while (i + 1 < t.length) {
-        out(t.length + i) = bucketOf(t(i) + " " + t(i + 1), buckets, portable)
-        i += 1
-      }
+      while (i < bs.length) { out(i) = bs(i).toLong; i += 1 }
       out
     }
 

@@ -151,7 +151,7 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, "US-ASCII")
       val size = le32(p, off + 4)
-      if (size < 0 || off + 8 + size > p.length) return ("unknown", 0, 0, 0.0)
+      if (size < 0 || size > p.length - off - 8) return ("unknown", 0, 0, 0.0)
       if (id == "fmt " && size >= 16) {
         channels = le16(p, off + 10)
         bits = le16(p, off + 22)
@@ -190,7 +190,7 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, "US-ASCII")
       val size = le32(p, off + 4)
-      if (size < 0 || off + 8 + size > p.length) return None
+      if (size < 0 || size > p.length - off - 8) return None
       if (id == "fmt " && size >= 16) {
         channels = le16(p, off + 10)
         rate = le32(p, off + 12)
@@ -285,10 +285,15 @@ object Multimodal {
       val rawHeight = le32(p, 22)
       val height = math.abs(rawHeight)
       val bpp = le16(p, 28)
-      val rowSize = ((width * 3 + 3) / 4) * 4
+      // long math BEFORE any int product: a hostile width like
+      // 0x55555556 wraps width*3 to a tiny rowSize and the bounds check
+      // would pass while the pixel allocation overflows/throws —
+      // violating the decode never-throws contract
+      val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
       if (bpp != 24 || width <= 0 || height <= 0 || dataOffset < 54 ||
-          dataOffset.toLong + rowSize.toLong * height > p.length) None
+          dataOffset.toLong + rowSizeL * height > p.length) None
       else {
+        val rowSize = rowSizeL.toInt // fits: rowSizeL * height <= length
         val g = new Array[Int](width * height)
         var y = 0
         while (y < height) {

@@ -49,25 +49,10 @@ object QualityClassifier {
       }.toSeq
   }
 
-  private def tokensOf(text: String): Array[String] =
-    if (text == null) Array.empty
-    else text.trim.split("\\s+").filter(_.nonEmpty)
-
-  @inline private def bucketOf(g: String, buckets: Int, portable: Boolean): Int =
-    if (portable) Dsir.portableBucket(g, buckets) else Dsir.fnvBucket(g, buckets)
-
-  private def gramBuckets(text: String, buckets: Int, portable: Boolean): Array[Int] = {
-    val t = tokensOf(text)
-    val out = new Array[Int](math.max(0, 2 * t.length - 1))
-    var i = 0
-    while (i < t.length) { out(i) = bucketOf(t(i), buckets, portable); i += 1 }
-    i = 0
-    while (i + 1 < t.length) {
-      out(t.length + i) = bucketOf(t(i) + " " + t(i + 1), buckets, portable)
-      i += 1
-    }
-    out
-  }
+  /** The frozen gram definition lives in ONE place — [[Dsir]] — because
+    * both operators' oracles replay the same SQL rendering of it. */
+  private def gramBuckets(text: String, buckets: Int, portable: Boolean): Array[Int] =
+    Dsir.gramBucketInts(text, buckets, portable)
 
   @inline private def sigmoid(z: Double): Double =
     if (z >= 0) 1.0 / (1.0 + math.exp(-z))
@@ -163,11 +148,16 @@ object QualityClassifier {
     * composes into a streaming plan with no state and the stream keep
     * set equals [[score]]'s keep_pred on the same rows (spec'd). */
   def keepColumn(textCol: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
-    val wMicro = model.wMicro
+    // broadcast the weight vector like score() does — captured in the
+    // UDF closure it would re-serialize into every stage's task binary
+    // (512 KB at 2^16 buckets, every micro-batch on a stream)
+    val session = org.apache.spark.sql.SparkSession.active
+    val bcW = session.sparkContext.broadcast(model.wMicro)
     val buckets = model.buckets
     val portable = model.portable
     val biasMicro = model.biasMicro
     val keepUdf = udf { (text: String) =>
+      val wMicro = bcW.value
       val bs = gramBuckets(text, buckets, portable)
       var s = biasMicro
       var i = 0

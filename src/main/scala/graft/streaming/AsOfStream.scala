@@ -56,15 +56,17 @@ object AsOfStream {
         col(rightTs).cast("timestamp").as("ts"),
         array(rightVals.map(c => col(c).cast("string")): _*).as("vals"))
       .where(col("k").isNotNull && col("ts").isNotNull)
-    val rightRows = projected.count()
-    require(rightRows <= maxRightRows,
-      s"AsOfStream.lastRightAsOf: right side has $rightRows rows, above the " +
-        s"driver-collect budget maxRightRows=$maxRightRows. This operator " +
-        "broadcasts the whole dimension timeline; for a dimension this size " +
-        "use the batch graft.operators.AsOfJoin (sort-merge cost, no " +
-        "driver materialization) or raise maxRightRows if the driver heap " +
+    // one-pass guard+payload (the BpeTokenizer.fit limit-probe pattern):
+    // a separate count() would evaluate the dimension scan twice
+    val collected = projected.limit(
+      math.min(maxRightRows, Int.MaxValue - 1L).toInt + 1).collect()
+    require(collected.length <= maxRightRows,
+      s"AsOfStream.lastRightAsOf: right side exceeds the driver-collect " +
+        s"budget maxRightRows=$maxRightRows. This operator broadcasts the " +
+        "whole dimension timeline; for a dimension this size use the batch " +
+        "graft.operators.AsOfJoin (sort-merge cost, no driver " +
+        "materialization) or raise maxRightRows if the driver heap " +
         "genuinely accommodates it.")
-    val collected = projected.collect()
     val timeline: Map[Long, (Array[Long], Array[Seq[String]])] = collected
       .groupBy(_.getLong(0))
       .map { case (k, rows) =>

@@ -196,7 +196,12 @@ object ScalingBench {
     println(
       s"""{"metric":"scaling_efficiency","rows":$rows,"body_scale":$bodyScale,""" +
       f""""t8_sec":$m8%.3f,"t32_sec":$m32%.3f,""" +
-      f""""rows_per_sec_8":${rows / b8}%.1f,"rows_per_sec_32":${rows / b32}%.1f,""" +
+      // both estimators, explicitly named: *_best pairs with
+      // t8_best/t32_best, the unsuffixed keys pair with the median
+      // t8_sec/t32_sec (pre-round-5 artifacts used medians under the
+      // unsuffixed names — keep that meaning for drift comparisons)
+      f""""rows_per_sec_8":${rows / m8}%.1f,"rows_per_sec_32":${rows / m32}%.1f,""" +
+      f""""rows_per_sec_8_best":${rows / b8}%.1f,"rows_per_sec_32_best":${rows / b32}%.1f,""" +
       f""""efficiency":$eff%.3f,"hw_cpu_ceiling":$ceiling%.3f,""" +
       f""""efficiency_vs_ceiling":${eff / ceiling}%.3f,""" +
       f""""narrow_t8_sec":$mn8%.3f,"narrow_t32_sec":$mn32%.3f,""" +

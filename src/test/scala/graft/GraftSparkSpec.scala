@@ -262,6 +262,14 @@ class GraftSparkSpec extends AnyFunSuite {
       maxDupGroups = 0)) === Set(1L, 3L))
     assert(ids(Dedup.dropExactDuplicatesBroadcast(planted, "doc_id", "text"))
       === Set(1L, 3L))
+    // null-text rows form ONE dup group on both shapes (sha2(null) is
+    // null — the broadcast path must not let them all through)
+    val withNulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "unique body")).toDF("doc_id", "text")
+    assert(ids(Dedup.dropExactDuplicatesBroadcast(withNulls, "doc_id", "text"))
+      === ids(Dedup.dropExactDuplicates(withNulls, "doc_id", "text")))
+    assert(ids(Dedup.dropExactDuplicatesBroadcast(withNulls, "doc_id", "text"))
+      === Set(1L, 4L))
   }
 
   test("minhash LSH finds near-duplicates, skips dissimilar") {
@@ -1020,7 +1028,9 @@ class GraftSparkSpec extends AnyFunSuite {
       graft.streaming.AsOfStream.lastRightAsOf(spark, stream, right,
         "k", "k", "lts", "rts", Seq("tag"), maxRightRows = 3L)
     }
-    assert(e.getMessage.contains("4 rows"))
+    // the one-pass limit probe knows only "over budget", not the exact
+    // count (it stops collecting at maxRightRows+1 by design)
+    assert(e.getMessage.contains("maxRightRows=3"))
     assert(e.getMessage.contains("AsOfJoin"))
     // at exactly the budget (null-key row excluded by the probe) it builds fine
     graft.streaming.AsOfStream.lastRightAsOf(spark, stream, right,

@@ -186,6 +186,32 @@ class CodecSpec extends AnyFunSuite {
     for (n <- 0 until wav.length) Multimodal.decodePcm(wav.take(n))
   }
 
+  test("hostile headers: int-overflow dimensions/chunk sizes decode to None, never throw") {
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    // BMP with width 0x55555556: width*3 wraps int to 2, so an int
+    // rowSize-based bound check would pass and the pixel allocation
+    // would throw — the long-math guard must return None instead
+    val bmp = new Array[Byte](66)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    putLe32(bmp, 10, 54)          // dataOffset
+    putLe32(bmp, 18, 0x55555556)  // width
+    putLe32(bmp, 22, 3)           // height
+    bmp(28) = 24                  // bpp
+    assert(Multimodal.decodeGray(bmp).isEmpty)
+    // WAV whose first chunk declares size 0x7FFFFFF0: off+8+size wraps
+    // negative, the naive bound passes and the walker runs off the rails
+    val wav = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    "fmt ".getBytes.copyToArray(wav, 12)
+    putLe32(wav, 16, 0x7FFFFFF0)
+    assert(Multimodal.decodePcm(wav).isEmpty)
+    assert(Multimodal.decode(wav)._1 != "audio")
+  }
+
   test("decodeGray never throws and stays structural on truncated/random payloads") {
     val rnd = new scala.util.Random(7L)
     val bmp = Multimodal.encodeBmp(4, 4, Array.fill(16)(9.toByte))
