@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Decontaminate, Dedup, GopherLexical, QualityClassifier, Repetition, Sampling}
+import graft.operators.{CcnetBucket, Decontaminate, Dedup, GopherLexical, QualityClassifier, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +34,9 @@ object CurateStream {
                lexicalGate: Boolean = false,
                decontaminateAgainst: Option[DataFrame] = None,
                qualityModel: Option[QualityClassifier.Model] = None,
-               nearDupAgainst: Option[DataFrame] = None): DataFrame = {
+               nearDupAgainst: Option[DataFrame] = None,
+               pplGate: Option[(CcnetBucket.CutPoints, Int)] = None,
+               langCol: String = "lang"): DataFrame = {
     val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
       .where(Repetition.keepColumn(col(textCol)))
     val gated =
@@ -74,6 +76,17 @@ object CurateStream {
       case Some(staticCorpus) =>
         Dedup.nearDupGate(classed, textCol, staticCorpus)
     }
-    Sampling.hashSample(nd, Seq(col("content_hash")), num, den)
+    // CCNet perplexity gate at ingest: cut points fit OFFLINE
+    // (CcnetBucket.fitCutPoints on a batch corpus) ride the closure as
+    // frozen integers; keep rows whose bucket id <= maxBucket (1 =
+    // head). Stateless pure function of (text, lang) — stream bucket ==
+    // batch bucketsApprox on the same rows (spec'd).
+    val gatedPpl = pplGate match {
+      case None => nd
+      case Some((cp, maxBucket)) =>
+        nd.where(CcnetBucket.bucketIdColumn(col(textCol), col(langCol), cp)
+          <= maxBucket)
+    }
+    Sampling.hashSample(gatedPpl, Seq(col("content_hash")), num, den)
   }
 }

@@ -887,6 +887,39 @@ class GraftSparkSpec extends AnyFunSuite {
       ("b.test/p/2", "epsilon zeta eta theta")))
   }
 
+  test("streaming perplexity gate == batch bucketsApprox keep set (offline-fit cut points)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftpplst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // distinct 15-word rows (clear the dedup/repetition prefix); the
+    // fit corpus IS the stream rows, so stream buckets == bucketsApprox
+    val corpus = graft.core.Synth.corpus(perLang = 12).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text, t(i)) }
+    val batchDf = corpus.toDF("doc_id", "lang", "text", "ts")
+    val cp = operators.CcnetBucket.fitCutPoints(batchDf, "text", "lang")
+    batchDf.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1, pplGate = Some((cp, 1)))
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ppl_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin: the same prefix stages + bucketsApprox head filter
+    val prefix = operators.Sampling.hashSample(
+      operators.Dedup.dropExactDuplicates(batchDf, "doc_id", "text")
+        .where(operators.Repetition.keepColumn(col("text"))),
+      Seq(sha2(col("text"), 256)), 1, 1)
+    val batch = operators.CcnetBucket.bucketsApprox(
+        prefix, "doc_id", "text", "lang")
+      .where(col("bucket_id") <= 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch, streamed)
+  }
+
   test("streaming near-dup gate == batch LSH candidate set vs the static corpus; size guard trips") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftndst").toString

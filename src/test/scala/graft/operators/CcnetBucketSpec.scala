@@ -72,6 +72,24 @@ class CcnetBucketSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("frozen cut points: bucketIdColumn == bucketsApprox; unknown lang -> last bucket") {
+    import org.apache.spark.sql.functions.col
+    val cp = CcnetBucket.fitCutPoints(corpusDf, "text", "lang")
+    val viaColumn = corpusDf.select(col("doc_id"),
+        CcnetBucket.bucketIdColumn(col("text"), col("lang"), cp).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaApprox = CcnetBucket.bucketsApprox(corpusDf, "doc_id", "text", "lang")
+      .select("doc_id", "bucket_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaColumn === viaApprox)
+    import spark.implicits._
+    val unknown = Seq((1L, "zz", "some text in an unfit language"))
+      .toDF("doc_id", "lang", "text")
+      .select(CcnetBucket.bucketIdColumn(col("text"), col("lang"), cp).as("b"))
+      .collect()(0).getInt(0)
+    assert(unknown === 3)
+  }
+
   test("approx path agrees >=95% with exact ntile on the fixture corpus") {
     import spark.implicits._
     // include a null-lang row: the approx join must be null-safe, not
