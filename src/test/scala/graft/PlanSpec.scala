@@ -338,4 +338,47 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     }
   }
+
+  test("url dedup: one map-side-combined exchange on the canonical key") {
+    val urls = graft.SparkEntry.urlsFromDocs(spark, sf)
+    val p = plan(operators.UrlOps.urlDedup(urls, "url", "doc_id"))
+    assert(p.contains("partial"), p) // map-side combine before the shuffle
+    // exactly one real exchange (AQE plans print final + initial — count
+    // on the final section only; ReusedExchange citations don't apply
+    // here, single-branch plan)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      finalPlan)
+  }
+
+  test("snapshot diff shuffles (key, hash) only — no content below the exchange") {
+    val old = graft.SparkEntry.snapOldFromDocs(spark, sf)
+    val neu = graft.SparkEntry.snapNewFromDocs(spark, sf)
+    val p = plan(operators.SnapshotDiff.diff(old, neu, "doc_id", "text"))
+    // children print BELOW the Exchange, so the md5's text input shows
+    // up textually either way; the real property is that the projection
+    // feeding each exchange emits exactly (id, hash) — 2 columns — so
+    // the shuffle never carries content bytes
+    val projLines = p.split('\n').filter(l =>
+      l.contains("Project [") &&
+        (l.contains("AS old_hash#") || l.contains("AS new_hash#")))
+    assert(projLines.nonEmpty, p.take(2000))
+    projLines.foreach { l =>
+      val inner = l.substring(l.indexOf("Project [") + 9, l.lastIndexOf("]"))
+      var depth = 0
+      var items = 1
+      inner.foreach { c =>
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) items += 1
+      }
+      assert(items == 2, l)
+    }
+  }
+
+  test("html extraction inside the crawl chain stays a zero-shuffle scan stage") {
+    val pages = graft.SparkEntry.pagesFromDocs(spark, sf)
+    val p = plan(operators.HtmlExtract.extracted(pages, "html"))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
