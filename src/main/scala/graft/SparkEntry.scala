@@ -251,6 +251,42 @@ object SparkEntry {
       concat(scheme, lit("://"), host, port, path, query, frag).as("url"))
   }
 
+  /** Deterministic multi-line document table (doc_id, lang, text) for the
+    * line-level boilerplate operator ([[linedCte]] is the DuckDB twin) —
+    * the raw fixture texts contain no newlines, so this derivation plants
+    * the template chrome a crawl corpus carries: a shared title line
+    * (10 docs per title), a %4 newsletter line, a 3-instance "rare promo"
+    * line sitting exactly under the minCount=4 threshold, a space-only
+    * formatting line (duplicated everywhere, never removable) and a
+    * universal © footer. */
+  def linedDocsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(s, dir).select(id.as("doc_id"), col("lang"),
+      concat(
+        lit("Title "), (id % 50).cast("string"), lit("\n"),
+        coalesce(col("text"), lit("")), lit("\n"),
+        when(id % 4 === 0, lit("Subscribe to our newsletter\n")).otherwise(lit("")),
+        when(id % 97 === 0,
+          concat(lit("rare promo "), (id % 2).cast("string"), lit("\n")))
+          .otherwise(lit("")),
+        lit(" \n"),
+        lit("© 2024 Example Corp")).as("text"))
+  }
+
+  /** The identical lined-document derivation as a DuckDB CTE body. */
+  private def linedCte: String =
+    """lined AS (
+      |  SELECT doc_id, lang,
+      |    'Title ' || (doc_id % 50)::VARCHAR || chr(10) ||
+      |    coalesce(text, '') || chr(10) ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |      THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END) ||
+      |    (CASE WHEN doc_id % 97 = 0
+      |      THEN 'rare promo ' || (doc_id % 2)::VARCHAR || chr(10)
+      |      ELSE '' END) ||
+      |    ' ' || chr(10) || '© 2024 Example Corp' AS text
+      |  FROM documents)""".stripMargin
+
   /** The identical URL derivation as a DuckDB CTE body. */
   private def urlsCte: String =
     """urls0 AS (
@@ -662,6 +698,18 @@ object SparkEntry {
       // C4-style global paragraph dedup: duplicate paragraphs keep only
       // their first (doc_id, pos) occurrence; docs rebuilt in order
       Dedup.dropDuplicateParagraphs(docs(s, dir), "doc_id", "text")),
+    "q_line_dedup" -> ((s, dir) =>
+      // CCNet/RefinedWeb line-level boilerplate removal: a line seen
+      // >= minCount times corpus-wide loses EVERY instance (template
+      // chrome), unlike para dedup's keep-one-survivor. Runs over the
+      // multi-line wrapped fixture (shared titles/footers planted);
+      // minCount=4 so the 3-instance "rare promo" lines sit exactly on
+      // the survive side of the threshold
+      Dedup.dropBoilerplateLines(linedDocsFromDocs(s, dir), "doc_id", "text",
+          minCount = 4, passthroughCols = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_lines_removed"),
+          length(col("text_clean")).cast("long").as("clean_len"),
+          md5(col("text_clean")).as("clean_md5"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         shingleK = 5, minJaccard = 0.5)),
@@ -1455,6 +1503,31 @@ object SparkEntry {
         |  FROM kept GROUP BY 1)
         |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup
         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    "q_line_dedup" ->
+      // the whole stage replayed in SQL: split lines with positions,
+      // corpus-wide occurrence counts (formatting lines excluded), drop
+      // every instance at n >= 4, rebuild in order
+      s"""WITH $linedCte,
+        |p AS (SELECT doc_id, lang, string_split(text, chr(10)) AS arr
+        |      FROM lined),
+        |l AS (SELECT doc_id, lang, i - 1 AS pos, arr[i] AS line,
+        |        len(arr) AS n_lines
+        |      FROM (SELECT doc_id, lang, arr,
+        |              unnest(range(1, len(arr) + 1)) AS i FROM p)),
+        |c AS (SELECT line, count(*) AS n FROM l
+        |      WHERE trim(line) <> '' GROUP BY 1),
+        |kept AS (SELECT l.doc_id, l.pos, l.line
+        |         FROM l LEFT JOIN c USING (line)
+        |         WHERE trim(l.line) = '' OR c.n IS NULL OR c.n < 4),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY 1),
+        |base AS (SELECT DISTINCT doc_id, lang, n_lines FROM l)
+        |SELECT b.doc_id, b.lang,
+        |  CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed,
+        |  CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_len,
+        |  md5(coalesce(r.clean, '')) AS clean_md5
+        |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "q_repetition" -> {
       // count CTEs rendered by Repetition.duckCountsSql and the keep
       // verdict by Repetition.duckKeepSql — both from the SAME atoms as

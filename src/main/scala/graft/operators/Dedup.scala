@@ -226,6 +226,127 @@ object Dedup {
         passthroughCols.map(col): _*)
   }
 
+  /** Line-level boilerplate REMOVAL (CCNet line dedup, Wenzek et al.
+    * 2020 §3; RefinedWeb "line-wise corrections", Penedo et al. 2023
+    * §3.4): a line occurring at least `minCount` times across the corpus
+    * is boilerplate (nav bars, cookie banners, footers) and EVERY
+    * instance is removed — unlike [[dropDuplicateParagraphs]], which
+    * keeps one survivor of each duplicate group. The two are
+    * complementary stages: paragraph dedup de-weights copied CONTENT,
+    * line removal strips template CHROME that would otherwise survive
+    * once per page.
+    *
+    * FROZEN semantics (mirrored in the q_line_dedup oracle):
+    *  - lines = split on "\n" keeping empty segments, 0-based pos;
+    *  - lines empty after (space-only) trim are formatting — always
+    *    kept, never counted toward boilerplate;
+    *  - occurrence count is over EVERY instance (within-doc repeats
+    *    count; a 3-page site repeating its footer 3 times is exactly the
+    *    template signal this stage exists to catch);
+    *  - a non-formatting line with count >= minCount is removed from
+    *    every document; rebuilt text joins kept lines with "\n";
+    *  - `n_lines_removed` counts the dropped instances per document
+    *    (callers gate documents whose removal fraction is too high, the
+    *    RefinedWeb doc-drop rule).
+    *
+    * Scale shape — HYBRID, the [[dropDuplicateParagraphs]] pattern: the
+    * boilerplate table (count >= minCount) is tiny relative to the
+    * corpus, so probe it with one map-side-combined aggregation (a
+    * footer seen 10^9 times sends ONE candidate per map partition),
+    * `limit(budget + 1).collect()`, broadcast the line set, and rewrite
+    * every document in ONE narrow scalar-UDF pass — zero content
+    * shuffle. Over budget, fall back to the explode → count → anti-join
+    * → reassemble chain ([[dropBoilerplateLinesShuffle]]) whose
+    * correctness needs no driver bound. The rewrite UDF replicates the
+    * frozen Catalyst semantics exactly: `split(t, "\n", -1)` and
+    * space-only trim. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minCount: Int = 3,
+                           maxBroadcastLines: Int = 500000,
+                           passthroughCols: Seq[String] = Nil): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spark = df.sparkSession
+    val lines = df.select(
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+    val boiler = lines.where(trim(col("line")) =!= "")
+      .groupBy("line")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("line"))
+    val probe = boiler.limit(maxBroadcastLines + 1).collect()
+    if (probe.length > maxBroadcastLines)
+      return dropBoilerplateLinesShuffle(df, idCol, textCol, minCount,
+        passthroughCols)
+    val boilerSet: Set[String] = probe.iterator.map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(boilerSet)
+    // struct-returning scalar UDF (the BpeTokenizer pattern): one row
+    // pass computes both outputs; only text crosses the JVM boundary.
+    val rewrite = udf { (t: String) =>
+      val set = bc.value
+      val ls = t.split("\n", -1)
+      val kept = new scala.collection.mutable.ArrayBuffer[String](ls.length)
+      var removed = 0
+      var i = 0
+      while (i < ls.length) {
+        val l = ls(i)
+        var allSpace = true
+        var j = 0
+        while (allSpace && j < l.length) { if (l.charAt(j) != ' ') allSpace = false; j += 1 }
+        if (allSpace || !set.contains(l)) kept += l else removed += 1
+        i += 1
+      }
+      (kept.mkString("\n"), removed)
+    }
+    val out = df.withColumn("_lr",
+      rewrite(coalesce(col(textCol), lit(""))))
+    out.select(col(idCol) +:
+      col("_lr._1").as("text_clean") +:
+      col("_lr._2").cast("long").as("n_lines_removed") +:
+      passthroughCols.map(col): _*)
+  }
+
+  /** Shuffle fallback for [[dropBoilerplateLines]] — no driver-side
+    * bound. NOT a window count over partition-by-line: a boilerplate
+    * line is by definition hot, and a window would send every instance
+    * of a 10^9-occurrence footer to ONE reducer that AQE cannot split.
+    * Instead the count is a map-side-partial aggregate (one candidate
+    * per map partition per hot line) and the kept set is an anti-join
+    * against the small (>= minCount) table — AQE broadcasts it, so the
+    * content rows never shuffle for the join; only the groupBy(id)
+    * reassembly moves them. */
+  private[graft] def dropBoilerplateLinesShuffle(df: DataFrame, idCol: String,
+                                                 textCol: String, minCount: Int,
+                                                 passthroughCols: Seq[String] = Nil): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+    val content = lines.where(trim(col("line")) =!= "")
+    val boiler = content.groupBy("line")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select("line")
+    val kept = content.join(boiler, Seq("line"), "left_anti")
+      .select("id", "pos", "line")
+      .unionByName(
+        lines.where(trim(col("line")) === "").select("id", "pos", "line"))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id") +:
+        size(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .cast("long").as("n_lines") +:
+        passthroughCols.map(col): _*)
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol) +:
+        coalesce(col("text_clean"), lit("")).as("text_clean") +:
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_lines_removed") +:
+        passthroughCols.map(col): _*)
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

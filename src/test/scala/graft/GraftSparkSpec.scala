@@ -247,6 +247,56 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(bcast.map { case (id, (_, l)) => id -> l } == srcLang)
   }
 
+  test("line boilerplate removal: every instance drops, formatting kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "real content one\nfooter line\nmore content"),
+      (2L, "footer line\nfooter line\nunique two"), // within-doc repeat counts
+      (3L, "  \nfooter line\nnear miss\n"),          // space-only + trailing empty kept
+      (4L, "near miss\nnear miss"),                  // count 3 < minCount=4 → kept
+      (5L, "")).toDF("doc_id", "text")
+    def m(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "footer line" occurs 4× (incl. doc 2's repeat) → boilerplate at
+    // minCount=4 and removed EVERYWHERE incl. its first instance;
+    // "near miss" occurs 3× → survives
+    val expected = Map(
+      1L -> ("real content one\nmore content", 1L),
+      2L -> ("unique two", 2L),
+      3L -> ("  \nnear miss\n", 1L),
+      4L -> ("near miss\nnear miss", 0L),
+      5L -> ("", 0L))
+    val out = m(Dedup.dropBoilerplateLines(df, "doc_id", "text", minCount = 4))
+    assert(out == expected)
+    // layout-independent; shuffle fallback and forced-fallback agree
+    assert(m(Dedup.dropBoilerplateLines(df.repartition(5), "doc_id", "text",
+      minCount = 4)) == expected)
+    assert(m(Dedup.dropBoilerplateLinesShuffle(df, "doc_id", "text",
+      minCount = 4)) == expected)
+    assert(m(Dedup.dropBoilerplateLines(df, "doc_id", "text", minCount = 4,
+      maxBroadcastLines = 0)) == expected)
+    // at minCount=3 the near-miss line flips to boilerplate on both paths
+    val at3 = m(Dedup.dropBoilerplateLines(df, "doc_id", "text", minCount = 3))
+    assert(at3(4L) == (("", 2L)))
+    assert(at3 == m(Dedup.dropBoilerplateLinesShuffle(df, "doc_id", "text",
+      minCount = 3)))
+  }
+
+  test("line boilerplate removal: broadcast == shuffle on the documents fixture, null-text safe") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .unionByName(spark.sql(
+        "SELECT CAST(-1 AS LONG) doc_id, CAST(NULL AS STRING) text, 'xx' lang"))
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val a = collected(Dedup.dropBoilerplateLines(
+      docs, "doc_id", "text", minCount = 2, passthroughCols = Seq("lang")))
+    val b = collected(Dedup.dropBoilerplateLinesShuffle(
+      docs, "doc_id", "text", minCount = 2, passthroughCols = Seq("lang")))
+    assert(a == b)
+    assert(a.exists(r => r._1 == -1L && r._2 == "" && r._3 == 0L))
+  }
+
   test("broadcast exact dedup == default min_by shape; over-budget falls back") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =

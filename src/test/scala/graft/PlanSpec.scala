@@ -278,6 +278,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Aggregate"), p)
   }
 
+  test("line boilerplate removal: broadcast rewrite is one narrow pass; fallback count partial-aggregates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.Dedup.dropBoilerplateLines(docs, "doc_id", "text"))
+    // the boilerplate set shipped via broadcast at build time; the
+    // rewrite must not shuffle content or reassemble by id
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+    // fallback: occurrence counting absorbs hot-footer skew map-side
+    // (partial count), and the anti-join never goes cartesian
+    val ps = plan(operators.Dedup.dropBoilerplateLinesShuffle(
+      docs, "doc_id", "text", minCount = 3))
+    assert(ps.contains("partial_count"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+  }
+
   test("opt-in broadcast exact dedup: no exchange, no join — scan + filter only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = operators.Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text")
