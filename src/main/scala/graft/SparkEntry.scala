@@ -287,6 +287,67 @@ object SparkEntry {
       |    ' ' || chr(10) || '© 2024 Example Corp' AS text
       |  FROM documents)""".stripMargin
 
+  /** Deterministic per-host robots.txt table (host, robots_txt) derived
+    * from the documents fixture ([[robotsCte]] is the DuckDB twin). One
+    * row per crawl host (ex0.test … ex19.test); every frozen-grammar
+    * case is planted: comments (full-line and inline), an ignored
+    * `Sitemap:` directive, a decoy non-star group that must be ignored,
+    * a multi-line star group with a case-variant `user-agent` run,
+    * lowercase `disallow`, an empty-value rule that must be dropped, and
+    * a same-length Allow/Disallow tie (hosts %6 carry both `/p/12`
+    * rules; %6=0 ⊆ %3=0 so the tie always has its Allow side). */
+  def robotsFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val h = col("h")
+    docs(s, dir).select((col("doc_id") % 20).as("h")).distinct()
+      .select(
+        concat(lit("ex"), h.cast("string"), lit(".test")).as("host"),
+        concat(
+          lit("# robots for ex"), h.cast("string"), lit("\n"),
+          lit("Sitemap: https://example.test/map.xml\n"),
+          lit("User-agent: megabot\nDisallow: /\n\n"),
+          lit("User-agent: *\nuser-agent: graftbot\n"),
+          when(h % 2 === 0, lit("Disallow: /p/1\n")).otherwise(lit("")),
+          when(h % 3 === 0, lit("Allow: /p/12 # allow the dozen\n"))
+            .otherwise(lit("")),
+          when(h % 6 === 0, lit("Disallow: /p/12\n")).otherwise(lit("")),
+          when(h % 4 === 0, lit("disallow: /p/7\n")).otherwise(lit("")),
+          when(h % 5 === 0, lit("Disallow:\n")).otherwise(lit("")),
+          lit("Disallow: /private/")).as("robots_txt"))
+  }
+
+  /** The identical robots derivation as a DuckDB CTE body. */
+  private def robotsCte: String =
+    """robots AS (
+      |  SELECT 'ex' || h::VARCHAR || '.test' AS host,
+      |    '# robots for ex' || h::VARCHAR || chr(10) ||
+      |    'Sitemap: https://example.test/map.xml' || chr(10) ||
+      |    'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) ||
+      |      chr(10) ||
+      |    'User-agent: *' || chr(10) || 'user-agent: graftbot' || chr(10) ||
+      |    (CASE WHEN h % 2 = 0 THEN 'Disallow: /p/1' || chr(10) ELSE '' END) ||
+      |    (CASE WHEN h % 3 = 0
+      |      THEN 'Allow: /p/12 # allow the dozen' || chr(10) ELSE '' END) ||
+      |    (CASE WHEN h % 6 = 0 THEN 'Disallow: /p/12' || chr(10) ELSE '' END) ||
+      |    (CASE WHEN h % 4 = 0 THEN 'disallow: /p/7' || chr(10) ELSE '' END) ||
+      |    (CASE WHEN h % 5 = 0 THEN 'Disallow:' || chr(10) ELSE '' END) ||
+      |    'Disallow: /private/' AS robots_txt
+      |  FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents))""".stripMargin
+
+  /** Candidate crawl targets (doc_id, host, path): doc_id %130 paths so
+    * the planted /p/1, /p/12 and /p/7 prefixes all actually fire. */
+  def crawlPathsFromDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(lit("ex"), (col("doc_id") % 20).cast("string"), lit(".test"))
+        .as("host"),
+      concat(lit("/p/"), (col("doc_id") % 130).cast("string")).as("path"))
+
+  /** The identical crawl-target derivation as a DuckDB CTE body. */
+  private def crawlPathsCte: String =
+    """cpaths AS (
+      |  SELECT doc_id, 'ex' || (doc_id % 20)::VARCHAR || '.test' AS host,
+      |    '/p/' || (doc_id % 130)::VARCHAR AS path
+      |  FROM documents)""".stripMargin
+
   /** The identical URL derivation as a DuckDB CTE body. */
   private def urlsCte: String =
     """urls0 AS (
@@ -1249,6 +1310,19 @@ object SparkEntry {
       pagesFromDocs(s, dir).select(col("doc_id"), col("url"),
         HtmlExtract.robotsContent(col("html")).as("robots"),
         HtmlExtract.noindex(col("html")).as("noindex"))),
+    "q_robots_rules" -> ((s, dir) =>
+      // robots.txt FILE parsing (RFC 9309 subset): star-group
+      // gaps-and-islands, comment strip, case-insensitive directives —
+      // pure Catalyst; DuckDB replays the parse from generated CTEs
+      RobotsTxt.rules(robotsFromDocs(s, dir), "host", "robots_txt")),
+    "q_robots_allow" -> ((s, dir) =>
+      // the pre-fetch URL gate: longest-literal-prefix match per host,
+      // tie → Allow, no rule → allowed; one equi-join on host
+      RobotsTxt.allowedGate(crawlPathsFromDocs(s, dir),
+          RobotsTxt.rules(robotsFromDocs(s, dir), "host", "robots_txt"),
+          "host", "path")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed"), col("match_len"))),
 
     "q_web_curation" -> ((s, dir) => {
       // crawl-side CAPSTONE: robots gate → HTML extraction → URL
@@ -2342,6 +2416,18 @@ object SparkEntry {
          |    THEN regexp_extract(html, '${HtmlExtract.RobotsPattern}', 1)
          |  END, ''), 'noindex') AS noindex
          |FROM pages""".stripMargin,
+    "q_robots_rules" ->
+      // the whole RFC 9309-subset parse replayed from generated CTEs
+      s"""WITH $robotsCte,
+         |${RobotsTxt.duckRulesCtes("robots")}
+         |SELECT host, ln, allow, prefix FROM rrules""".stripMargin,
+    "q_robots_allow" ->
+      // parse + longest-prefix gate end-to-end from documents.parquet
+      s"""WITH $robotsCte,
+         |${RobotsTxt.duckRulesCtes("robots")},
+         |$crawlPathsCte,
+         |${RobotsTxt.duckGateCtes("cpaths", "doc_id")}
+         |SELECT doc_id, host, path, allowed, match_len FROM rgate""".stripMargin,
     "q_web_curation" ->
       s"""WITH $pagesCte,
          |${LinkGraph.duckPagerankCtes(3)},

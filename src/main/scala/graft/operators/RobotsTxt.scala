@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt rule-file parsing + per-URL allow gate — the crawl-side
+  * compliance operator that runs BEFORE any fetch/ingest (RFC 9309; the
+  * RefinedWeb/CommonCrawl pipelines gate candidate URLs on per-host
+  * robots rules, with the in-page `<meta name="robots">` check — see
+  * [[HtmlExtract.noindex]] — as the later, content-level half).
+  *
+  * FROZEN grammar (a deliberate literal subset of RFC 9309, mirrored by
+  * the generated DuckDB rendering so q_robots_rules / q_robots_allow can
+  * only hash-match if both engines parse identically):
+  *  - lines split on "\n" with one trailing CR stripped per line (CRLF
+  *    files parse identically to LF); a comment runs from the first '#'
+  *    to EOL; tokens are (space-only) trimmed after comment strip;
+  *  - a directive line is `name: value` with `name` matched
+  *    case-insensitively; `value` = trimmed text after the FIRST ':';
+  *  - a GROUP is opened by a maximal run of consecutive `user-agent`
+  *    lines; `allow`/`disallow` lines attach to the most recent group;
+  *    rules before any group are ignored (RFC 9309 §2.2.1);
+  *  - only groups whose agent set contains `*` are honored (this engine
+  *    presents no product token — the most-specific-agent selection
+  *    collapses to the star group);
+  *  - rules with an EMPTY value are dropped ("Disallow:" means nothing
+  *    is disallowed); `sitemap`, `crawl-delay` and unknown directives
+  *    are ignored;
+  *  - matching is LITERAL longest-prefix: the rule whose prefix is the
+  *    longest prefix of the URL path wins; on a length tie `allow` wins
+  *    (RFC 9309 §2.2.2 least-restrictive tie-break); no matching rule →
+  *    allowed. The RFC's optional `*`/`$` wildcards are NOT implemented
+  *    — a frozen deviation: a wildcard rule is treated as a literal
+  *    prefix and in practice matches nothing.
+  *
+  * Scale shape: parsing is one explode over the robots corpus (rows =
+  * hosts, ~50 lines each) plus two host-partitioned window passes — the
+  * shuffle key is `host`, cardinality = the host count, no skew (one
+  * robots.txt per host). The gate aggregates rules to one array row per
+  * host (tiny: rules-per-host is a small constant) and equi-joins URLs
+  * on host — AQE broadcasts the rule-set side when it fits, so the URL
+  * corpus never shuffles; the per-URL verdict is a fold over the
+  * O(rules-per-host) array (interpreted HOF per element is fine HERE
+  * because the array is bounded by the robots file, not by the
+  * document — the GopherLexical 16× lesson applies to per-token
+  * lambdas, not per-rule ones). */
+object RobotsTxt {
+
+  private val UA = "user-agent"
+
+  /** Parsed honored rules: (host, ln, allow, prefix) — `ln` is the
+    * 0-based line number (kept so rule provenance survives and output
+    * is deterministic). Pure Catalyst; no UDFs. */
+  def rules(df: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val lines = df.select(col(hostCol).as("host"),
+      posexplode(split(coalesce(col(txtCol), lit("")), "\n", -1))
+        .as(Seq("ln", "raw")))
+    // robots.txt is commonly CRLF; SQL trim strips spaces only, so drop
+    // one trailing CR per line explicitly (anchored → replace-first ==
+    // replace-all, the UrlOps construction)
+    val clean = trim(substring_index(
+      regexp_replace(col("raw"), "\r$", ""), "#", 1))
+    val cpos = instr(clean, ":")
+    val dirName = lower(trim(substring_index(clean, ":", 1)))
+    val value = trim(clean.substr(cpos + 1, length(clean)))
+    val parsed = lines.select(col("host"), col("ln"),
+      (cpos > 0 && dirName === UA).as("is_ua"),
+      (cpos > 0 && dirName.isin("allow", "disallow")).as("is_rule"),
+      (cpos > 0 && dirName === "allow").as("is_allow"),
+      when(cpos > 0, value).otherwise(lit("")).as("value"))
+    val byLn = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = parsed
+      .withColumn("new_grp", col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(byLn), lit(false)))
+      .withColumn("grp", sum(col("new_grp").cast("int"))
+        .over(byLn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val starred = grouped.withColumn("star",
+      max(when(col("is_ua") && col("value") === "*", 1).otherwise(0))
+        .over(Window.partitionBy(col("host"), col("grp"))))
+    starred
+      .where(col("is_rule") && col("star") === 1 && col("grp") > 0 &&
+        col("value") =!= "")
+      .select(col("host"), col("ln"), col("is_allow").as("allow"),
+        col("value").as("prefix"))
+  }
+
+  /** URL gate: adds `allowed` (no matching rule → true) and `match_len`
+    * (length of the winning prefix; -1 = no rule matched) to `urls`.
+    * One equi-join on host; the longest-prefix / tie-allow decision is
+    * exactly max-by (prefix-length, allow) over the matching rules. */
+  def allowedGate(urls: DataFrame, rulesDf: DataFrame,
+                  hostCol: String, pathCol: String): DataFrame = {
+    val ruleSets = rulesDf.groupBy(col("host").as("_rg_host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("_rules"))
+    val matching = filter(col("_rules"),
+      r => startswith(col(pathCol), r("prefix")))
+    val best = aggregate(matching,
+      struct(lit(-1).as("plen"), lit(true).as("allow")),
+      (acc, r) => {
+        val plen = length(r("prefix"))
+        when(plen > acc("plen") || (plen === acc("plen") && r("allow")),
+          struct(plen.as("plen"), r("allow").as("allow"))).otherwise(acc)
+      })
+    urls.join(ruleSets, col(hostCol) === col("_rg_host"), "left_outer")
+      .withColumn("_best", best)
+      .withColumn("allowed", coalesce(col("_best.allow"), lit(true)))
+      .withColumn("match_len",
+        coalesce(col("_best.plen"), lit(-1)).cast("int"))
+      .drop("_rg_host", "_rules", "_best")
+  }
+
+  // -------- DuckDB rendering, generated from the same atoms ----------
+
+  /** CTE chain parsing a `robots(host, robots_txt)` relation into
+    * `rrules(host, ln, allow, prefix)` — the [[rules]] twin. */
+  def duckRulesCtes(robotsRel: String): String =
+    s"""rlines AS (
+       |  SELECT host, i - 1 AS ln,
+       |    trim(split_part(regexp_replace(arr[i], chr(13) || '$$', ''),
+       |                    '#', 1)) AS clean
+       |  FROM (SELECT host, arr, unnest(range(1, len(arr) + 1)) AS i
+       |        FROM (SELECT host,
+       |                string_split(coalesce(robots_txt, ''), chr(10)) AS arr
+       |              FROM $robotsRel))),
+       |rparsed AS (
+       |  SELECT host, ln,
+       |    strpos(clean, ':') > 0 AND
+       |      lower(trim(split_part(clean, ':', 1))) = '$UA' AS is_ua,
+       |    strpos(clean, ':') > 0 AND
+       |      lower(trim(split_part(clean, ':', 1))) IN ('allow', 'disallow') AS is_rule,
+       |    strpos(clean, ':') > 0 AND
+       |      lower(trim(split_part(clean, ':', 1))) = 'allow' AS is_allow,
+       |    CASE WHEN strpos(clean, ':') > 0
+       |         THEN trim(substr(clean, strpos(clean, ':') + 1))
+       |         ELSE '' END AS value
+       |  FROM rlines),
+       |rmarked AS (
+       |  SELECT *, is_ua AND NOT
+       |      coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE)
+       |    AS new_grp
+       |  FROM rparsed),
+       |rgrouped AS (
+       |  SELECT *, sum(CASE WHEN new_grp THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY ln
+       |          ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM rmarked),
+       |rstarred AS (
+       |  SELECT *, max(CASE WHEN is_ua AND value = '*' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host, grp) AS star
+       |  FROM rgrouped),
+       |rrules AS (
+       |  SELECT host, ln, is_allow AS allow, value AS prefix
+       |  FROM rstarred
+       |  WHERE is_rule AND star = 1 AND grp > 0 AND value <> '')""".stripMargin
+
+  /** CTE computing `rgate(…urlCols…, allowed, match_len)` from a
+    * `urls(<idCol>, host, path, …)` relation and `rrules` — the
+    * [[allowedGate]] twin (max-by (plen, allow) with tie → allow). */
+  def duckGateCtes(urlsRel: String, idCol: String): String =
+    s"""rbest AS (
+       |  SELECT u.$idCol,
+       |    max(struct_pack(plen := length(r.prefix), a := r.allow::INT)) AS b
+       |  FROM $urlsRel u JOIN rrules r
+       |    ON u.host = r.host AND starts_with(u.path, r.prefix)
+       |  GROUP BY u.$idCol),
+       |rgate AS (
+       |  SELECT u.*, coalesce(b.b.a = 1, TRUE) AS allowed,
+       |    CAST(coalesce(b.b.plen, -1) AS INT) AS match_len
+       |  FROM $urlsRel u LEFT JOIN rbest b USING ($idCol))""".stripMargin
+}

@@ -293,6 +293,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct"), ps)
   }
 
+  test("robots gate: rule-set side broadcasts so the URL corpus never shuffles") {
+    val rules = operators.RobotsTxt.rules(
+      SparkEntry.robotsFromDocs(spark, sf), "host", "robots_txt")
+    val df = operators.RobotsTxt.allowedGate(
+      SparkEntry.crawlPathsFromDocs(spark, sf), rules, "host", "path")
+    df.collect() // AQE decides the join strategy at runtime
+    val p = plan(df)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"), p)
+    assert(!finalPlan.contains("CartesianProduct"), p)
+  }
+
   test("opt-in broadcast exact dedup: no exchange, no join — scan + filter only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = operators.Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text")

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RobotsTxt: frozen-grammar parse goldens (group islands, decoy
+  * groups, comments, CRLF, empty values) and gate semantics (longest
+  * prefix, tie → allow, no rule / unknown host / null path → allowed).
+  * The DuckDB-parity half is the q_robots_rules / q_robots_allow
+  * oracle pair. */
+class RobotsTxtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def parse(txt: String): Seq[(Int, Boolean, String)] = {
+    import spark.implicits._
+    RobotsTxt.rules(Seq(("h.test", txt)).toDF("host", "robots_txt"),
+        "host", "robots_txt")
+      .collect()
+      .map(r => (r.getInt(1), r.getBoolean(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("golden: star group honored, decoy group and preamble rules ignored") {
+    val txt =
+      """Disallow: /orphan
+        |User-agent: megabot
+        |Disallow: /
+        |
+        |User-agent: *
+        |User-Agent: graftbot
+        |Allow: /public
+        |Disallow: /private
+        |""".stripMargin
+    // the pre-group rule (/orphan) and the megabot group's rule are
+    // dropped; both rules of the multi-UA star group survive
+    assert(parse(txt) ===
+      Seq((6, true, "/public"), (7, false, "/private")))
+  }
+
+  test("golden: a later UA run opens a NEW group; star rules stop at it") {
+    val txt =
+      """User-agent: *
+        |Disallow: /a
+        |User-agent: megabot
+        |Disallow: /b
+        |""".stripMargin
+    assert(parse(txt) === Seq((1, false, "/a")))
+  }
+
+  test("golden: comments, case-insensitive directives, empty values, unknown directives") {
+    val txt =
+      """# full-line comment
+        |Sitemap: https://h.test/map.xml
+        |user-agent: *
+        |DISALLOW: /x # inline comment
+        |Allow:
+        |Crawl-delay: 10
+        |allow: /x/y
+        |""".stripMargin
+    // Sitemap/Crawl-delay ignored; empty Allow dropped; directive case
+    // folds; the inline comment never reaches the prefix
+    assert(parse(txt) === Seq((3, false, "/x"), (6, true, "/x/y")))
+  }
+
+  test("CRLF file parses identically to LF; rule values keep internal colons") {
+    val lf = "User-agent: *\nDisallow: /cgi-bin/\nAllow: /a:b\n"
+    val crlf = lf.replace("\n", "\r\n")
+    assert(parse(crlf) === parse(lf))
+    assert(parse(lf).map(_._3) === Seq("/cgi-bin/", "/a:b"))
+  }
+
+  test("null/empty robots text yields no rules, never throws") {
+    import spark.implicits._
+    val df = Seq(("h.test", null: String), ("i.test", "")).toDF("host", "robots_txt")
+    assert(RobotsTxt.rules(df, "host", "robots_txt").count() === 0L)
+  }
+
+  test("gate: longest prefix wins, length tie goes to Allow, no match allows") {
+    import spark.implicits._
+    val robots = Seq(("h.test",
+      "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/ok\nAllow: /q\nDisallow: /q\n"))
+      .toDF("host", "robots_txt")
+    val rules = RobotsTxt.rules(robots, "host", "robots_txt")
+    val urls = Seq(
+      (1L, "h.test", "/p/ok/page"),   // tie at /p/ok (5) → Allow
+      (2L, "h.test", "/p/other"),     // only /p (2) matches → blocked
+      (3L, "h.test", "/q/deep"),      // tie at /q → Allow
+      (4L, "h.test", "/elsewhere"),   // no rule matches → allowed, -1
+      (5L, "x.test", "/p/other"),     // unknown host → allowed
+      (6L, "h.test", null: String)    // null path → no match → allowed
+    ).toDF("doc_id", "host", "path")
+    val out = RobotsTxt.allowedGate(urls, rules, "host", "path")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(3), r.getInt(4)))).toMap
+    assert(out === Map(
+      1L -> ((true, 5)), 2L -> ((false, 2)), 3L -> ((true, 2)),
+      4L -> ((true, -1)), 5L -> ((true, -1)), 6L -> ((true, -1))))
+  }
+
+  test("gate is layout-independent and keeps every input row") {
+    import spark.implicits._
+    val robots = RobotsTxt.rules(
+      Seq(("h.test", "User-agent: *\nDisallow: /p/1\n")).toDF("host", "robots_txt"),
+      "host", "robots_txt")
+    val urls = (0L until 200L)
+      .map(i => (i, "h.test", s"/p/$i")).toDF("doc_id", "host", "path")
+    val out = RobotsTxt.allowedGate(urls.repartition(7), robots, "host", "path")
+    assert(out.count() === 200L)
+    val blocked = out.where(!org.apache.spark.sql.functions.col("allowed"))
+      .collect().map(_.getLong(0)).toSet
+    // /p/1 blocks 1, 10-19, 100-199 → 111 ids
+    assert(blocked === ((Set(1L) ++ (10L to 19L) ++ (100L to 199L))))
+  }
+}
