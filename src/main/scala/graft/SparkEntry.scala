@@ -154,6 +154,12 @@ object SparkEntry {
   def warcDumpPath(dir: String): String =
     s"/tmp/graft_warc_${dir.split('/').filter(_.nonEmpty).last}"
 
+  /** Entropy/deflate micro-signal dump (q_info_quality) — the micros are
+    * JVM-specific (libm entropy, zlib bytes); DuckDB re-derives the keep
+    * flags from the frozen integers. */
+  def infoDumpPath(dir: String): String =
+    s"/tmp/graft_info_dump_${dir.split('/').filter(_.nonEmpty).last}"
+
   // ---- crawled-pages fixture (HtmlExtract / UrlOps input shape) ----
   // HTML template fragments shared VERBATIM by the Spark derivation and
   // the DuckDB CTE (no single quotes, so they drop into SQL literals
@@ -1292,6 +1298,18 @@ object SparkEntry {
       b.select(col("doc_id"), col("lang"), col("ppl_micro"), col("bucket"))
     }),
 
+    "q_info_quality" -> ((s, dir) => {
+      // information-theoretic quality signals (RedPajama-v2/Dolma):
+      // char entropy + deflate ratio as frozen micros (dumped), keep
+      // flags re-derived in Catalyst so DuckDB replays them exactly
+      oracleDir = dir
+      val sig = graft.functions.InfoSignals.signals(
+        docs(s, dir), "doc_id", "text", passthroughCols = Seq("lang"))
+      sig.select(col("doc_id"), col("entropy_micro"), col("deflate_micro"))
+        .coalesce(1).write.mode("overwrite").parquet(infoDumpPath(dir))
+      sig
+    }),
+
     // ---- crawl link graph over the derived pages table (LinkGraph) ----
     "q_outlinks" -> ((s, dir) =>
       // per-page href extraction + external-link stats (narrow explode)
@@ -2383,6 +2401,15 @@ object SparkEntry {
          |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_micro, doc_id)
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM j""".stripMargin,
+    "q_info_quality" ->
+      // flags re-derived from the dumped frozen micros with the SAME
+      // threshold constants (InfoSignals.duckFlagExprs)
+      s"""WITH p AS (SELECT doc_id, entropy_micro, deflate_micro
+         |           FROM read_parquet('${infoDumpPath(oracleDir)}/*.parquet'))
+         |SELECT d.doc_id, p.entropy_micro, p.deflate_micro,
+         |  ${graft.functions.InfoSignals.duckFlagExprs()},
+         |  d.lang
+         |FROM documents d JOIN p USING (doc_id)""".stripMargin,
     "q_outlinks" ->
       s"""WITH $pagesCte,
          |l AS (SELECT doc_id, url,

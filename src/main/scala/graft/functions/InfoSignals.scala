@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic quality signals — character entropy and
+  * deflate compression ratio — the cheap gibberish/repetition detectors
+  * the RedPajama-v2 quality-signal set and Dolma's quality filters run
+  * per document. Low character entropy or an ultra-low compression
+  * ratio flags template/repeated junk; a ratio near or above 1 flags
+  * random-looking payloads (minified blobs, base64, binary pasted as
+  * text) that n-gram LMs misprice.
+  *
+  * FROZEN definitions:
+  *  - entropy: Shannon entropy base 2 over Unicode CODE POINTS (a
+  *    surrogate pair is one symbol), H = log2(n) - (1/n)·Σ c·log2(c),
+  *    frozen to integer micro-bits via floor(H·1e6 + 0.5); null/empty
+  *    text → 0;
+  *  - deflate ratio: java.util.zip.Deflater level 6 (zlib container)
+  *    over the UTF-8 bytes, ratio = compressed/raw bytes frozen to
+  *    integer micro-units with exact integer rounding
+  *    (2·c·1e6 + r) / (2·r); null/empty text → 1_000_000 (neutral — an
+  *    empty doc is neither repetitive nor random; length rules own it);
+  *  - both signals ride ONE scalar struct UDF (single text crossing per
+  *    row); the keep flags are integer comparisons derived IN CATALYST
+  *    from the micro columns, so the DuckDB oracle re-derives them from
+  *    the dumped micros byte-identically.
+  *
+  * The default thresholds are chosen to exercise the synthetic fixture
+  * (its texts sit at 3.7–4.2 bits and 0.39–1.13 ratio); a real corpus
+  * recalibrates them against labeled samples (the RepCal discipline) —
+  * natural-language gibberish gates sit nearer 2 bits.
+  *
+  * Scale shape: a zero-shuffle narrow pass (plan-pinned). Entropy is
+  * O(n) with a small code-point map; deflate is the expensive half
+  * (~30 MB/s/core) — at 10^12 files run it AFTER the cheap length/
+  * lexical gates so it only prices the survivors. */
+object InfoSignals {
+
+  final val DefaultMinEntropyMicro = 4000000L
+  final val DefaultMinDeflateMicro = 430000L
+  final val DefaultMaxDeflateMicro = 900000L
+
+  /** Shannon entropy over code points in micro-bits (frozen). */
+  def charEntropyMicro(t: String): Long = {
+    if (t == null || t.isEmpty) return 0L
+    val counts = new java.util.HashMap[Int, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+    }
+    val ln2 = math.log(2.0)
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      sum += c * (math.log(c) / ln2)
+    }
+    val h = (math.log(n.toDouble) / ln2) - sum / n.toDouble
+    math.floor(h * 1e6 + 0.5).toLong
+  }
+
+  /** Deflate(level 6) compressed/raw byte ratio in micro-units
+    * (frozen; integer-exact rounding, no FP). */
+  def deflateRatioMicro(t: String): Long = {
+    if (t == null || t.isEmpty) return 1000000L
+    val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      (2L * total * 1000000L + raw.length) / (2L * raw.length)
+    } finally d.end()
+  }
+
+  private val signalsUdf =
+    udf { (t: String) => (charEntropyMicro(t), deflateRatioMicro(t)) }
+
+  /** id + micros + Catalyst-derived flags; `info_keep` = none flagged. */
+  def signals(df: DataFrame, idCol: String, textCol: String,
+              minEntropyMicro: Long = DefaultMinEntropyMicro,
+              minDeflateMicro: Long = DefaultMinDeflateMicro,
+              maxDeflateMicro: Long = DefaultMaxDeflateMicro,
+              passthroughCols: Seq[String] = Nil): DataFrame = {
+    val withSig = df.withColumn("_is", signalsUdf(col(textCol)))
+    val e = col("_is._1")
+    val r = col("_is._2")
+    withSig.select(
+      Seq(col(idCol),
+        e.as("entropy_micro"), r.as("deflate_micro"),
+        (e < minEntropyMicro).as("low_entropy"),
+        (r < minDeflateMicro).as("low_deflate"),
+        (r > maxDeflateMicro).as("high_deflate"),
+        (e >= minEntropyMicro && r >= minDeflateMicro &&
+          r <= maxDeflateMicro).as("info_keep")) ++
+        passthroughCols.map(col): _*)
+  }
+
+  /** DuckDB flag expressions over dumped (entropy_micro, deflate_micro)
+    * columns — generated from the SAME threshold constants. */
+  def duckFlagExprs(minEntropyMicro: Long = DefaultMinEntropyMicro,
+                    minDeflateMicro: Long = DefaultMinDeflateMicro,
+                    maxDeflateMicro: Long = DefaultMaxDeflateMicro): String =
+    s"""entropy_micro < $minEntropyMicro AS low_entropy,
+       |  deflate_micro < $minDeflateMicro AS low_deflate,
+       |  deflate_micro > $maxDeflateMicro AS high_deflate,
+       |  entropy_micro >= $minEntropyMicro AND
+       |    deflate_micro >= $minDeflateMicro AND
+       |    deflate_micro <= $maxDeflateMicro AS info_keep""".stripMargin
+}

@@ -305,6 +305,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan.contains("CartesianProduct"), p)
   }
 
+  test("info signals: zero-shuffle narrow pass over the scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.functions.InfoSignals.signals(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
   test("opt-in broadcast exact dedup: no exchange, no join — scan + filter only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = operators.Dedup.dropExactDuplicatesBroadcast(docs, "doc_id", "text")

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** InfoSignals: entropy goldens (code-point semantics), an independent
+  * naive-formula twin fuzz, deflate round-trip/determinism, and
+  * flag-vs-micro consistency on the fixture. The DuckDB-parity half is
+  * the q_info_quality dump oracle. */
+class InfoSignalsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entropy goldens: code points, not UTF-16 units") {
+    assert(InfoSignals.charEntropyMicro(null) === 0L)
+    assert(InfoSignals.charEntropyMicro("") === 0L)
+    assert(InfoSignals.charEntropyMicro("aaaa") === 0L)
+    assert(InfoSignals.charEntropyMicro("ab") === 1000000L)
+    assert(InfoSignals.charEntropyMicro("abab") === 1000000L)
+    assert(InfoSignals.charEntropyMicro("abcd") === 2000000L)
+    // a surrogate pair is ONE symbol: two identical emoji = zero entropy,
+    // emoji+ascii = one bit (a UTF-16-unit counter would see 4 units /
+    // 1.5 bits respectively)
+    assert(InfoSignals.charEntropyMicro("😀😀") === 0L)
+    assert(InfoSignals.charEntropyMicro("😀a") === 1000000L)
+  }
+
+  test("entropy fuzz vs an independent naive -sum(p*log2 p) twin") {
+    def naive(t: String): Long = {
+      val cps = t.codePoints().toArray
+      if (cps.isEmpty) return 0L
+      val n = cps.length.toDouble
+      val h = -cps.groupBy(identity).values
+        .map { g => val p = g.length / n; p * (math.log(p) / math.log(2.0)) }
+        .sum
+      math.floor(h * 1e6 + 0.5).toLong
+    }
+    val rnd = new Random(42)
+    val alphabets = Seq("ab", "abcdefgh", "aab bcc\n\t", "日本語abc😀")
+    for (_ <- 1 to 300) {
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val cps = alpha.codePoints().toArray
+      val len = rnd.nextInt(200)
+      val sb = new StringBuilder
+      for (_ <- 0 until len) sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length))))
+      val s = sb.toString
+      val a = InfoSignals.charEntropyMicro(s)
+      val b = naive(s)
+      // the two formulas are algebraically equal; FP accumulation can
+      // differ by at most one micro-bit at rounding boundaries
+      assert(math.abs(a - b) <= 1L, s"entropy mismatch on ${s.take(40)}: $a vs $b")
+    }
+  }
+
+  test("deflate: round-trip inverts, repetition compresses, determinism") {
+    assert(InfoSignals.deflateRatioMicro(null) === 1000000L)
+    assert(InfoSignals.deflateRatioMicro("") === 1000000L)
+    val rep = "ab" * 5000
+    val repRatio = InfoSignals.deflateRatioMicro(rep)
+    assert(repRatio < 20000L, s"repetitive ratio $repRatio")
+    val rnd = new Random(7)
+    val texts = Seq(rep, "the quick brown fox", "日本語のテキスト😀",
+      (1 to 500).map(_ => rnd.nextPrintableChar()).mkString)
+    for (t <- texts) {
+      // determinism
+      assert(InfoSignals.deflateRatioMicro(t) === InfoSignals.deflateRatioMicro(t))
+      // round-trip: re-deflate with the frozen settings and inflate back
+      val raw = t.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(out.toByteArray)
+      val back = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) back.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      assert(java.util.Arrays.equals(back.toByteArray, raw), s"round-trip on ${t.take(20)}")
+    }
+  }
+
+  test("signals: flags consistent with micros on the fixture, layout-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = InfoSignals.signals(docs, "doc_id", "text",
+        passthroughCols = Seq("lang")).collect()
+    assert(rows.length === 500)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var flagged = 0
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val e = r.getLong(1); val d = r.getLong(2)
+      assert(e === InfoSignals.charEntropyMicro(texts(id)))
+      assert(d === InfoSignals.deflateRatioMicro(texts(id)))
+      assert(r.getBoolean(3) === (e < InfoSignals.DefaultMinEntropyMicro))
+      assert(r.getBoolean(4) === (d < InfoSignals.DefaultMinDeflateMicro))
+      assert(r.getBoolean(5) === (d > InfoSignals.DefaultMaxDeflateMicro))
+      assert(r.getBoolean(6) === (!r.getBoolean(3) && !r.getBoolean(4) && !r.getBoolean(5)))
+      if (!r.getBoolean(6)) flagged += 1
+    }
+    // the frozen thresholds actually split the fixture
+    assert(flagged > 0 && flagged < rows.length, s"flagged=$flagged")
+    val again = InfoSignals.signals(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
+  }
+}
