@@ -65,7 +65,9 @@ object Bench {
       "q_minhash_dedup", "q_simhash_dedup", "q_ngram_jaccard", "q_dup_spans",
       "q_exact_substr",
       "q_fuzzy_dedup_minhash", "q_emb_neardup", "q_semdedup", "q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-      "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup", "q_set_ops", "q1_agg", "q3_join",
+      "q_doc_stats", "q_repetition", "q_gopher_quality", "q_para_dedup",
+      "q_line_dedup", "q_line_scale", "q_info_quality", "q_info_scale",
+      "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
       "q_bloom_decon",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
@@ -75,7 +77,7 @@ object Bench {
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale",
       "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
       "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_ccnet_scale",
-      "q_web_scale")
+      "q_web_scale", "q_robots_allow")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -362,6 +364,30 @@ object Bench {
         graft.operators.CcnetBucket.bucketsApprox(
           files, "doc_id", "text", "lang")
       }),
+      // the operator without the harness's micro-signal dump write
+      "q_info_quality" -> (s => graft.functions.InfoSignals.signals(
+        docsDf(s), "doc_id", "text", passthroughCols = Seq("lang"))),
+      // info signals at FLAGSHIP scale: entropy + deflate over all 1.6M
+      // staged rows (~6.4 GB through zlib level 6 — the expensive half;
+      // zero shuffle, pure scan throughput)
+      "q_info_scale" -> (s => {
+        val files = s.read.parquet(inputPath).select(
+          org.apache.spark.sql.functions.xxhash64(
+            col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"))
+        graft.functions.InfoSignals.signals(files, "doc_id", "text")
+      }),
+      // line-level boilerplate removal at FLAGSHIP scale: the synthetic
+      // code bodies are heavily templated (~2.5k distinct lines), so the
+      // probe aggregation scans 6.4 GB into a tiny broadcast set and the
+      // narrow rewrite strips ~everything — probe + rewrite both timed
+      "q_line_scale" -> (s => {
+        val files = s.read.parquet(inputPath).select(
+          org.apache.spark.sql.functions.xxhash64(
+            col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"))
+        Dedup.dropBoilerplateLines(files, "doc_id", "text", minCount = 100)
+      }),
       // crawl capstone at FLAGSHIP scale: wrap 1.6M staged rows in the
       // boilerplate template, extract, canonicalize a synthetic crawl
       // URL, URL-dedup (min-id survivor), length-gate, census — the
@@ -433,7 +459,11 @@ object Bench {
       // rank values are the computation under test
       "q_pagerank", "q_pagerank_scale",
       // bucket/census columns are the computation under test
-      "q_ccnet_bucket", "q_ccnet_scale", "q_web_scale")
+      "q_ccnet_bucket", "q_ccnet_scale", "q_web_scale",
+      // rewrite/signal/verdict columns are the computation under test —
+      // a bare count would prune the UDFs / the match fold entirely
+      "q_line_dedup", "q_line_scale", "q_info_quality", "q_info_scale",
+      "q_robots_allow")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0
