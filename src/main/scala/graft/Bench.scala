@@ -77,7 +77,8 @@ object Bench {
       "q_curation_scale", "q_repo_forks", "q_governed", "q_repogov_scale",
       "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
       "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_ccnet_scale",
-      "q_web_scale", "q_robots_allow")
+      "q_web_scale", "q_robots_allow",
+      "q_code_hygiene", "q_repo_context", "q_repoctx_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -387,6 +388,20 @@ object Bench {
             col("repo"), col("path"), col("commit")).as("doc_id"),
           col("content").as("text"))
         Dedup.dropBoilerplateLines(files, "doc_id", "text", minCount = 100)
+      }),
+      // repo-context assembly at FLAGSHIP scale over the staged table's
+      // REAL mega-repo skew (40% of 1.6M files live in r0/r1): the
+      // metadata prefix-sum window sees the skew on 3 tiny columns,
+      // content shuffles once keyed (repo, chunk) so each 2.6 GB mega
+      // repo spreads across ~40k reducible chunks; text reduced to md5
+      // inside the query so the timing covers assembly, not a 6.4 GB
+      // result hash
+      "q_repoctx_scale" -> (s => {
+        import org.apache.spark.sql.functions.md5
+        graft.operators.RepoContext.contexts(
+            s.read.parquet(inputPath), budgetChars = 65536)
+          .select(col("repo"), col("chunk_id"), col("n_files"),
+            col("n_chars"), md5(col("text")).as("text_md5"))
       }),
       // crawl capstone at FLAGSHIP scale: wrap 1.6M staged rows in the
       // boilerplate template, extract, canonicalize a synthetic crawl

@@ -339,6 +339,66 @@ object SparkEntry {
       |    'Disallow: /private/' AS robots_txt
       |  FROM (SELECT DISTINCT doc_id % 20 AS h FROM documents))""".stripMargin
 
+  /** Deterministic code-file table (doc_id, path, text) for the hygiene
+    * gates ([[hygieneCte]] is the DuckDB twin). Paths cycle through every
+    * frozen deny shape plus two DECOYS that must NOT flag ("distx/" is
+    * not "dist/", "vendors/" is not "vendor/"); contents plant every
+    * comment-marker family, an indented/tab case, a >=10-line
+    * comment-free class (no_comments), an all-comment class
+    * (mostly_comments) and the empty document. */
+  def hygieneFilesFromDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val path = when(id % 11 === 0, concat(lit("node_modules/pkg/f"), ids, lit(".js")))
+      .when(id % 11 === 1, concat(lit("src/vendor/f"), ids, lit(".go")))
+      .when(id % 11 === 2, concat(lit("assets/app"), ids, lit(".min.js")))
+      .when(id % 11 === 3, concat(lit("pkg"), ids, lit("/package-lock.json")))
+      .when(id % 11 === 4, concat(lit("data/t"), ids, lit(".csv")))
+      .when(id % 11 === 5, concat(lit("third_party/x/f"), ids, lit(".c")))
+      .when(id % 11 === 6, concat(lit("distx/f"), ids, lit(".js")))
+      .when(id % 11 === 7, concat(lit("src/vendors/f"), ids, lit(".js")))
+      .otherwise(concat(lit("src/main/f"), ids, lit(".py")))
+    val txt = coalesce(col("text"), lit(""))
+    val body = when(id % 6 === 0, concat(lit("// a\n// b\n"), txt))
+      .when(id % 6 === 1, concat(lit("# a\n \t# ind\n\t \n"), txt))
+      .when(id % 6 === 2, concat(lit("-- x\n/* y\n* z\n"), txt))
+      .when(id % 6 === 3,
+        concat(lit("l0\nl1\nl2\nl3\nl4\nl5\nl6\nl7\nl8\nl9\n"), txt))
+      .when(id % 6 === 4, lit("// only\n// comments\n// here"))
+      .otherwise(lit(""))
+    docs(s, dir).select(id.as("doc_id"), path.as("path"), body.as("text"))
+  }
+
+  /** The identical hygiene derivation as a DuckDB CTE body. */
+  private def hygieneCte: String =
+    """hyg AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 11
+      |      WHEN 0 THEN 'node_modules/pkg/f' || doc_id::VARCHAR || '.js'
+      |      WHEN 1 THEN 'src/vendor/f' || doc_id::VARCHAR || '.go'
+      |      WHEN 2 THEN 'assets/app' || doc_id::VARCHAR || '.min.js'
+      |      WHEN 3 THEN 'pkg' || doc_id::VARCHAR || '/package-lock.json'
+      |      WHEN 4 THEN 'data/t' || doc_id::VARCHAR || '.csv'
+      |      WHEN 5 THEN 'third_party/x/f' || doc_id::VARCHAR || '.c'
+      |      WHEN 6 THEN 'distx/f' || doc_id::VARCHAR || '.js'
+      |      WHEN 7 THEN 'src/vendors/f' || doc_id::VARCHAR || '.js'
+      |      ELSE 'src/main/f' || doc_id::VARCHAR || '.py' END AS path,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN '// a' || chr(10) || '// b' || chr(10) ||
+      |        coalesce(text, '')
+      |      WHEN 1 THEN '# a' || chr(10) || ' ' || chr(9) || '# ind' ||
+      |        chr(10) || chr(9) || ' ' || chr(10) || coalesce(text, '')
+      |      WHEN 2 THEN '-- x' || chr(10) || '/* y' || chr(10) || '* z' ||
+      |        chr(10) || coalesce(text, '')
+      |      WHEN 3 THEN 'l0' || chr(10) || 'l1' || chr(10) || 'l2' ||
+      |        chr(10) || 'l3' || chr(10) || 'l4' || chr(10) || 'l5' ||
+      |        chr(10) || 'l6' || chr(10) || 'l7' || chr(10) || 'l8' ||
+      |        chr(10) || 'l9' || chr(10) || coalesce(text, '')
+      |      WHEN 4 THEN '// only' || chr(10) || '// comments' || chr(10) ||
+      |        '// here'
+      |      ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
   /** Candidate crawl targets (doc_id, host, path): doc_id %130 paths so
     * the planted /p/1, /p/12 and /p/7 prefixes all actually fire. */
   def crawlPathsFromDocs(s: SparkSession, dir: String): DataFrame =
@@ -1341,6 +1401,28 @@ object SparkEntry {
           "host", "path")
         .select(col("doc_id"), col("host"), col("path"),
           col("allowed"), col("match_len"))),
+
+    // ---- code hygiene: path gate + comment density (CodeHygiene) ----
+    "q_code_hygiene" -> ((s, dir) => {
+      // path flags are pure Catalyst; comment counts are one fused scan
+      // UDF whose Catalyst twin generates the oracle rendering
+      val f = CodeHygiene.pathFlags(hygieneFilesFromDocs(s, dir), "path")
+      CodeHygiene.commentStats(f, "doc_id", "text",
+        passthroughCols = Seq("path", "vendored", "minified", "lockfile",
+          "datafile", "path_keep"))
+    }),
+
+    // ---- repo-level context assembly (RepoContext) ----
+    "q_repo_context" -> ((s, dir) =>
+      // StarCoder2-style repo grouping over the governed latest-version
+      // table: metadata-only prefix-sum window assigns chunks, content
+      // shuffles once keyed (repo, chunk); text crosses as md5 so the
+      // dump stays compact while still pinning every assembled byte
+      RepoContext.contexts(
+          RepoGov.latestVersions(repoFilesFromDocs(s, dir)),
+          budgetChars = 2048)
+        .select(col("repo"), col("chunk_id"), col("n_files"),
+          col("n_chars"), md5(col("text")).as("text_md5"))),
 
     "q_web_curation" -> ((s, dir) => {
       // crawl-side CAPSTONE: robots gate → HTML extraction → URL
@@ -2455,6 +2537,21 @@ object SparkEntry {
          |$crawlPathsCte,
          |${RobotsTxt.duckGateCtes("cpaths", "doc_id")}
          |SELECT doc_id, host, path, allowed, match_len FROM rgate""".stripMargin,
+    "q_code_hygiene" ->
+      // path gate + comment-density stats, both renderings generated
+      // from the operator's frozen atom lists
+      s"""WITH $hygieneCte
+         |SELECT doc_id, path,
+         |  ${CodeHygiene.duckPathFlagExprs("path")},
+         |  ${CodeHygiene.duckCommentExprs("text")}
+         |FROM hyg""".stripMargin,
+    "q_repo_context" ->
+      // derivation + latest-version window + chunk prefix-sum + ordered
+      // assembly replayed end-to-end from documents.parquet (no dumps)
+      s"""WITH $repoFilesCte,
+         |${RepoContext.duckCtes("rf_latest", 2048L)}
+         |SELECT repo, chunk_id, n_files, n_chars, md5(text) AS text_md5
+         |FROM rctx""".stripMargin,
     "q_web_curation" ->
       s"""WITH $pagesCte,
          |${LinkGraph.duckPagerankCtes(3)},

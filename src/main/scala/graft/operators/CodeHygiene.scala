@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Code-corpus hygiene gates — the path-level and comment-density
+  * filters the published The-Stack / StarCoder pipelines run on raw
+  * repository snapshots before content-level quality scoring:
+  * vendored/generated directories, minified and lockfile artifacts, and
+  * data files carry near-zero training signal per byte and are dropped
+  * by PATH, which prunes them at the scan (a filter on a metadata
+  * column pushes into the parquet reader — the content column is never
+  * materialized for a dropped row). Comment density then separates
+  * machine-dumped code (no comments at all) from license/doc shells
+  * (almost only comments).
+  *
+  * FROZEN semantics (mirrored by the generated DuckDB rendering):
+  *  - path tests are case-sensitive byte tests on the raw path string:
+  *    `vendored` ⇔ '/'+path contains '/'+dir+'/' for a frozen dir list
+  *    (the leading slash unifies "vendor/x.js" with "a/vendor/x.js";
+  *    a path SEGMENT named exactly `vendor` as a file does not flag);
+  *    `minified` / `lockfile` / `datafile` ⇔ path ends with a frozen
+  *    suffix; `path_keep` ⇔ none flagged;
+  *  - a comment line = a line whose first char after left-trimming
+  *    spaces and tabs starts one of the frozen lang-agnostic markers
+  *    (slash-slash, hash, dash-dash, slash-star, star) — the same family
+  *    [[ScoreStage]]'s natural-language view strips; lang-agnostic
+  *    because marker collisions (a Python "#" inside Java) are noise at
+  *    corpus scale while a lang-keyed map silently misclassifies the
+  *    long tail of `lang` values;
+  *  - blank = only spaces/tabs; comment_frac is frozen to integer
+  *    micro-units over NONBLANK lines, (2·c·1e6 + nb) / (2·nb), 0 when
+  *    nb = 0 (the [[graft.functions.InfoSignals]] rounding discipline);
+  *  - flags derive from the counts IN CATALYST: `no_comments` ⇔
+  *    nb >= 10 ∧ c = 0 (a 9-line snippet is too short to owe comments),
+  *    `mostly_comments` ⇔ frac_micro > 800000, `comment_keep` ⇔
+  *    neither.
+  *
+  * Scale shape: both stages are zero-shuffle narrow passes. Path flags
+  * are pure Catalyst (codegen'd, filter-pushdown-friendly). Comment
+  * counting is ONE fused scalar scan UDF — a per-line Catalyst HOF
+  * would interpret its lambda per line (the GopherLexical 16× lesson);
+  * [[commentStatsCatalyst]] keeps the executable Catalyst twin the
+  * DuckDB rendering is generated from, and the spec pins the three
+  * implementations equal. */
+object CodeHygiene {
+
+  /** Frozen interior-directory deny list (tested as '/'+dir+'/'). */
+  final val VendoredDirs: Seq[String] =
+    Seq("node_modules", "vendor", "third_party", "dist", ".git")
+
+  /** Frozen suffix deny lists. */
+  final val MinifiedSuffixes: Seq[String] = Seq(".min.js", ".min.css", ".map")
+  final val LockSuffixes: Seq[String]     = Seq(".lock", "-lock.json")
+  final val DataSuffixes: Seq[String]     = Seq(".csv", ".tsv", ".jsonl")
+
+  /** Frozen comment markers (checked after space/tab left-trim). */
+  final val CommentMarkers: Seq[String] = Seq("//", "#", "--", "/*", "*")
+
+  final val MinLinesForNoComments = 10L
+  final val MostlyCommentsMicro   = 800000L
+
+  // ---------------------------- path gate ----------------------------
+
+  private def anyOf(tests: Seq[Column]): Column =
+    tests.reduce(_ || _)
+
+  /** Adds vendored/minified/lockfile/datafile/path_keep columns — pure
+    * Catalyst over the path column only. */
+  def pathFlags(df: DataFrame, pathCol: String): DataFrame = {
+    val p = coalesce(col(pathCol), lit(""))
+    val slashed = concat(lit("/"), p)
+    val vendored = anyOf(VendoredDirs.map(d => slashed.contains(s"/$d/")))
+    val minified = anyOf(MinifiedSuffixes.map(s => p.endsWith(s)))
+    val lockfile = anyOf(LockSuffixes.map(s => p.endsWith(s)))
+    val datafile = anyOf(DataSuffixes.map(s => p.endsWith(s)))
+    df.withColumn("vendored", vendored)
+      .withColumn("minified", minified)
+      .withColumn("lockfile", lockfile)
+      .withColumn("datafile", datafile)
+      .withColumn("path_keep",
+        !(vendored || minified || lockfile || datafile))
+  }
+
+  /** DuckDB rendering of [[pathFlags]] as SELECT-list expressions over
+    * a `path` column — generated from the same frozen lists. */
+  def duckPathFlagExprs(pathCol: String): String = {
+    val p = s"coalesce($pathCol, '')"
+    def esc(s: String) = s.replace("'", "''")
+    val vendored = VendoredDirs
+      .map(d => s"strpos('/' || $p, '/${esc(d)}/') > 0").mkString(" OR ")
+    val minified = MinifiedSuffixes
+      .map(s => s"ends_with($p, '${esc(s)}')").mkString(" OR ")
+    val lockfile = LockSuffixes
+      .map(s => s"ends_with($p, '${esc(s)}')").mkString(" OR ")
+    val datafile = DataSuffixes
+      .map(s => s"ends_with($p, '${esc(s)}')").mkString(" OR ")
+    s"""($vendored) AS vendored,
+       |  ($minified) AS minified,
+       |  ($lockfile) AS lockfile,
+       |  ($datafile) AS datafile,
+       |  NOT (($vendored) OR ($minified) OR ($lockfile) OR ($datafile))
+       |    AS path_keep""".stripMargin
+  }
+
+  // ------------------------- comment density -------------------------
+
+  /** Frozen per-document counts: (nonblank lines, comment lines). */
+  private[operators] def commentCounts(t: String): (Long, Long) = {
+    if (t == null || t.isEmpty) return (0L, 0L)
+    var nb = 0L
+    var c = 0L
+    var i = 0
+    val n = t.length
+    while (i <= n) {
+      // line = [i, eol)
+      var eol = i
+      while (eol < n && t.charAt(eol) != '\n') eol += 1
+      var j = i
+      while (j < eol && (t.charAt(j) == ' ' || t.charAt(j) == '\t')) j += 1
+      if (j < eol) {
+        nb += 1
+        val rest = eol - j
+        val ch = t.charAt(j)
+        val isComment =
+          (rest >= 2 && ch == '/' && t.charAt(j + 1) == '/') ||
+          ch == '#' ||
+          (rest >= 2 && ch == '-' && t.charAt(j + 1) == '-') ||
+          (rest >= 2 && ch == '/' && t.charAt(j + 1) == '*') ||
+          ch == '*'
+        if (isComment) c += 1
+      }
+      i = eol + 1
+    }
+    (nb, c)
+  }
+
+  private val countsUdf = udf { (t: String) => commentCounts(t) }
+
+  /** id + counts + micro ratio + Catalyst-derived flags; one fused scan
+    * UDF per row (production path). */
+  def commentStats(df: DataFrame, idCol: String, textCol: String,
+                   passthroughCols: Seq[String] = Nil): DataFrame = {
+    val withC = df.withColumn("_cc", countsUdf(col(textCol)))
+    flagged(withC.select(
+      Seq(col(idCol), col("_cc._1").as("n_nonblank"),
+        col("_cc._2").as("n_comment")) ++ passthroughCols.map(col): _*))
+  }
+
+  /** Catalyst-HOF twin of [[commentStats]] — the executable frozen
+    * definition the DuckDB rendering mirrors; spec-pinned equal to the
+    * fused UDF. Interpreted per line, so NOT the production path. */
+  def commentStatsCatalyst(df: DataFrame, idCol: String, textCol: String,
+                           passthroughCols: Seq[String] = Nil): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val stripped = transform(lines, l => ltrim(l, " \t"))
+    val nonblank = filter(stripped, l => l =!= "")
+    val comment = filter(nonblank, l =>
+      anyOf(CommentMarkers.map(m => l.startsWith(m))))
+    flagged(df.select(
+      Seq(col(idCol),
+        size(nonblank).cast("long").as("n_nonblank"),
+        size(comment).cast("long").as("n_comment")) ++
+        passthroughCols.map(col): _*))
+  }
+
+  /** Flags from the counts — Catalyst on both paths, so the DuckDB
+    * oracle re-derives them from the same integer arithmetic. The ratio
+    * uses SQL integer `div` (NOT Column `/`, which is double division —
+    * a quotient landing within one ulp of an integer could truncate
+    * differently from DuckDB's exact `//`). */
+  private def flagged(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("comment_frac_micro", expr(
+        "CASE WHEN n_nonblank > 0 THEN " +
+          "(2L * n_comment * 1000000L + n_nonblank) div (2L * n_nonblank) " +
+          "ELSE 0L END"))
+      .withColumn("no_comments",
+        col("n_nonblank") >= MinLinesForNoComments && col("n_comment") === 0)
+      .withColumn("mostly_comments",
+        col("comment_frac_micro") > MostlyCommentsMicro)
+      .withColumn("comment_keep",
+        !col("no_comments") && !col("mostly_comments"))
+
+  /** DuckDB rendering as SELECT-list expressions over a `text` column:
+    * n_nonblank, n_comment, comment_frac_micro, flags — generated from
+    * the same frozen markers and thresholds. DuckDB's list lambdas are
+    * the twin of [[commentStatsCatalyst]]'s HOFs. */
+  def duckCommentExprs(textCol: String): String = {
+    val stripped =
+      s"list_transform(string_split(coalesce($textCol, ''), chr(10)), l -> ltrim(l, ' ' || chr(9)))"
+    val nb = s"len(list_filter($stripped, l -> l <> ''))"
+    val marker = CommentMarkers
+      .map(m => s"starts_with(l, '${m.replace("'", "''")}')").mkString(" OR ")
+    val c = s"len(list_filter(list_filter($stripped, l -> l <> ''), l -> $marker))"
+    val frac = s"CASE WHEN $nb > 0 THEN (2 * $c * 1000000 + $nb) // (2 * $nb) ELSE 0 END"
+    s"""CAST($nb AS BIGINT) AS n_nonblank,
+       |  CAST($c AS BIGINT) AS n_comment,
+       |  CAST($frac AS BIGINT) AS comment_frac_micro,
+       |  $nb >= $MinLinesForNoComments AND $c = 0 AS no_comments,
+       |  $frac > $MostlyCommentsMicro AS mostly_comments,
+       |  NOT ($nb >= $MinLinesForNoComments AND $c = 0) AND
+       |    NOT ($frac > $MostlyCommentsMicro) AS comment_keep""".stripMargin
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repo-level context assembly — the StarCoder2 / DeepSeek-Coder
+  * "repo-context" pretraining arrangement: a repository's files,
+  * rendered with a path header and taken in a canonical order, are
+  * concatenated into fixed-character-budget training documents so the
+  * model sees cross-file structure (imports, call sites, configs)
+  * instead of isolated files. This is the code-payload sibling of
+  * [[Packing]]: Packing assigns token offsets inside a global stream,
+  * repo-context assigns files to per-repo chunks. (No reference
+  * analogue — upstream ldig is a language detector; design basis is the
+  * published StarCoder2 §3.1 repo-grouping recipe, re-expressed
+  * Spark-first.)
+  *
+  * FROZEN semantics (mirrored by the generated DuckDB rendering, so the
+  * q_repo_context oracle can only hash-match if both engines agree):
+  *  - file order inside a repo = `path` ascending, binary comparison
+  *    (Spark UTF8String ordering == DuckDB default collation for the
+  *    ASCII paths this engine governs; non-ASCII paths would diverge on
+  *    the engines' internal encodings and are out of the frozen
+  *    contract);
+  *  - rendered file = `"// FILE: " + path + "\n" + content` (null
+  *    content reads as empty); files inside a chunk join with "\n\n";
+  *  - cost(file) = length(rendered) + 2 — the separator is charged to
+  *    every file (amortized; charging it to joins-only would make chunk
+  *    ids depend on chunk-local position, which breaks the prefix-sum
+  *    form below);
+  *  - chunk_id = floor(repo-local-prefix-sum-before(cost) / budget) —
+  *    the [[Packing]] offset-bucketing rule: a file belongs to the
+  *    chunk containing its START offset, so a straddling file overflows
+  *    its chunk rather than opening a new one (the consumer's tokenizer
+  *    truncates at the real token budget; greedy reset-on-overflow
+  *    packing is NOT used because it is sequentially dependent and
+  *    cannot be expressed as a window — the frozen rule is a pure
+  *    prefix-sum function, embarrassingly parallel and engine-portable);
+  *  - lengths count Unicode code points (both engines' SQL `length`).
+  *
+  * Scale shape (the reason this is not one groupBy(repo)):
+  *  - the ordered per-repo prefix sum runs over a METADATA projection
+  *    (repo, path, cost) — 3 narrow columns — so the window task for a
+  *    mega-repo (the fixture's r0 holds 20% of a 10^12-row corpus)
+  *    streams tiny rows, never content. `Window.partitionBy(repo)` on
+  *    the content rows instead would sort the mega-repo's full byte
+  *    volume in ONE task.
+  *  - content then shuffles exactly once, keyed by (repo, chunk_id):
+  *    chunk sizes are bounded by budget + one file, so the assembly
+  *    reducers are skew-free BY CONSTRUCTION — the mega-repo spreads
+  *    across as many reducers as it has chunks. The assignment join is
+  *    an equi-join on (repo, path) whose right side is the tiny
+  *    metadata table (AQE broadcasts it whenever it fits; above the
+  *    threshold it degrades to an SMJ where content pays one extra
+  *    shuffle — at that point stage the assignment to a bucketed table
+  *    instead, the [[sources.BucketedTables]] layout).
+  *  - one chunk's text is materialized on one reducer (budget + one
+  *    file bytes) — size `budgetChars` to the executor, not the repo.
+  */
+object RepoContext {
+
+  /** Frozen rendering atoms — referenced by both engines. */
+  final val FileHeader = "// FILE: "
+  final val Separator  = "\n\n"
+
+  /** (repo, chunk_id, n_files, n_chars, text) — one row per assembled
+    * repo-context chunk. Input must be one row per (repo, path)
+    * (run [[RepoGov.latestVersions]] first on versioned tables). */
+  def contexts(files: DataFrame, budgetChars: Long = 16384,
+               repoCol: String = "repo", pathCol: String = "path",
+               contentCol: String = "content"): DataFrame = {
+    require(budgetChars > 0, s"budgetChars must be positive, got $budgetChars")
+    val rendered = files.select(
+      col(repoCol).as("repo"), col(pathCol).as("path"),
+      concat(lit(FileHeader), col(pathCol), lit("\n"),
+        coalesce(col(contentCol), lit(""))).as("_r"))
+    // metadata-only assignment: content does not ride the ordered window
+    val w = Window.partitionBy("repo").orderBy("path")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val asn = rendered
+      .select(col("repo"), col("path"), (length(col("_r")) + 2L).cast("long").as("_cost"))
+      .withColumn("_cum", coalesce(sum(col("_cost")).over(w), lit(0L)))
+      .select(col("repo"), col("path"),
+        expr(s"_cum div ${budgetChars}L").as("chunk_id"))
+    rendered.join(asn, Seq("repo", "path"))
+      .groupBy(col("repo"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_files"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("path"), col("_r")))),
+            x => x("_r")),
+          Separator).as("text"))
+      .select(col("repo"), col("chunk_id"), col("n_files"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+  }
+
+  /** DuckDB twin of [[contexts]] as a CTE chain ending in
+    * `rctx(repo, chunk_id, n_files, n_chars, text)`. `filesRel` must
+    * expose (repo, path, content). Generated from the same frozen atoms
+    * so the two renderings cannot drift independently. */
+  def duckCtes(filesRel: String, budgetChars: Long): String = {
+    val hdr = FileHeader
+    s"""rcr AS (
+       |  SELECT repo, path,
+       |    '$hdr' || path || chr(10) || coalesce(content, '') AS r
+       |  FROM $filesRel),
+       |rca AS (
+       |  SELECT repo, path, r,
+       |    CAST(coalesce(sum(length(r) + 2) OVER (
+       |        PARTITION BY repo ORDER BY path
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $budgetChars AS BIGINT) AS chunk_id
+       |  FROM rcr),
+       |rctx AS (
+       |  SELECT repo, chunk_id, count(*) AS n_files,
+       |    CAST(length(string_agg(r, chr(10) || chr(10) ORDER BY path))
+       |      AS BIGINT) AS n_chars,
+       |    string_agg(r, chr(10) || chr(10) ORDER BY path) AS text
+       |  FROM rca GROUP BY repo, chunk_id)""".stripMargin
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Code hygiene gates: hand goldens for the frozen comment-marker scan,
+  * a fused-UDF == Catalyst-twin fuzz (the DuckDB rendering is generated
+  * from the Catalyst twin's semantics, so this equality is what makes
+  * the q_code_hygiene oracle meaningful), flag threshold edges, and the
+  * path-gate deny/decoy table. */
+class CodeHygieneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("comment counts: hand golden across all marker families") {
+    val t = "// a\nx=1\n# b\n  -- c\n\t/* d\n* e\n \t\nplain"
+    assert(CodeHygiene.commentCounts(t) == (7L, 5L))
+  }
+
+  test("comment counts: edges (empty, null, lone markers, trailing newline)") {
+    assert(CodeHygiene.commentCounts("") == (0L, 0L))
+    assert(CodeHygiene.commentCounts(null) == (0L, 0L))
+    assert(CodeHygiene.commentCounts("\n\n") == (0L, 0L))
+    assert(CodeHygiene.commentCounts("#") == (1L, 1L))   // 1-char markers count
+    assert(CodeHygiene.commentCounts("*") == (1L, 1L))
+    assert(CodeHygiene.commentCounts("/") == (1L, 0L))   // half a marker doesn't
+    assert(CodeHygiene.commentCounts("-") == (1L, 0L))
+    assert(CodeHygiene.commentCounts("-x") == (1L, 0L))
+    assert(CodeHygiene.commentCounts("x\n") == (1L, 0L)) // no phantom last line
+  }
+
+  test("fused UDF == Catalyst twin on a deterministic fuzz corpus") {
+    import spark.implicits._
+    val segs = Array("// x", "#", "--", "/*", "*/", "* b", "code();", "  ",
+      "\t", "", " \t# ind", "\tplain", "é ∀", "-", "/", "##", "- item")
+    val rnd = new scala.util.Random(20260818L)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(segs(rnd.nextInt(segs.length))).mkString("\n") +
+        (if (rnd.nextBoolean()) "\n" else ""))
+    } :+ ((300L, "")) :+ ((301L, "\n"))
+    val df = docs.toDF("doc_id", "text")
+    def toMap(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getLong(0) -> x.toSeq.drop(1)).toMap
+    val fused = toMap(CodeHygiene.commentStats(df, "doc_id", "text"))
+    val cat = toMap(CodeHygiene.commentStatsCatalyst(df, "doc_id", "text"))
+    assert(fused == cat)
+  }
+
+  test("flag edges: 10-line no-comment threshold and the 0.8 boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"l$i").mkString("\n")),  // 10 nb, 0 c
+      (2L, (0 until 9).map(i => s"l$i").mkString("\n")),   // 9 nb, 0 c
+      (3L, "// a\n// b\n// c\n// d\ncode"),                // 4/5 = exactly 0.8
+      (4L, "// a\n// b\n// c\n// d\n// e\ncode"),          // 5/6 > 0.8
+      (5L, ""))
+    val out = CodeHygiene.commentStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("no_comments"), r.getAs[Boolean]("mostly_comments"),
+          r.getAs[Boolean]("comment_keep"), r.getAs[Long]("comment_frac_micro")))
+      .toMap
+    assert(out(1L) == ((true, false, false, 0L)))
+    assert(out(2L) == ((false, false, true, 0L)))
+    assert(out(3L) == ((false, false, true, 800000L)))  // == threshold keeps
+    assert(out(4L)._2 && !out(4L)._3)
+    assert(out(5L) == ((false, false, true, 0L)))       // empty: nb=0, frac 0
+  }
+
+  test("path gate: deny shapes flag, decoys do not") {
+    import spark.implicits._
+    val cases = Seq(
+      // path, vendored, minified, lockfile, datafile
+      ("node_modules/p/f.js", true, false, false, false),
+      ("a/node_modules/b.js", true, false, false, false),
+      ("nodemodules/x.js", false, false, false, false),
+      ("vendor/x.go", true, false, false, false),
+      ("a/vendor", false, false, false, false),  // trailing segment = a file
+      ("src/vendors/f.js", false, false, false, false),
+      ("distx/f.js", false, false, false, false),
+      ("dist/f.js", true, false, false, false),
+      ("app.min.js", false, true, false, false),
+      ("app.min.jsx", false, false, false, false),
+      ("Cargo.lock", false, false, true, false),
+      ("p/package-lock.json", false, false, true, false),
+      ("data/t.csv", false, false, false, true),
+      ("style.map", false, true, false, false))
+    val out = CodeHygiene.pathFlags(
+        cases.map(_._1).toDF("path"), "path")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Boolean]("vendored"), r.getAs[Boolean]("minified"),
+          r.getAs[Boolean]("lockfile"), r.getAs[Boolean]("datafile"),
+          r.getAs[Boolean]("path_keep"))).toMap
+    cases.foreach { case (p, v, m, l, d) =>
+      assert(out(p) == ((v, m, l, d, !(v || m || l || d))), p)
+    }
+  }
+
+  test("null path keeps (no flags)") {
+    import spark.implicits._
+    val out = CodeHygiene.pathFlags(
+      Seq(Tuple1(null: String)).toDF("path"), "path").collect()(0)
+    assert(out.getAs[Boolean]("path_keep"))
+  }
+}

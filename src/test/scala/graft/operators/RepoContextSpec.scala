@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-context assembly: hand-golden chunk math for the frozen
+  * offset-bucketing rule, oversize/straddle semantics, null content,
+  * partitioning independence, and the scale-shape plan pin (content
+  * never rides the per-repo ordered window). */
+class RepoContextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def files(rows: (String, String, String)*) =
+    rows.toDF("repo", "path", "content")
+
+  test("hand golden: rendering, path order, chunk ids, joined lengths") {
+    // costs: a = len("// FILE: a\n12345")+2 = 18; b = 11+30+2 = 43; c = 14
+    val df = files(("r", "b", "x" * 30), ("r", "a", "12345"), ("r", "c", "q"))
+    val out = RepoContext.contexts(df, budgetChars = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // a: cum 0 -> chunk 0; b: cum 18 -> chunk 0 (straddles, overflows);
+    // c: cum 61 -> chunk 3 (chunks 1-2 are covered by b's overflow)
+    assert(out.keySet == Set(("r", 0L), ("r", 3L)))
+    val (n0, len0, t0) = out(("r", 0L))
+    assert(n0 == 2L && t0 == "// FILE: a\n12345\n\n// FILE: b\n" + "x" * 30)
+    assert(len0 == t0.length.toLong)
+    assert(out(("r", 3L)) == ((1L, 12L, "// FILE: c\nq")))
+  }
+
+  test("a file bigger than the budget owns the chunk containing its start") {
+    val df = files(("r", "a", "y" * 100), ("r", "b", "z"))
+    val out = RepoContext.contexts(df, budgetChars = 50)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // a: cum 0 -> chunk 0 (cost 113); b: cum 113 -> chunk 2
+    assert(out == Map(0L -> 1L, 2L -> 1L))
+  }
+
+  test("null content renders as header only; repos stay separate") {
+    val df = files(("r1", "a", null), ("r2", "a", null))
+    val out = RepoContext.contexts(df, budgetChars = 100).collect()
+      .map(r => (r.getString(0), r.getString(4))).toMap
+    assert(out == Map("r1" -> "// FILE: a\n", "r2" -> "// FILE: a\n"))
+  }
+
+  test("assignment is partitioning-independent") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 200).map { i =>
+      (s"r${i % 7}", f"p$i%03d", "c" * rnd.nextInt(400))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val base = canon(RepoContext.contexts(files(rows: _*), 512))
+    val rep = canon(RepoContext.contexts(files(rows: _*).repartition(7), 512))
+    assert(base == rep)
+  }
+
+  test("plan: metadata-only window, broadcast assignment join, two hash exchanges") {
+    val rows = (0 until 100).map(i => (s"r${i % 5}", f"p$i%03d", "c" * 50))
+    val df = RepoContext.contexts(files(rows: _*), 256)
+    df.collect() // settle AQE so the final plan is the executed one
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("Window"), p)
+    // the rendered-content column must not ride the ordered window: the
+    // window subtree projects only (repo, path, _cost)
+    val windowChild = p.substring(p.indexOf("Window"))
+    assert(windowChild.contains("_cost"), p)
+    val winSort = "Sort \\[repo.*path".r.findFirstIn(p)
+    assert(winSort.isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length -
+      "ReusedExchange.*Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+  }
+}
