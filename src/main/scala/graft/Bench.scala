@@ -78,7 +78,8 @@ object Bench {
       "q_html_extract", "q_html_scale", "q_url_dedup", "q_url_scale",
       "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_ccnet_scale",
       "q_web_scale", "q_robots_allow",
-      "q_code_hygiene", "q_repo_context", "q_repoctx_scale")
+      "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
+      "q_encoding_fix", "q_encfix_scale")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -389,6 +390,16 @@ object Bench {
           col("content").as("text"))
         Dedup.dropBoilerplateLines(files, "doc_id", "text", minCount = 100)
       }),
+      // mojibake repair at FLAGSHIP scale: the ~60-literal-replace chain
+      // (pure Catalyst, codegen'd) over 6.4 GB of content — measures the
+      // real cost of chained replaces vs a would-be fused scanner
+      "q_encfix_scale" -> (s => {
+        val files = s.read.parquet(inputPath).select(
+          org.apache.spark.sql.functions.xxhash64(
+            col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"))
+        graft.operators.EncodingFix.repaired(files, "doc_id", "text")
+      }),
       // repo-context assembly at FLAGSHIP scale over the staged table's
       // REAL mega-repo skew (40% of 1.6M files live in r0/r1): the
       // metadata prefix-sum window sees the skew on 3 tiny columns,
@@ -478,7 +489,10 @@ object Bench {
       // rewrite/signal/verdict columns are the computation under test —
       // a bare count would prune the UDFs / the match fold entirely
       "q_line_dedup", "q_line_scale", "q_info_quality", "q_info_scale",
-      "q_robots_allow")
+      "q_robots_allow",
+      // flag/chunk/repair columns are the computation under test
+      "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
+      "q_encoding_fix", "q_encfix_scale")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

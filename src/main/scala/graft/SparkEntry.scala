@@ -1412,6 +1412,24 @@ object SparkEntry {
           "datafile", "path_keep"))
     }),
 
+    // ---- mojibake repair (EncodingFix) ----
+    "q_encoding_fix" -> ((s, dir) => {
+      // ftfy-lite: deterministic cp1252-double-encoding corruption of the
+      // accented fixture texts (safe-subset chain, %3 rows broken plus a
+      // literal punctuation plant), repaired by the full frozen chain —
+      // both chains pure Catalyst, zero UDFs, generated for DuckDB from
+      // the same Mappings list
+      val id = col("doc_id")
+      val broken = docs(s, dir).select(id.as("doc_id"),
+        when(id % 3 === 0,
+          concat(EncodingFix.corruptColumn(col("text")),
+            lit(" itâ€™s â‚¬5 â€¦")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      EncodingFix.repaired(broken, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text_fixed")).as("fixed_md5"),
+          col("cp_removed"), col("had_mojibake"))
+    }),
+
     // ---- repo-level context assembly (RepoContext) ----
     "q_repo_context" -> ((s, dir) =>
       // StarCoder2-style repo grouping over the governed latest-version
@@ -2545,6 +2563,24 @@ object SparkEntry {
          |  ${CodeHygiene.duckPathFlagExprs("path")},
          |  ${CodeHygiene.duckCommentExprs("text")}
          |FROM hyg""".stripMargin,
+    "q_encoding_fix" ->
+      // corruption + repair chains both generated from EncodingFix's
+      // frozen mapping list; length() is code points on both engines
+      s"""WITH broken AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ${EncodingFix.duckCorruptExpr("text")} ||
+         |        ' itâ€™s â‚¬5 â€¦'
+         |      ELSE coalesce(text, '') END AS text
+         |  FROM documents),
+         |fixed AS (
+         |  SELECT doc_id, ${EncodingFix.duckRepairExpr("text")} AS text_fixed,
+         |    length(text) AS len_before
+         |  FROM broken)
+         |SELECT doc_id, md5(text_fixed) AS fixed_md5,
+         |  CAST(len_before - length(text_fixed) AS BIGINT) AS cp_removed,
+         |  len_before - length(text_fixed) > 0 AS had_mojibake
+         |FROM fixed""".stripMargin,
     "q_repo_context" ->
       // derivation + latest-version window + chunk prefix-sum + ordered
       // assembly replayed end-to-end from documents.parquet (no dumps)

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mojibake repair: generated-pattern goldens, cp1252-hole exclusion,
+  * safe-subset roundtrip, chained-replace order semantics, and
+  * idempotence on clean text. */
+class EncodingFixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val byTarget = EncodingFix.Mappings.map { case (m, t) => t -> m }.toMap
+
+  test("generated patterns match the classic mojibake digraphs") {
+    assert(byTarget("é") == "Ã©")
+    assert(byTarget("ü") == "Ã¼")
+    assert(byTarget("ß") == "ÃŸ")
+    assert(byTarget("€") == "â‚¬")
+    assert(byTarget("…") == "â€¦")
+    assert(byTarget("’") == "â€™")
+    assert(byTarget("—") == "â€”")
+  }
+
+  test("cp1252 holes are excluded; no pattern contains a control char") {
+    assert(!byTarget.contains("Á") && !byTarget.contains("Ý"))
+    assert(EncodingFix.Mappings.forall { case (m, _) =>
+      m.forall(c => !Character.isISOControl(c))
+    })
+  }
+
+  private def repairOf(s: String): (String, Long, Boolean) = {
+    val r = EncodingFix.repaired(
+      Seq((1L, s)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    (r.getString(1), r.getLong(2), r.getBoolean(3))
+  }
+
+  test("repair fixes the classic sentence and counts removed code points") {
+    val (fixed, removed, had) = repairOf("it\u00e2\u20ac\u2122s d\u00c3\u00a9j\u00c3\u00a1 for \u00e2\u201a\u00acx \u00e2\u20ac\u00a6 na\u00c3\u00afve")
+    assert(fixed == "it\u2019s d\u00e9j\u00e1 for \u20acx \u2026 na\u00efve", fixed)
+    // \u2019 \u20ac \u2026 shrink 3\u21921 (2 each), \u00e9 \u00e1 \u00ef shrink 2\u21921: 6 + 3
+    assert(removed == 9L && had)
+  }
+
+  test("repair golden, exact: each family repairs to its target") {
+    assert(repairOf("Ã©")._1 == "é")
+    assert(repairOf("â€™")._1 == "’")
+    assert(repairOf("xÃ¼y â‚¬ Ã±")._1 == "xüy € ñ")
+  }
+
+  test("safe-subset corrupt → full repair is a roundtrip on clean text") {
+    val texts = Seq(
+      "déjà vu à côté de l'église, garçon naïf — ökonomisch süß",
+      "mañana señor, açúcar é bom, über Größe",
+      "plain ascii stays plain ascii",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corrupted = df.select(org.apache.spark.sql.functions.col("doc_id"),
+      EncodingFix.corruptColumn(org.apache.spark.sql.functions.col("text"))
+        .as("text"))
+    // safe letters actually broke (é present in row 0)
+    val c0 = corrupted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c0(0L).contains("\u00c3\u00a9") && c0(0L).contains("\u00c3\u00a0"))
+    assert(c0(2L) == "plain ascii stays plain ascii")
+    val roundtrip = EncodingFix.repaired(corrupted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(roundtrip(i.toLong) == t, s"row $i")
+    }
+  }
+
+  test("clean text is untouched (cp_removed 0, flag false)") {
+    val (fixed, removed, had) = repairOf("nothing suspicious here — wait")
+    // the em-dash here is a REAL em-dash, not mojibake: untouched
+    assert(fixed == "nothing suspicious here — wait" && removed == 0L && !had)
+  }
+
+  test("candidate guard: marker char without a pattern is untouched") {
+    assert(repairOf("\u00e2x plain \u00c3")._1 == "\u00e2x plain \u00c3")
+    assert(repairOf("\u00e2x plain \u00c3")._2 == 0L)
+  }
+
+  test("null text repairs to empty") {
+    val r = EncodingFix.repaired(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(r.getString(1) == "" && r.getLong(2) == 0L && !r.getBoolean(3))
+  }
+
+  test("chain order is the contract: 3-byte punctuation repairs before letters") {
+    // "â€¦" must repair as one ellipsis, not leave fragments for the
+    // 2-byte stage ("â" alone is not a pattern)
+    assert(repairOf("aâ€¦b")._1 == "a…b")
+    // an output abutting into a later pattern follows chain semantics:
+    // both engines replay the same list order, so just pin the result
+    assert(repairOf("Ãâ€°")._1 == "É") // ‰-repair creates Ã‰, É-repair consumes it
+  }
+}
