@@ -79,7 +79,7 @@ object Bench {
       "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_ccnet_scale",
       "q_web_scale", "q_robots_allow",
       "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
-      "q_encoding_fix", "q_encfix_scale")
+      "q_encoding_fix", "q_encfix_scale", "q_code_capstone")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -492,7 +492,7 @@ object Bench {
       "q_robots_allow",
       // flag/chunk/repair columns are the computation under test
       "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
-      "q_encoding_fix", "q_encfix_scale")
+      "q_encoding_fix", "q_encfix_scale", "q_code_capstone")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

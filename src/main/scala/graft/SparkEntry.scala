@@ -1442,6 +1442,19 @@ object SparkEntry {
         .select(col("repo"), col("chunk_id"), col("n_files"),
           col("n_chars"), md5(col("text")).as("text_md5"))),
 
+    "q_code_capstone" -> ((s, dir) =>
+      // code-payload CAPSTONE: latest-version window → permissive-license
+      // gate → cross-repo exact dedup (min (repo,path) survivor) →
+      // repo-context chunk assembly; the whole chain replayed by ONE
+      // DuckDB WITH from documents.parquet (md5 file hash for parity,
+      // the q_governed convention; xxhash64 is the production default)
+      RepoContext.contexts(
+          RepoGov.governed(repoFilesFromDocs(s, dir),
+            fileHash = md5(col("content"))),
+          budgetChars = 2048)
+        .select(col("repo"), col("chunk_id"), col("n_files"),
+          col("n_chars"), md5(col("text")).as("text_md5"))),
+
     "q_web_curation" -> ((s, dir) => {
       // crawl-side CAPSTONE: robots gate → HTML extraction → URL
       // canonicalization → URL-level dedup (min-id survivor) →
@@ -2586,6 +2599,32 @@ object SparkEntry {
       // assembly replayed end-to-end from documents.parquet (no dumps)
       s"""WITH $repoFilesCte,
          |${RepoContext.duckCtes("rf_latest", 2048L)}
+         |SELECT repo, chunk_id, n_files, n_chars, md5(text) AS text_md5
+         |FROM rctx""".stripMargin,
+    "q_code_capstone" ->
+      // governance chain + context assembly in one WITH — derivation,
+      // version window, license CASE, dedup survivor and chunk math all
+      // recomputed by DuckDB (no dumps)
+      s"""WITH $repoFilesCte,
+         |lic AS (SELECT repo, license, rn FROM (
+         |    SELECT repo, license,
+         |      row_number() OVER (PARTITION BY repo
+         |        ORDER BY n DESC, license ASC) AS rn
+         |    FROM (SELECT repo, ${RepoGov.licenseDuckSql("content")} AS license,
+         |                 count(*) AS n
+         |          FROM rf_latest GROUP BY 1, 2))),
+         |permissive AS (SELECT repo FROM lic WHERE rn = 1 AND license IN
+         |  (${RepoGov.Permissive.map(l => s"'$l'").mkString(", ")})),
+         |in_scope AS (SELECT l.* FROM rf_latest l
+         |             JOIN permissive p ON p.repo = l.repo),
+         |gsurv AS (
+         |  SELECT repo, path, content FROM (
+         |    SELECT repo, path, content,
+         |      row_number() OVER (PARTITION BY md5(content)
+         |        ORDER BY repo, path) AS rn
+         |    FROM in_scope)
+         |  WHERE rn = 1),
+         |${RepoContext.duckCtes("gsurv", 2048L)}
          |SELECT repo, chunk_id, n_files, n_chars, md5(text) AS text_md5
          |FROM rctx""".stripMargin,
     "q_web_curation" ->
