@@ -103,16 +103,25 @@ object EncodingFix {
     Mappings.filter { case (_, t) => safe(t) }
   }
 
-  /** doc rows + (text_fixed, cp_removed, had_mojibake). */
+  /** doc rows + (text_fixed, cp_removed, had_mojibake). Two stacked
+    * projections on purpose: referencing `text_fixed` twice from one
+    * Project would inline the 70+-replace chain twice (CollapseProject
+    * declines to merge only BECAUSE the chain is non-cheap and
+    * multiply-referenced — keeping the split is what guarantees one
+    * evaluation). */
   def repaired(df: DataFrame, idCol: String, textCol: String,
-               passthroughCols: Seq[String] = Nil): DataFrame = {
-    val fixed = repairColumn(col(textCol))
+               passthroughCols: Seq[String] = Nil): DataFrame =
     df.select(
-      Seq(col(idCol), fixed.as("text_fixed"),
-        (length(coalesce(col(textCol), lit(""))) - length(fixed))
-          .cast("long").as("cp_removed")) ++ passthroughCols.map(col): _*)
+      Seq(col(idCol),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("_len0"),
+        repairColumn(col(textCol)).as("text_fixed")) ++
+        passthroughCols.map(col): _*)
+      .withColumn("cp_removed",
+        (col("_len0") - length(col("text_fixed"))).cast("long"))
       .withColumn("had_mojibake", col("cp_removed") > 0)
-  }
+      .drop("_len0")
+      .select((Seq(idCol, "text_fixed", "cp_removed") ++ passthroughCols ++
+        Seq("had_mojibake")).map(col): _*)
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -415,4 +415,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.HtmlExtract.extracted(pages, "html"))
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("mojibake repair: zero-shuffle, zero-UDF (pure codegen'd replace chain)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(operators.EncodingFix.repaired(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    // "*(n)" prefixes mark whole-stage-codegen stages in executedPlan
+    assert(p.contains("*(1)"), p.take(2000))
+    // the replace chain must be evaluated ONCE: text_fixed is referenced
+    // by cp_removed, so CollapseProject must keep the stacked projection
+    // instead of inlining the 70+-replace expression twice
+    assert("\\breplace\\(coalesce".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("code hygiene: path flags + comment stats are one zero-shuffle pass") {
+    val f = operators.CodeHygiene.pathFlags(
+      graft.SparkEntry.hygieneFilesFromDocs(spark, sf), "path")
+    val p = plan(operators.CodeHygiene.commentStats(f, "doc_id", "text",
+      passthroughCols = Seq("path", "path_keep")))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
