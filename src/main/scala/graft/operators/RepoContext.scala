@@ -71,9 +71,13 @@ object RepoContext {
                repoCol: String = "repo", pathCol: String = "path",
                contentCol: String = "content"): DataFrame = {
     require(budgetChars > 0, s"budgetChars must be positive, got $budgetChars")
+    // null path coalesces to "" up front: left as null it would poison
+    // concat (null rendered text) and then the (repo, path) equi-join
+    // below would silently DROP the row (null keys never match)
     val rendered = files.select(
-      col(repoCol).as("repo"), col(pathCol).as("path"),
-      concat(lit(FileHeader), col(pathCol), lit("\n"),
+      col(repoCol).as("repo"),
+      coalesce(col(pathCol), lit("")).as("path"),
+      concat(lit(FileHeader), coalesce(col(pathCol), lit("")), lit("\n"),
         coalesce(col(contentCol), lit(""))).as("_r"))
     // metadata-only assignment: content does not ride the ordered window
     val w = Window.partitionBy("repo").orderBy("path")
@@ -101,8 +105,9 @@ object RepoContext {
   def duckCtes(filesRel: String, budgetChars: Long): String = {
     val hdr = FileHeader
     s"""rcr AS (
-       |  SELECT repo, path,
-       |    '$hdr' || path || chr(10) || coalesce(content, '') AS r
+       |  SELECT repo, coalesce(path, '') AS path,
+       |    '$hdr' || coalesce(path, '') || chr(10) || coalesce(content, '')
+       |      AS r
        |  FROM $filesRel),
        |rca AS (
        |  SELECT repo, path, r,

@@ -52,6 +52,13 @@ class RepoContextSpec extends AnyFunSuite {
     assert(out == Map("r1" -> "// FILE: a\n", "r2" -> "// FILE: a\n"))
   }
 
+  test("null path coalesces to empty instead of silently dropping the row") {
+    val df = files(("r", null, "body"), ("r", "z", "tail"))
+    val out = RepoContext.contexts(df, budgetChars = 1000).collect()
+    assert(out.map(_.getLong(2)).sum == 2L) // both files survive
+    assert(out(0).getString(4) == "// FILE: \nbody\n\n// FILE: z\ntail")
+  }
+
   test("assignment is partitioning-independent") {
     val rnd = new scala.util.Random(7L)
     val rows = (0 until 200).map { i =>
