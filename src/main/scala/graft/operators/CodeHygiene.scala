@@ -182,6 +182,20 @@ object CodeHygiene {
       .withColumn("comment_keep",
         !col("no_comments") && !col("mostly_comments"))
 
+  /** Column form of the comment gate for stream-time use: one fused
+    * UDF call, flags folded into a single boolean. The mostly-comments
+    * threshold is rewritten DIVISION-FREE (frac_micro > K ⟺
+    * 2·10^6·c ≥ (K+1)·2·nb − nb + ... simplified: 2000000·c ≥
+    * 1600001·nb for K = 800000), so the gate is pure integer arithmetic
+    * — spec-pinned equal to [[commentStats]]'s `comment_keep`. */
+  def commentKeepColumn(text: Column): Column = {
+    val c = countsUdf(text)
+    val nb = c("_1")
+    val cc = c("_2")
+    !(nb >= MinLinesForNoComments && cc === 0) &&
+      !(nb > 0 && lit(2000000L) * cc >= lit(1600001L) * nb)
+  }
+
   /** DuckDB rendering as SELECT-list expressions over a `text` column:
     * n_nonblank, n_comment, comment_frac_micro, flags — generated from
     * the same frozen markers and thresholds. DuckDB's list lambdas are

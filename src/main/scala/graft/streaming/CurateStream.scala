@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{CcnetBucket, Decontaminate, Dedup, GopherLexical, QualityClassifier, Repetition, Sampling}
+import graft.operators.{CcnetBucket, CodeHygiene, Decontaminate, Dedup, EncodingFix, GopherLexical, QualityClassifier, Repetition, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,9 +36,22 @@ object CurateStream {
                qualityModel: Option[QualityClassifier.Model] = None,
                nearDupAgainst: Option[DataFrame] = None,
                pplGate: Option[(CcnetBucket.CutPoints, Int)] = None,
-               langCol: String = "lang"): DataFrame = {
-    val deduped = DedupStream.firstOccurrences(rows, textCol, tsCol, watermarkDelay)
+               langCol: String = "lang",
+               fixEncoding: Boolean = false,
+               commentGate: Boolean = false): DataFrame = {
+    // encoding repair runs FIRST (the CCNet/ftfy order): it rewrites the
+    // text, so the dedup hash, every downstream gate and the emitted row
+    // all see the repaired bytes — stateless, pure Catalyst, and the
+    // candidate guard makes clean rows near-free
+    val fixed =
+      if (!fixEncoding) rows
+      else rows.withColumn(textCol, EncodingFix.repairColumn(col(textCol)))
+    val deduped = DedupStream.firstOccurrences(fixed, textCol, tsCol, watermarkDelay)
       .where(Repetition.keepColumn(col(textCol)))
+      // comment-density gate (code payloads): one fused scan UDF,
+      // stateless, integer-only verdict == batch comment_keep (spec'd)
+      .transform(d => if (!commentGate) d
+        else d.where(CodeHygiene.commentKeepColumn(col(textCol))))
     val gated =
       if (!lexicalGate) deduped
       else

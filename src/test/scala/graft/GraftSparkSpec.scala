@@ -857,6 +857,52 @@ class GraftSparkSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming encoding repair + comment gate == batch composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftencst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val mojibake = "cafÃ© alpha bravo charlie delta " +
+      "echo foxtrot golf hotel india juliet"
+    val rows = Seq(
+      // repairs to "café ..." at ingest; dedup hash sees repaired bytes
+      (1L, mojibake, t(1)),
+      // the ALREADY-CLEAN twin arriving later: must dedup against row 1
+      (2L, mojibake.replace("Ã©", "é"), t(2)),
+      // 10 comment-free lines + filler words: comment gate drops it
+      (3L, (0 until 10).map(i => s"line$i word$i more$i").mkString("\n"), t(3)),
+      // commented code: keeps
+      (4L, "// setup\nalpha beta gamma delta epsilon zeta eta theta", t(4)))
+    rows.toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CurateStream
+      .filtered(stream, "text", "ts", 1, 1,
+        fixEncoding = true, commentGate = true)
+      .writeStream.format("memory").queryName("enc_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enc_stream")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // row 2 deduped against the REPAIRED row 1; row 3 comment-gated
+    assert(streamed.keySet == Set(1L, 4L), streamed.keySet)
+    // the emitted text is the repaired form
+    assert(streamed(1L).startsWith("café "), streamed(1L))
+    // batch twin over the same rows: repair, then exact dedup, then the
+    // repetition + comment gates
+    val batchFixed = operators.EncodingFix
+      .repaired(rows.toDF("doc_id", "text", "ts"), "doc_id", "text",
+        passthroughCols = Seq("ts"))
+      .withColumnRenamed("text_fixed", "text")
+    val batch = operators.Dedup.dropExactDuplicates(batchFixed, "doc_id", "text")
+      .where(operators.Repetition.keepColumn(col("text")))
+      .where(operators.CodeHygiene.commentKeepColumn(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == streamed.keySet)
+  }
+
   test("streaming decontamination gate == batch contaminatedIds complement; size guard trips") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftdeconst").toString

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Code hygiene gates: hand goldens for the frozen comment-marker scan,
@@ -99,6 +100,26 @@ class CodeHygieneSpec extends AnyFunSuite {
     cases.foreach { case (p, v, m, l, d) =>
       assert(out(p) == ((v, m, l, d, !(v || m || l || d))), p)
     }
+  }
+
+  test("commentKeepColumn == commentStats.comment_keep (division-free rewrite)") {
+    import spark.implicits._
+    val segs = Array("// x", "#", "code();", "", "  ", "* b", "plain")
+    val rnd = new scala.util.Random(99L)
+    val docs = ((0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(15))(segs(rnd.nextInt(segs.length)))
+        .mkString("\n"))
+    } :+ ((200L, "")) :+ ((201L, (0 until 10).map(i => s"l$i").mkString("\n"))))
+      .toDF("doc_id", "text")
+    val viaStats = CodeHygiene.commentStats(docs, "doc_id", "text")
+      .select("doc_id", "comment_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaColumn = docs.select(col("doc_id"),
+        CodeHygiene.commentKeepColumn(col("text")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaStats == viaColumn)
+    assert(viaColumn(200L)) // empty doc keeps
+    assert(!viaColumn(201L)) // 10 comment-free lines: no_comments drops
   }
 
   test("null path keeps (no flags)") {
