@@ -1261,6 +1261,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
     }),
+    "q_decon_report" -> ((s, dir) => {
+      // per-eval-doc contamination report (overlap fraction, not just a
+      // flag); raw shingles so DuckDB replays the whole measurement
+      val d = docs(s, dir)
+      Decontaminate.overlapReport(
+        d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 === 0).withColumnRenamed("doc_id", "eval_id"),
+        "eval_id", "text", k = 5, hashShingles = false)
+    }),
     "q_multimodal" -> ((s, dir) =>
       // REAL decode: payloads are genuine BMP/WAV/PPM bytes built from the
       // embeddings fixture; width/height/mean come from parsing them
@@ -2294,6 +2303,36 @@ object SparkEntry {
         |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
         |         WHERE s.doc_id % 7 <> 0)
         |SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""".stripMargin,
+    "q_decon_report" ->
+      // per-eval-doc overlap measurement; tot LEFT JOINs so eval docs
+      // with < k tokens keep their n_shingles = 0 row like Spark's
+      // array_distinct-over-empty path
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0),
+        |tot AS (SELECT d.doc_id AS eval_id,
+        |          CAST(count(e.shingle) AS BIGINT) AS n_shingles
+        |        FROM documents d LEFT JOIN ev e ON e.eval_id = d.doc_id
+        |        WHERE d.doc_id % 7 = 0 GROUP BY 1),
+        |hit AS (SELECT e.eval_id, CAST(count(*) AS BIGINT) AS n_hit
+        |        FROM ev e JOIN tr USING (shingle) GROUP BY 1)
+        |SELECT t.eval_id, t.n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN t.n_shingles > 0 THEN
+        |    (2 * coalesce(h.n_hit, 0) * 1000000 + t.n_shingles)
+        |      // (2 * t.n_shingles)
+        |    ELSE 0 END AS BIGINT) AS overlap_micro,
+        |  CASE WHEN t.n_shingles > 0 THEN
+        |    (2 * coalesce(h.n_hit, 0) * 1000000 + t.n_shingles)
+        |      // (2 * t.n_shingles)
+        |    ELSE 0 END >= 200000 AS flagged
+        |FROM tot t LEFT JOIN hit h USING (eval_id)""".stripMargin,
     // Bloom prefilter + exact confirm == the exact join: same oracle.
     "q_bloom_decon" ->
       """WITH toks AS (

@@ -157,4 +157,54 @@ object Decontaminate {
       .select("id")
       .distinct()
   }
+
+  /** Contamination REPORT, per eval document (the GPT-3 appendix-C /
+    * PaLM analysis shape): instead of [[contaminatedIds]]' binary
+    * train-side flag, measure HOW MUCH of each eval document's distinct
+    * k-gram set occurs anywhere in the training corpus — the number
+    * labs actually publish, and the basis for "dirty vs clean" eval
+    * splits.
+    *
+    * Output: (eval_id, n_shingles, n_hit, overlap_micro, flagged) —
+    * one row per eval doc INCLUDING docs with fewer than k tokens
+    * (n_shingles = 0, overlap 0). `overlap_micro` is the frozen
+    * integer-micro ratio (InfoSignals rounding discipline);
+    * `flagged` ⇔ overlap_micro ≥ `minOverlapMicro` (default 20%).
+    *
+    * Scale shape: the TRAIN side — the 10^12-row one — is never
+    * shuffled and never deduplicated globally: its exploded shingles
+    * stream through a broadcast hash join against the (benchmark-sized)
+    * eval pair set, and only the MATCHES (bounded by |eval pairs|, not
+    * by train) reach the distinct + count, whose partial aggregation
+    * collapses a hot shingle's repeats map-side. Set
+    * `broadcastEval = false` above broadcast budget (plain join; AQE
+    * decides). */
+  def overlapReport(train: DataFrame, evalSet: DataFrame,
+                    evalIdCol: String, textCol: String, k: Int = 5,
+                    minOverlapMicro: Long = 200000L,
+                    broadcastEval: Boolean = true,
+                    hashShingles: Boolean = true): DataFrame = {
+    val spans: Column =
+      if (hashShingles) Dedup.shingleHashes(col(textCol), k)
+      else Dedup.wordShingles(col(textCol), k)
+    val evalSh = evalSet.select(col(evalIdCol).as("eval_id"),
+      array_distinct(spans).as("_shs"))
+    val totals = evalSh.select(col("eval_id"),
+      size(col("_shs")).cast("long").as("n_shingles"))
+    val evalPairs = {
+      val p = evalSh.select(col("eval_id"), explode(col("_shs")).as("shingle"))
+      if (broadcastEval) broadcast(p) else p
+    }
+    val hits = train.select(explode(spans).as("shingle"))
+      .join(evalPairs, Seq("shingle"))
+      .select("eval_id", "shingle").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("eval_id"), "left_outer")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("overlap_micro", expr(
+        "CASE WHEN n_shingles > 0 THEN " +
+          "(2L * n_hit * 1000000L + n_shingles) div (2L * n_shingles) " +
+          "ELSE 0L END"))
+      .withColumn("flagged", col("overlap_micro") >= minOverlapMicro)
+  }
 }

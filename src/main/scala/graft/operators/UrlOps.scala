@@ -47,6 +47,31 @@ object UrlOps {
   final val BlockedDomains: Seq[String] =
     Seq("ex7.test", "ex13.test", "ex4.example")
 
+  /** Canonical host of a URL column — the same frozen atoms as
+    * [[canonicalized]] (lower, www./default-port strip), as a standalone
+    * projection for gates that key on host (robots rules). */
+  def hostOf(url: Column): Column = {
+    val noScheme = regexp_replace(
+      substring_index(substring_index(coalesce(url, lit("")), "#", 1), "?", 1),
+      SchemePattern, "")
+    val hostRaw = substring_index(noScheme, "/", 1)
+    regexp_replace(
+      regexp_replace(lower(hostRaw), WwwPattern, ""), PortPattern, "")
+  }
+
+  /** Raw path of a URL column (query/fragment stripped, case kept, no
+    * trailing-slash normalization — robots prefixes are literal); a URL
+    * with no path reads as "/" (the RFC 9309 reading of the empty
+    * path). */
+  def pathOf(url: Column): Column = {
+    val noScheme = regexp_replace(
+      substring_index(substring_index(coalesce(url, lit("")), "#", 1), "?", 1),
+      SchemePattern, "")
+    val hostRaw = substring_index(noScheme, "/", 1)
+    val rest = noScheme.substr(length(hostRaw) + 1, length(noScheme))
+    when(rest === "", lit("/")).otherwise(rest)
+  }
+
   /** df + (host, domain, canonical, blocked) — narrow, codegen'd. */
   def canonicalized(df: DataFrame, urlCol: String): DataFrame = {
     val noFrag = substring_index(coalesce(col(urlCol), lit("")), "#", 1)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{HtmlExtract, UrlOps}
+import graft.operators.{HtmlExtract, RobotsTxt, UrlOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,8 +24,25 @@ object CrawlStream {
     * event-time `tsCol`. Emits extracted text rows for first-seen,
     * indexable, unblocked canonical URLs. */
   def gate(rows: DataFrame, urlCol: String, htmlCol: String, tsCol: String,
-           watermarkDelay: String = "10 minutes"): DataFrame = {
-    val indexable = rows.where(!HtmlExtract.noindex(col(htmlCol)))
+           watermarkDelay: String = "10 minutes",
+           robotsRules: Option[DataFrame] = None): DataFrame = {
+    // robots RULE-FILE gate first (RFC 9309, pre-fetch semantics): a
+    // STATIC parsed-rules table ([[RobotsTxt.rules]] run at stream
+    // start) joins stream-static on canonical host — stateless, and the
+    // rule side is benchmark-host-sized so AQE broadcasts it per
+    // microbatch; the in-page meta-noindex check below stays the
+    // content-level half
+    val ruled = robotsRules match {
+      case None => rows
+      case Some(rules) =>
+        RobotsTxt.allowedGate(
+            rows.withColumn("_rg_h", UrlOps.hostOf(col(urlCol)))
+              .withColumn("_rg_p", UrlOps.pathOf(col(urlCol))),
+            rules, "_rg_h", "_rg_p")
+          .where(col("allowed"))
+          .drop("_rg_h", "_rg_p", "allowed", "match_len")
+    }
+    val indexable = ruled.where(!HtmlExtract.noindex(col(htmlCol)))
     val canon = UrlOps.canonicalized(indexable, urlCol)
       .where(!col("blocked"))
     val deduped = canon

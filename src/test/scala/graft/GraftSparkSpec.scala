@@ -983,6 +983,46 @@ class GraftSparkSpec extends AnyFunSuite {
       ("b.test/p/2", "epsilon zeta eta theta")))
   }
 
+  test("streaming robots rule-file gate == batch allowedGate filter (stream-static join)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftrobotsst").toString
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    def page(id: Long, url: String, body: String) =
+      (id, url, s"<html><body><p>$body</p></body></html>", t(id))
+    val rows = Seq(
+      page(1, "https://www.a.test/private/x", "secret page body text"), // disallowed
+      page(2, "https://a.test/public/y", "alpha beta gamma delta"),
+      page(3, "https://b.test/private/z", "no rules host keeps this"),
+      page(4, "https://a.test/p", "edge prefix epsilon zeta eta"))
+    val robots = Seq(
+      ("a.test", "User-agent: *\nDisallow: /private/\nAllow: /p"))
+      .toDF("host", "robots_txt")
+    val rules = operators.RobotsTxt.rules(robots, "host", "robots_txt")
+    rows.toDF("doc_id", "url", "html", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, url STRING, html STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.CrawlStream
+      .gate(stream, "url", "html", "ts", robotsRules = Some(rules))
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("robots_stream")
+      .select("canonical").as[String].collect().toSet
+    // www.a.test canonicalizes to a.test, so row 1 hits the a.test rules
+    assert(streamed == Set("a.test/public/y", "b.test/private/z", "a.test/p"),
+      streamed)
+    // batch twin: allowedGate over the same (host, path) projection
+    val batchKept = operators.RobotsTxt.allowedGate(
+        rows.toDF("doc_id", "url", "html", "ts")
+          .withColumn("h", operators.UrlOps.hostOf(col("url")))
+          .withColumn("p", operators.UrlOps.pathOf(col("url"))),
+        rules, "h", "p")
+      .where(col("allowed")).select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(2L, 3L, 4L))
+  }
+
   test("streaming perplexity gate == batch bucketsApprox keep set (offline-fit cut points)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftpplst").toString
