@@ -69,7 +69,7 @@ object Bench {
       "q_line_dedup", "q_line_scale", "q_info_quality", "q_info_scale",
       "q_set_ops", "q1_agg", "q3_join",
       "q_stream_window", "q_stream_asof", "q_sessionize", "q_quota_sample", "q_decontaminate",
-      "q_bloom_decon",
+      "q_bloom_decon", "q_decon_report",
       "q_asof_join", "q_vocab", "q_tfidf", "q_packing", "q_domain_mix", "q_curation",
       "q_bpe", "q_bpe_scale",
       "q_dsir", "q_dsir_scale", "q_quality_classifier", "q_qualclf_scale",
@@ -490,7 +490,8 @@ object Bench {
       // a bare count would prune the UDFs / the match fold entirely
       "q_line_dedup", "q_line_scale", "q_info_quality", "q_info_scale",
       "q_robots_allow",
-      // flag/chunk/repair columns are the computation under test
+      // flag/chunk/repair/overlap columns are the computation under test
+      "q_decon_report",
       "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
       "q_encoding_fix", "q_encfix_scale", "q_code_capstone")
 
