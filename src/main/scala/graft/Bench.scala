@@ -154,6 +154,16 @@ object Bench {
         docsDf(s), "doc_id", "text", "lang", quota = 100, budget = 256,
         portable = false)),
       // production variant: 8-byte hashed shingles in the broadcast set
+      // hashed production variant (the harness query keeps raw strings
+      // so DuckDB can replay the overlap math verbatim)
+      "q_decon_report" -> (s => {
+        val d = docsDf(s)
+        graft.operators.Decontaminate.overlapReport(
+          d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0)
+            .withColumnRenamed("doc_id", "eval_id"),
+          "eval_id", "text", k = 5)
+      }),
       "q_decontaminate" -> (s => {
         val d = docsDf(s)
         graft.operators.Decontaminate.contaminatedIds(
