@@ -149,4 +149,36 @@ class RobustnessSpec extends AnyFunSuite {
     val ds = graft.operators.Dedup.duplicatedSpanStats(nulls, "doc_id", "text").collect()(0)
     assert(ds.getLong(1) == 0L && ds.getLong(2) == 0L && ds.getBoolean(3))
   }
+
+  test("round-5 final-session operators: megabyte/degenerate inputs, bounded time") {
+    import spark.implicits._
+    import graft.operators.{CodeHygiene, EncodingFix, RepoContext}
+    // 1 MB single line, 1 MB of newlines, 1 MB of mojibake lead chars
+    // (worst case for the candidate guard: every row enters the chain)
+    val mb = 1 << 20
+    val hostile = Seq(
+      (1L, "x" * mb),
+      (2L, "\n" * mb),
+      (3L, "Ã" * (mb / 2)),
+      (4L, ("Ã©" * 1000 + "â€¦") * 100),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val cc = CodeHygiene.commentStats(hostile, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 0L && cc(5L) == 0L)
+    val fx = EncodingFix.repaired(hostile, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fx(1L) == 0L && fx(3L) == 0L) // bare Ã matches no pattern
+    assert(fx(4L) == 100L * (1000L + 2L)) // é repairs 2→1, … repairs 3→1
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"hostile rows took ${secs}s")
+    // empty frames flow through the new operators
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CodeHygiene.commentStats(empty, "doc_id", "text").count() == 0)
+    assert(EncodingFix.repaired(empty, "doc_id", "text").count() == 0)
+    val emptyFiles = Seq.empty[(String, String, String)]
+      .toDF("repo", "path", "content")
+    assert(RepoContext.contexts(emptyFiles, 1024).count() == 0)
+  }
 }
