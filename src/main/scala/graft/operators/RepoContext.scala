@@ -57,6 +57,12 @@ import org.apache.spark.sql.functions._
   *    instead, the [[sources.BucketedTables]] layout).
   *  - one chunk's text is materialized on one reducer (budget + one
   *    file bytes) — size `budgetChars` to the executor, not the repo.
+  *  - the assignment branch RE-DERIVES the input lineage (visible in
+  *    PLANS.md q_repo_context: both join sides carry the upstream
+  *    plan): for a parquet-backed input that is one extra pruned
+  *    columnar scan — cheap; for an expensive derived input, stage it
+  *    to a table (or localCheckpoint) first, the [[Curate]] barrier
+  *    discipline.
   */
 object RepoContext {
 
