@@ -766,6 +766,27 @@ object SparkEntry {
       // coverage report, top-30 by (n desc, token asc) as TakeOrdered
       BpeTokenizer.topTokens(docs(s, dir), "text", bpeModel(s, dir),
         k = 30)),
+    "q_bpe_fertility" -> ((s, dir) =>
+      // per-language tokenizer fertility (the equity report tokenizer
+      // papers publish): chars/token and tokens/word as frozen integer
+      // micros; one partial-agg shuffle on lang after the zero-shuffle
+      // broadcast apply
+      BpeTokenizer.tokenStats(docs(s, dir), "doc_id", "text",
+          bpeModel(s, dir))
+        .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_word_chars").as("n_word_chars"),
+          sum("n_tokens").as("n_tokens"))
+        .withColumn("chars_per_token_micro", expr(
+          "CASE WHEN n_tokens > 0 THEN " +
+            "(2L * n_word_chars * 1000000L + n_tokens) div (2L * n_tokens) " +
+            "ELSE 0L END"))
+        .withColumn("tokens_per_word_micro", expr(
+          "CASE WHEN n_words > 0 THEN " +
+            "(2L * n_tokens * 1000000L + n_words) div (2L * n_words) " +
+            "ELSE 0L END"))),
     "q_packing" -> ((s, dir) =>
       // GPT-style sequence packing: distributed two-pass prefix sum
       // (never a single-task global window); DuckDB replays with one
@@ -1876,6 +1897,38 @@ object SparkEntry {
          |  coalesce(g.n_word_chars, 0) AS n_word_chars,
          |  coalesce(g.n_tokens, 0) AS n_tokens
          |FROM t LEFT JOIN g USING (doc_id)""".stripMargin,
+    "q_bpe_fertility" ->
+      // per-lang aggregate over the same words -> segmentation-dump join
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                w -> w <> '') AS words
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(words) AS word FROM t),
+         |seg AS (SELECT word, n_tokens
+         |        FROM read_parquet('${bpeSegDumpPath(oracleDir)}/*.parquet')),
+         |g AS (SELECT doc_id, count(*) AS n_words,
+         |        CAST(sum(len(word)) AS BIGINT) AS n_word_chars,
+         |        CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+         |      FROM w JOIN seg s USING (word) GROUP BY 1),
+         |d AS (SELECT t.lang,
+         |        CAST(coalesce(g.n_words, 0) AS BIGINT) AS n_words,
+         |        CAST(coalesce(g.n_word_chars, 0) AS BIGINT) AS n_word_chars,
+         |        CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens
+         |      FROM t LEFT JOIN g USING (doc_id)),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_words) AS BIGINT) AS n_words,
+         |        CAST(sum(n_word_chars) AS BIGINT) AS n_word_chars,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_word_chars, n_tokens,
+         |  CAST(CASE WHEN n_tokens > 0 THEN
+         |    (2 * n_word_chars * 1000000 + n_tokens) // (2 * n_tokens)
+         |    ELSE 0 END AS BIGINT) AS chars_per_token_micro,
+         |  CAST(CASE WHEN n_words > 0 THEN
+         |    (2 * n_tokens * 1000000 + n_words) // (2 * n_words)
+         |    ELSE 0 END AS BIGINT) AS tokens_per_word_micro
+         |FROM a""".stripMargin,
     "q_bpe_vocab" ->
       s"""WITH t AS (
          |  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
