@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   *  - the repair is a CHAIN of global literal replacements applied in
   *    the frozen [[Mappings]] order (3-byte punctuation first, then
   *    2-byte Latin-1 letters/symbols) — chained-replace semantics, not
-  *    ftfy's one-pass scan; for the 2-byte family the two coincide
-  *    (patterns all start with `Ã`, never overlap, and no replacement
-  *    output can create a new `Ã`), while for the 3-byte family the
-  *    chain order IS the contract (a replacement output may in
-  *    principle abut into a later pattern — both engines then see it);
+  *    ftfy's one-pass scan: the chain order IS the contract, because a
+  *    replacement output can in principle abut or compose into a later
+  *    pattern (`Ãƒ`→`Ã` and `Ã‚`→`Â` emit chars that are themselves
+  *    pattern leads) — a single-pass scanner is NOT equivalent on such
+  *    inputs, and both engines therefore replay the same list order;
   *  - patterns are computed, not hand-typed: for each target char, its
   *    UTF-8 bytes decoded through the JVM's windows-1252 charset;
   *    targets whose encoding touches one of the five cp1252 holes
@@ -33,12 +33,16 @@ import org.apache.spark.sql.functions._
   *  - `cp_removed` = length(before) − length(after) in code points
   *    (every repair strictly shrinks), `had_mojibake` ⇔ cp_removed > 0.
   *
-  * Scale shape: a zero-shuffle narrow pass of ~60 codegen'd literal
+  * Scale shape: a zero-shuffle narrow pass of ~76 codegen'd literal
   * `replace` expressions — no regex, no UDF; Catalyst folds it into the
-  * scan's WholeStageCodegen. At 10^12 rows the chain costs ~60 linear
-  * scans per row; a fused single-scan JVM matcher would cut that ~10×
-  * but would have to reproduce chained-replace semantics for the
-  * 3-byte family exactly (see above) — measure before switching. */
+  * scan's WholeStageCodegen, and the [[PatternLeads]] guard
+  * short-circuits clean rows past the chain. A fused single-scan JVM
+  * matcher was PROTOTYPED AND REJECTED: chained-replace is not
+  * scan-equivalent (the `Ã`/`Â` self-target outputs compose into later
+  * patterns order-sensitively), so any fast path must replay the exact
+  * chain — at which point only expression overhead is saved. For
+  * mojibake-HEAVY corpora, partition by the guard predicate and route
+  * clean rows around the chain instead. */
 object EncodingFix {
 
   private val Cp1252 = Charset.forName("windows-1252")
@@ -66,21 +70,34 @@ object EncodingFix {
   require(Mappings.map(_._1).distinct.size == Mappings.size,
     "mojibake patterns must be unique")
 
+  /** Lead chars of every mojibake pattern, DERIVED from [[Mappings]]
+    * (the cp1252 images of the UTF-8 lead bytes: `Â` for U+0080–BF
+    * targets, `Ã` for U+00C0–FF, `â` for the 3-byte punctuation). The
+    * guard below tests membership of these — deriving the set instead
+    * of hand-listing it is load-bearing: a hand-written `Ã`/`â` guard
+    * shipped first and silently skipped every `Â`-lead pattern
+    * (`Â«`, `Â§`, …) on rows carrying no other damage; the fixture
+    * never caught it because its corrupted rows always also carried
+    * `Ã` or `â` (found by adversarial review, regression-spec'd). */
+  private[operators] lazy val PatternLeads: Seq[String] =
+    Mappings.map(_._1.substring(0, 1)).distinct
+
   /** The repair chain as a Column (pure Catalyst, codegen'd), behind a
-    * semantics-preserving candidate guard: every pattern starts with
-    * `Ã` (2-byte family) or `â` (3-byte family), so a row containing
-    * neither char cannot match any pattern and skips the whole chain —
-    * CASE short-circuits in codegen, so clean rows (the overwhelming
-    * majority of a real corpus) pay two `contains` scans instead of
-    * ~60 replace passes (measured 35.3 → 2.8 s over 1.6 M × 4 KB
-    * mojibake-free rows). The guard is provably a no-op, not a frozen
-    * deviation; the DuckDB rendering keeps the bare chain. */
+    * semantics-preserving candidate guard: a row containing none of the
+    * [[PatternLeads]] chars cannot match any pattern and skips the
+    * whole chain — CASE short-circuits in codegen, so clean rows (the
+    * overwhelming majority of a real corpus) pay three `contains`
+    * scans instead of ~76 replace passes (measured 35.3 → 2.8 s over
+    * 1.6 M × 4 KB mojibake-free rows). The guard is provably a no-op,
+    * not a frozen deviation; the DuckDB rendering keeps the bare
+    * chain. */
   def repairColumn(text: Column): Column = {
     val t = coalesce(text, lit(""))
     val chain = Mappings.foldLeft(t) { case (acc, (m, r)) =>
       replace(acc, lit(m), lit(r))
     }
-    when(t.contains("Ã") || t.contains("â"), chain).otherwise(t)
+    val anyLead = PatternLeads.map(t.contains(_)).reduce(_ || _)
+    when(anyLead, chain).otherwise(t)
   }
 
   /** Fixture-corruption targets — the SAFE subset: letters only, none

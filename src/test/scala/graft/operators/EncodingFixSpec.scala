@@ -88,6 +88,15 @@ class EncodingFixSpec extends AnyFunSuite {
     assert(repairOf("\u00e2x plain \u00c3")._2 == 0L)
   }
 
+  test("REGRESSION: \u00c2-lead patterns repair on rows with no \u00c3/\u00e2 damage") {
+    // the first guard hand-listed \u00c3/\u00e2 and silently skipped the whole
+    // C2-lead symbol family; the lead set is now derived from Mappings
+    assert(EncodingFix.Mappings.map(_._1.take(1)).distinct.sorted ==
+      Seq("\u00c2", "\u00c3", "\u00e2").sorted.map(identity))
+    assert(repairOf("\u00c2\u00a7 1 and \u00c2\u00ab x \u00c2\u00bb")._1 == "\u00a7 1 and \u00ab x \u00bb")
+    assert(repairOf("\u00c2\u00b5m")._1 == "\u00b5m")
+  }
+
   test("null text repairs to empty") {
     val r = EncodingFix.repaired(
       Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
