@@ -174,11 +174,12 @@ object Decontaminate {
     * Scale shape: the TRAIN side — the 10^12-row one — is never
     * shuffled and never deduplicated globally: its exploded shingles
     * stream through a broadcast hash join against the (benchmark-sized)
-    * eval pair set, and only the MATCHES (bounded by |eval pairs|, not
-    * by train) reach the distinct + count, whose partial aggregation
-    * collapses a hot shingle's repeats map-side. Set
-    * `broadcastEval = false` above broadcast budget (plain join; AQE
-    * decides). */
+    * eval pair set. The join CAN emit one row per matching train
+    * occurrence (a hot matched shingle multiplies), but the distinct's
+    * partial aggregation runs in the same stage, so what crosses the
+    * wire is ≤ partitions × |eval pairs| — bounded by the eval set, not
+    * by train row counts. Set `broadcastEval = false` above broadcast
+    * budget (plain join; AQE decides). */
   def overlapReport(train: DataFrame, evalSet: DataFrame,
                     evalIdCol: String, textCol: String, k: Int = 5,
                     minOverlapMicro: Long = 200000L,
