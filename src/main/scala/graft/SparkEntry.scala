@@ -1453,7 +1453,11 @@ object SparkEntry {
       val broken = docs(s, dir).select(id.as("doc_id"),
         when(id % 3 === 0,
           concat(EncodingFix.corruptColumn(col("text")),
-            lit(" itâ€™s â‚¬5 â€¦")))
+            lit(" itâ€™s â‚¬5 â€¦"),
+            // C2-lead family plant (%15 ⊂ %3): rows whose ONLY extra
+            // damage class is Â-lead — the family the first guard
+            // missed (regression coverage at oracle level)
+            when(id % 15 === 0, lit(" Â§2 Âµm Â«xÂ»")).otherwise(lit(""))))
           .otherwise(coalesce(col("text"), lit(""))).as("text"))
       EncodingFix.repaired(broken, "doc_id", "text")
         .select(col("doc_id"), md5(col("text_fixed")).as("fixed_md5"),
@@ -2675,7 +2679,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0
          |      THEN ${EncodingFix.duckCorruptExpr("text")} ||
-         |        ' itâ€™s â‚¬5 â€¦'
+         |        ' itâ€™s â‚¬5 â€¦' ||
+         |        (CASE WHEN doc_id % 15 = 0
+         |          THEN ' Â§2 Âµm Â«xÂ»' ELSE '' END)
          |      ELSE coalesce(text, '') END AS text
          |  FROM documents),
          |fixed AS (
