@@ -1284,11 +1284,18 @@ object SparkEntry {
     }),
     "q_decon_report" -> ((s, dir) => {
       // per-eval-doc contamination report (overlap fraction, not just a
-      // flag); raw shingles so DuckDB replays the whole measurement
+      // flag); raw shingles so DuckDB replays the whole measurement.
+      // %49 eval rows (⊂ %7) are truncated to 2 words so the
+      // sub-k-token branch (n_shingles = 0 row must SURVIVE) is
+      // exercised at oracle level, not just in specs
       val d = docs(s, dir)
+      val ev = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"),
+          when(col("doc_id") % 49 === 0,
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 2)))
+            .otherwise(col("text")).as("text"))
       Decontaminate.overlapReport(
-        d.where(col("doc_id") % 7 =!= 0),
-        d.where(col("doc_id") % 7 === 0).withColumnRenamed("doc_id", "eval_id"),
+        d.where(col("doc_id") % 7 =!= 0), ev,
         "eval_id", "text", k = 5, hashShingles = false)
     }),
     "q_multimodal" -> ((s, dir) =>
@@ -2362,21 +2369,34 @@ object SparkEntry {
         |SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""".stripMargin,
     "q_decon_report" ->
       // per-eval-doc overlap measurement; tot LEFT JOINs so eval docs
-      // with < k tokens keep their n_shingles = 0 row like Spark's
-      // array_distinct-over-empty path
+      // with < k tokens (the %49 truncated plants) keep their
+      // n_shingles = 0 row like Spark's array_distinct-over-empty path
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 7 <> 0),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
         |        FROM toks WHERE len(t) >= 5)),
-        |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 <> 0),
-        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0),
-        |tot AS (SELECT d.doc_id AS eval_id,
+        |tr AS (SELECT DISTINCT shingle FROM sh),
+        |evdocs AS (
+        |  SELECT doc_id AS eval_id,
+        |    CASE WHEN doc_id % 49 = 0
+        |      THEN array_to_string(
+        |        regexp_split_to_array(trim(text), '\s+')[1:2], ' ')
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |etoks AS (
+        |  SELECT eval_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM evdocs),
+        |ev AS (
+        |  SELECT DISTINCT eval_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT eval_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM etoks WHERE len(t) >= 5)),
+        |tot AS (SELECT d.eval_id,
         |          CAST(count(e.shingle) AS BIGINT) AS n_shingles
-        |        FROM documents d LEFT JOIN ev e ON e.eval_id = d.doc_id
-        |        WHERE d.doc_id % 7 = 0 GROUP BY 1),
+        |        FROM evdocs d LEFT JOIN ev e ON e.eval_id = d.eval_id
+        |        GROUP BY 1),
         |hit AS (SELECT e.eval_id, CAST(count(*) AS BIGINT) AS n_hit
         |        FROM ev e JOIN tr USING (shingle) GROUP BY 1)
         |SELECT t.eval_id, t.n_shingles,
