@@ -79,7 +79,8 @@ object Bench {
       "q_pagerank", "q_pagerank_scale", "q_ccnet_bucket", "q_ccnet_scale",
       "q_web_scale", "q_robots_allow",
       "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
-      "q_encoding_fix", "q_encfix_scale", "q_code_capstone")
+      "q_encoding_fix", "q_encfix_scale", "q_code_capstone",
+      "q_image_hash", "q_image_neardup")
       // iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to the
       // named queries (the driver never sets it — full list is default)
       .filter(sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -503,7 +504,8 @@ object Bench {
       // flag/chunk/repair/overlap columns are the computation under test
       "q_decon_report",
       "q_code_hygiene", "q_repo_context", "q_repoctx_scale",
-      "q_encoding_fix", "q_encfix_scale", "q_code_capstone")
+      "q_encoding_fix", "q_encfix_scale", "q_code_capstone",
+      "q_image_hash", "q_image_neardup")
 
     var pipelineRows = 0L
     var pipelineSec = 0.0

@@ -585,6 +585,40 @@ object SparkEntry {
     m
   }
 
+  /** Shared CTE chain deriving per-image aHash halves from the
+    * embeddings: gray quantization (the q_multimodal arithmetic), the
+    * planted exact/%13-perturbed clones at gray level, 8×8-identity
+    * selection, integer mean, and bit accumulation as two non-negative
+    * 32-bit sums. */
+  private def imageHashCtes: String =
+    """gb AS (
+      |  SELECT vec_id AS media_id, label % 3 AS fm,
+      |    list_transform(embedding, x ->
+      |      ((CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 256) + 256)
+      |        % 256) AS gray
+      |  FROM embeddings),
+      |gall AS (
+      |  SELECT media_id, fm, gray FROM gb
+      |  UNION ALL
+      |  SELECT media_id + 1000000, fm, gray FROM gb WHERE media_id % 11 = 0
+      |  UNION ALL
+      |  SELECT media_id + 2000000, fm,
+      |    list_concat([(gray[1] + 128) % 256], gray[2:64]) AS gray
+      |  FROM gb WHERE media_id % 13 = 0),
+      |hm AS (
+      |  SELECT media_id, CASE fm WHEN 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |    gray, CAST(list_sum(gray) AS BIGINT) // 64 AS mean
+      |  FROM gall WHERE fm <> 1),
+      |h AS (
+      |  SELECT media_id, format,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN gray[i + 33] > mean THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)), 0) AS BIGINT) AS hash_hi,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN gray[i + 1] > mean THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)), 0) AS BIGINT) AS hash_lo
+      |  FROM hm)""".stripMargin
+
   /** SimHash signature dump — the banding + verify is replayed by DuckDB
     * from SQL generated off the same Manku block geometry. */
   def simhashSigDumpPath(dir: String): String =
@@ -1314,6 +1348,17 @@ object SparkEntry {
       // mean divisor is a power of two (no float drift either engine).
       Multimodal.resizeImages(s, Multimodal.mediaFromEmbeddings(s, emb(s, dir)))
         .withColumn("mean_val", round(col("mean_val"), 4))),
+    "q_image_hash" -> ((s, dir) =>
+      // aHash perceptual fingerprints over REAL decoded payloads (with
+      // planted exact + one-gray-step clones); DuckDB re-derives every
+      // bit from the embeddings through the shared quantize arithmetic
+      Multimodal.imageHashes(s,
+        Multimodal.mediaWithPlantedDups(s, emb(s, dir)))),
+    "q_image_neardup" -> ((s, dir) =>
+      // hamming-banded near-dup pairs (pigeonhole recall for <=3);
+      // the planted clones guarantee hamming-0 and small-hamming pairs
+      Multimodal.imageNearDupPairs(s,
+        Multimodal.mediaWithPlantedDups(s, emb(s, dir)))),
     "q_resample" -> ((s, dir) =>
       // audio twin of q_resize: mono PCM decimation keeps samples
       // 0,2,...,62 of the 64-sample synth payloads (images drop out);
@@ -2464,6 +2509,33 @@ object SparkEntry {
     // (gray - 128) * 256; factor 2 keeps 1-based gray indices 1,3,..,63;
     // n_bytes = 44-byte RIFF/fmt/data header + 32 * 2. The synth encodes
     // at 8000 Hz, so out_rate = 4000.
+    "q_image_hash" ->
+      // every aHash bit re-derived from the embeddings: gray quantize,
+      // planted clones (gray-level +128 on pixel 0 for the %13 class),
+      // integer mean, bit shifts — no dumps
+      s"""WITH $imageHashCtes
+         |SELECT media_id, format, hash_hi, hash_lo FROM h""".stripMargin,
+    "q_image_neardup" ->
+      s"""WITH $imageHashCtes,
+         |bands AS (
+         |  SELECT media_id, hash_hi, hash_lo, b.band_id,
+         |    CASE b.band_id WHEN 0 THEN hash_lo % 65536
+         |                   WHEN 1 THEN hash_lo // 65536
+         |                   WHEN 2 THEN hash_hi % 65536
+         |                   ELSE hash_hi // 65536 END AS band_val
+         |  FROM h, (SELECT unnest(range(0, 4)) AS band_id) b),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+         |    a.hash_hi AS hi_a, a.hash_lo AS lo_a,
+         |    b2.hash_hi AS hi_b, b2.hash_lo AS lo_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+         |      AND a.media_id < b2.media_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |    AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3""".stripMargin,
     "q_resample" ->
       """WITH g AS (
         |  SELECT vec_id AS media_id,

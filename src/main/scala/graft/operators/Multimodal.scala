@@ -434,10 +434,19 @@ object Multimodal {
     * BMP, a 64-sample WAV or an 8×8 PPM by `label % 3` — so the decode
     * path runs on genuine format bytes (TESTDATA has no binary table;
     * this keeps inputs driver-provided and the encode/decode pair honest). */
-  def mediaFromEmbeddings(spark: SparkSession, embeddings: DataFrame): DataFrame = {
-    import spark.implicits._
+  def mediaFromEmbeddings(spark: SparkSession, embeddings: DataFrame): DataFrame =
+    mediaEncoded(embeddings, perturbFirstPixel = false)
+
+  private def mediaEncoded(embeddings: DataFrame,
+                           perturbFirstPixel: Boolean): DataFrame = {
     val encodeUdf = udf { (vec: Seq[Float], label: Int) =>
       val gray = vec.map(f => quantizeGray(f).toByte).toArray
+      // POST-quantization single-gray-step perturbation (fixture-only):
+      // tweaking after quantizeGray keeps the clone derivable exactly on
+      // both engines at the gray level — a float-side nudge would race
+      // float-vs-double rounding at the trunc boundary
+      if (perturbFirstPixel && gray.nonEmpty)
+        gray(0) = (((gray(0) & 0xFF) + 128) % 256).toByte
       (label % 3) match {
         case 0 => encodeBmp(8, 8, gray)
         // sample = (gray-128)*256: LE low byte 0, high byte (gray+128)%256
@@ -450,5 +459,105 @@ object Multimodal {
       element_at(array(lit("image/bmp"), lit("audio/wav"), lit("image/ppm")),
         (col("label") % 3).cast("int") + 1).as("kind"),
       encodeUdf(col("embedding"), col("label").cast("int")).as("payload"))
+  }
+
+  /** [[mediaFromEmbeddings]] plus deterministic near-duplicate plants
+    * for the image-dedup fixtures: exact clones of every %11 vec
+    * (ids + 1,000,000) and half-range-perturbed clones of every %13
+    * vec (ids + 2,000,000; pixel 0 bumped by 128 mod 256 AFTER
+    * quantization — big enough to cross the aHash mean and flip bits,
+    * and replayable exactly from the embeddings on both engines). */
+  def mediaWithPlantedDups(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val base = mediaEncoded(embeddings, perturbFirstPixel = false)
+    val exact = mediaEncoded(embeddings.where(col("vec_id") % 11 === 0),
+        perturbFirstPixel = false)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    val pert = mediaEncoded(embeddings.where(col("vec_id") % 13 === 0),
+        perturbFirstPixel = true)
+      .withColumn("media_id", col("media_id") + 2000000L)
+    base.unionByName(exact).unionByName(pert)
+  }
+
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (aHash) + hamming-banded near-dup
+  // ------------------------------------------------------------------
+
+  /** Average-hash perceptual fingerprint — the image-dedup primitive of
+    * LAION-class multimodal pipelines. FROZEN: floor-NN resample of the
+    * decoded gray plane to the 8×8 aHash grid (identity for 8×8 inputs;
+    * src = (y·h/8, x·w/8), the [[resizeImages]] rule), mean = integer
+    * sum div 64, bit i (row-major) set iff pixel_i > mean; emitted as
+    * two non-negative 32-bit halves (hash_hi = bits 32–63) so the
+    * DuckDB twin never touches the BIGINT sign bit. Audio and invalid
+    * payloads drop out. Zero-shuffle narrow pass. */
+  final case class ImageHash(media_id: Long, format: String,
+                             hash_hi: Long, hash_lo: Long)
+
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      decodeGray(r.payload).map { case (fmt, w, h, g) =>
+        val sel = new Array[Int](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          val sy = (i / 8) * h / 8
+          val sx = (i % 8) * w / 8
+          val v = g(sy * w + sx)
+          sel(i) = v
+          sum += v
+          i += 1
+        }
+        val mean = sum / 64
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (sel(i) > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        ImageHash(r.media_id, fmt, hi, lo)
+      }
+    }.toDF()
+  }
+
+  /** Near-duplicate image pairs by aHash hamming distance ≤ `maxHamming`
+    * (default 3): candidates from FOUR 16-bit band buckets (pigeonhole —
+    * hamming ≤ 3 over 64 bits forces at least one band equal, the
+    * [[Dedup.simhashPairs]] guarantee shape), verified with
+    * bit_count(xor) on the candidate pairs only — never all-pairs.
+    * Scale note: near-constant images (all-black frames) concentrate a
+    * band bucket; cap or pre-dedup exact hashes upstream if a corpus is
+    * saturated with them (the hot-band caveat [[Dedup.simhashPairs]]
+    * documents). */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val hashes = imageHashes(spark, media)
+    val bands = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_id", "band_val")))
+    val a = bands.select(col("media_id").as("id_a"),
+      col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"),
+      col("band_id"), col("band_val"))
+    val b = bands.select(col("media_id").as("id_b"),
+      col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }

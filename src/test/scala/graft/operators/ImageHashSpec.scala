@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** aHash perceptual hashing: hand-golden bits, floor-NN resample to the
+  * 8×8 grid for larger images, and the banding recall property —
+  * banded candidates find EVERY hamming ≤ 3 pair a brute-force scan
+  * finds (the pigeonhole guarantee). */
+class ImageHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def bmp(id: Long, gray: Array[Int], w: Int = 8, h: Int = 8) =
+    Multimodal.MediaRow(id, "image/bmp",
+      Multimodal.encodeBmp(w, h, gray.map(_.toByte)))
+
+  private def hashOf(rows: Multimodal.MediaRow*): Map[Long, (Long, Long)] =
+    Multimodal.imageHashes(spark, rows.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+
+  test("hand golden: half-dark half-bright 8x8") {
+    // pixels 0..31 = 10, pixels 32..63 = 200 -> mean = 105
+    // bits 0..31 clear (10 < 105), bits 32..63 set -> lo = 0, hi = 2^32-1
+    val g = Array.fill(32)(10) ++ Array.fill(32)(200)
+    assert(hashOf(bmp(1L, g))(1L) == ((0xFFFFFFFFL, 0L)))
+  }
+
+  test("constant image hashes to zero (no pixel exceeds the mean)") {
+    assert(hashOf(bmp(1L, Array.fill(64)(7)))(1L) == ((0L, 0L)))
+  }
+
+  test("single bright pixel sets exactly its own bit") {
+    val g = Array.fill(64)(0)
+    g(5) = 255 // mean = 255/64 = 3; only pixel 5 exceeds it
+    assert(hashOf(bmp(1L, g))(1L) == ((0L, 1L << 5)))
+    val g2 = Array.fill(64)(0)
+    g2(40) = 255
+    assert(hashOf(bmp(2L, g2))(2L) == ((1L << 8, 0L)))
+  }
+
+  test("16x16 input floor-NN resamples to the 8x8 grid (src 2y,2x)") {
+    // 16x16 where the selected (even,even) pixels reproduce the
+    // half-dark/half-bright golden; odd pixels carry noise that must
+    // be ignored by the frozen selection rule
+    val g = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      if (y % 2 == 1 || x % 2 == 1) 123
+      else if (y / 2 < 4) 10 else 200
+    }
+    assert(hashOf(bmp(1L, g, 16, 16))(1L) == ((0xFFFFFFFFL, 0L)))
+  }
+
+  test("audio and invalid payloads drop out") {
+    val rows = Seq(
+      bmp(1L, Array.fill(64)(9)),
+      Multimodal.MediaRow(2L, "audio/wav",
+        Multimodal.encodeWav(Array.fill(64)(0.toShort))),
+      Multimodal.MediaRow(3L, "junk", Array[Byte](1, 2, 3)))
+    assert(hashOf(rows: _*).keySet == Set(1L))
+  }
+
+  test("banding recall: banded pairs == brute-force hamming<=3 pairs") {
+    val rnd = new scala.util.Random(20260818L)
+    // random images + planted near-dups (clone with k bumped pixels)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(256))))
+    val clones = base.filter(_._1 % 5 == 0).map { case (id, g) =>
+      val c = g.clone()
+      (0 until rnd.nextInt(3)).foreach(_ => c(rnd.nextInt(64)) = rnd.nextInt(256))
+      (id + 1000L, c)
+    }
+    val rows = (base ++ clones).map { case (id, g) => bmp(id, g) }
+    val hashes = hashOf(rows: _*)
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val brute = (for {
+      (ia, ha) <- hashes.toSeq; (ib, hb) <- hashes.toSeq
+      if ia < ib && hamming(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Multimodal.imageNearDupPairs(spark, rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(brute.nonEmpty) // the plants guarantee the property is non-vacuous
+  }
+}
