@@ -1,0 +1,113 @@
+package graft.core
+
+/** JVM twins of the Catalyst expressions on the shingle hot paths —
+  * byte-identical results, none of the interpreted-HOF evaluation cost.
+  *
+  * WHY: Catalyst higher-order functions (`transform`, `filter`,
+  * `exists`, `aggregate`) evaluate their lambda INTERPRETED per element
+  * — the exact mechanism GopherLexical measured at ~16x vs one fused
+  * scalar UDF per row. The shingle builders
+  * ([[graft.operators.Dedup.wordShingles]] / `shingleHashes`) were
+  * `transform(sequence, i => concat_ws(" ", slice(toks, i, k)))`
+  * (+ `xxhash64`), i.e. per-POSITION interpreted slice+concat
+  * allocations over 10^8–10^9 window positions at bench scale. These
+  * helpers compute the identical values in one tight JVM loop per
+  * document.
+  *
+  * IDENTITY CONTRACTS (spec-pinned in FastHashSpec):
+  *  - [[tokens]] == Catalyst `split(trim(s), "\\s+")` element-for-element
+  *    (SQL trim strips 0x20 only; Java regex split with limit -1 — the
+  *    Catalyst StringSplit semantics);
+  *  - [[shingleStrings]] == `transform(sequence(0, n-k),
+  *    i => concat_ws(" ", slice(toks, i+1, k)))` under the >=k guard;
+  *  - [[xxh64]] == Catalyst `xxhash64(stringCol)`: XXH64 (seed 42) over
+  *    the string's UTF-8 bytes — computed by the SAME
+  *    `o.a.s.sql.catalyst.expressions.XXH64` implementation Catalyst
+  *    codegen calls, so equality is structural, not reimplemented.
+  */
+object FastHash {
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** SQL `trim` twin: strips ASCII 0x20 only (NOT Java's `String.trim`,
+    * which strips every char <= 0x20). */
+  def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Catalyst `split(trim(s), "\\s+")` twin — keeps the leading empty
+    * token a non-space leading separator produces (spec-pinned). */
+  def tokens(s: String): Array[String] = Ws.split(sqlTrim(s), -1)
+
+  /** Catalyst-identical xxhash64 of one string (seed 42 over UTF-8). */
+  def xxh64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Word-`k`-gram shingle STRINGS over a token array — the
+    * [[graft.operators.Dedup.wordShingles]] value contract (empty array
+    * below k tokens; windows joined by one space). */
+  def shingleStrings(toks: Array[String], k: Int): Array[String] = {
+    if (toks.length < k) return Array.empty[String]
+    val out = new Array[String](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Word-`k`-gram shingle HASHES: xxhash64(seed 42) of each window's
+    * space-joined UTF-8 bytes — value-identical to
+    * `transform(wordShingles(s, k), w => xxhash64(w))`, built without
+    * per-window String/substring allocation: each token is UTF-8-encoded
+    * once, windows are assembled in one reusable byte buffer (token
+    * bytes + single 0x20 separators — exactly the UTF-8 encoding of the
+    * space-joined window string, since UTF-8 concatenation is
+    * byte-concatenation). */
+  def shingleXxh(toks: Array[String], k: Int): Array[Long] = {
+    if (toks.length < k) return Array.emptyLongArray
+    val enc = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      enc(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val out = new Array[Long](toks.length - k + 1)
+    var buf = new Array[Byte](256)
+    i = 0
+    while (i < out.length) {
+      var len = 0
+      var j = i
+      while (j < i + k) {
+        val tb = enc(j)
+        val need = len + tb.length + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > i) { buf(len) = ' '; len += 1 }
+        System.arraycopy(tb, 0, buf, len, tb.length)
+        len += tb.length
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    out
+  }
+}

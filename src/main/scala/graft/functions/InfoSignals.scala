@@ -65,20 +65,32 @@ object InfoSignals {
     math.floor(h * 1e6 + 0.5).toLong
   }
 
+  // one zlib stream + scratch buffer per thread, reset() per row: a
+  // fresh Deflater allocates native zlib state (~256 KB) per call —
+  // measurable at 1.6M rows; reset() restores the identical initial
+  // state (level/strategy preserved), so the compressed byte count —
+  // the frozen signal — is unchanged (spec-pinned vs a fresh instance)
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+  private val deflateBufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Deflate(level 6) compressed/raw byte ratio in micro-units
     * (frozen; integer-exact rounding, no FP). */
   def deflateRatioMicro(t: String): Long = {
     if (t == null || t.isEmpty) return 1000000L
     val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      (2L * total * 1000000L + raw.length) / (2L * raw.length)
-    } finally d.end()
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = deflateBufLocal.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    (2L * total * 1000000L + raw.length) / (2L * raw.length)
   }
 
   private val signalsUdf =

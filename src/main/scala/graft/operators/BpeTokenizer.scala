@@ -211,6 +211,16 @@ object BpeTokenizer {
   private def wordsCol(textCol: Column): Column =
     filter(split(trim(textCol), "\\s+"), w => w =!= "")
 
+  /** JVM twin of [[wordsCol]]: [[graft.core.FastHash.tokens]] is
+    * spec-pinned equal to Catalyst `split(trim(s), "\\s+")`
+    * (FastHashSpec), and the empty-token filter is the same predicate —
+    * so fit/apply/oracle keep ONE byte-identical word construction while
+    * the hot paths avoid the interpreted per-word `filter` lambda and
+    * the Tungsten array materialization. */
+  private def wordsOf(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else graft.core.FastHash.tokens(text).filter(_.nonEmpty)
+
   /** Distributed fit: one map-side-combined shuffle aggregates the
     * word-frequency table (pruned by `minWordCount` BEFORE collection —
     * the tail of hapax words is most of the vocabulary and contributes
@@ -221,9 +231,29 @@ object BpeTokenizer {
   def fit(df: DataFrame, textCol: String, numMerges: Int,
           minPairCount: Long = 2L, minWordCount: Long = 1L,
           maxVocabWords: Int = 1000000): Model = {
-    val wc = df
-      .select(explode(wordsCol(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // round-6 shape: per-partition HashMap combine in a mapPartitions
+    // pass (one tokenization per doc, one map update per word instance)
+    // instead of explode → HashAggregate, which materialized one
+    // Tungsten row per word INSTANCE (~5.8e8 at bench scale) before the
+    // partial agg collapsed them; counts are identical exact integers
+    val wc = df.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Array[Long]]()
+        it.foreach { t =>
+          val ws = wordsOf(t)
+          var i = 0
+          while (i < ws.length) {
+            val slot = m.get(ws(i))
+            if (slot == null) m.put(ws(i), Array(1L)) else slot(0) += 1
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
+      }.toDF("word", "n")
+      .groupBy("word").agg(sum(col("n")).as("n"))
       .where(col("n") >= minWordCount)
     val rows = wc.limit(maxVocabWords + 1).collect()
     require(rows.length <= maxVocabWords,
@@ -247,19 +277,27 @@ object BpeTokenizer {
   def tokenStats(df: DataFrame, idCol: String, textCol: String,
                  model: Model): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val stats = udf { (words: Seq[String]) =>
+    // tokenization moved INSIDE the UDF (wordsOf — the spec-pinned JVM
+    // twin of wordsCol): text crosses the boundary once per row and the
+    // engine no longer evaluates the interpreted per-word filter lambda
+    // or materializes the word array (584M instances at bench scale)
+    val stats = udf { (text: String) =>
       val m = bc.value
+      val ws = wordsOf(text)
       var nw = 0L
       var nc = 0L
       var nt = 0L
-      words.foreach { w =>
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
         nw += 1
         nc += w.codePointCount(0, w.length)
         nt += m.segment(w).length
+        i += 1
       }
       (nw, nc, nt)
     }
-    df.select(col(idCol), stats(wordsCol(col(textCol))).as("s"))
+    df.select(col(idCol), stats(col(textCol)).as("s"))
       .select(col(idCol),
         col("s._1").as("n_words"),
         col("s._2").as("n_word_chars"),
@@ -272,11 +310,33 @@ object BpeTokenizer {
     * (the [[TextAnalysis.topWords]] shape). */
   def topTokens(df: DataFrame, textCol: String, model: Model,
                 k: Int): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
-    val segUdf = udf { (w: String) => bc.value.segment(w).toSeq }
-    df.select(explode(wordsCol(col(textCol))).as("word"))
-      .select(explode(segUdf(col("word"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    // per-partition HashMap combine over the segment-token stream (the
+    // fit's round-6 shape): identical exact counts, no per-instance row
+    df.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        it.foreach { t =>
+          val ws = wordsOf(t)
+          var i = 0
+          while (i < ws.length) {
+            val toks = m.segment(ws(i))
+            var j = 0
+            while (j < toks.length) {
+              val slot = counts.get(toks(j))
+              if (slot == null) counts.put(toks(j), Array(1L)) else slot(0) += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
+      }.toDF("token", "n")
+      .groupBy("token").agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
   }

@@ -266,12 +266,36 @@ object Dedup {
                            passthroughCols: Seq[String] = Nil): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val spark = df.sparkSession
-    val lines = df.select(
-      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
-        .as(Seq("pos", "line")))
-    val boiler = lines.where(trim(col("line")) =!= "")
-      .groupBy("line")
-      .agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    // round-6 probe shape: per-partition HashMap combine in ONE
+    // mapPartitions pass — same JVM split/space-only-trim semantics as
+    // the rewrite UDF below (itself spec-pinned equal to the Catalyst
+    // fallback), identical exact counts. The previous posexplode →
+    // trim-filter → HashAggregate form materialized one Tungsten row
+    // per line INSTANCE (~1.4e8 at bench scale) and re-hashed every
+    // line string through the partial agg.
+    val boiler = df.select(coalesce(col(textCol), lit("")).as("t")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Array[Long]]()
+        it.foreach { t =>
+          val ls = t.split("\n", -1)
+          var i = 0
+          while (i < ls.length) {
+            val l = ls(i)
+            var allSpace = true
+            var j = 0
+            while (allSpace && j < l.length) { if (l.charAt(j) != ' ') allSpace = false; j += 1 }
+            if (!allSpace) {
+              val slot = m.get(l)
+              if (slot == null) m.put(l, Array(1L)) else slot(0) += 1
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
+      }.toDF("line", "n")
+      .groupBy("line").agg(sum(col("n")).as("n"))
       .where(col("n") >= minCount)
       .select(col("line"))
     val probe = boiler.limit(maxBroadcastLines + 1).collect()
@@ -353,8 +377,26 @@ object Dedup {
 
   /** Word shingles of size `k` as one array column; an EMPTY array (not
     * null) when the text has fewer than k tokens, so downstream explodes
-    * and aggregates never see null. */
+    * and aggregates never see null.
+    *
+    * FUSED fast path (round 6): one scalar UDF per document building the
+    * identical strings in a tight JVM loop — the Catalyst form
+    * ([[wordShinglesCatalyst]]) evaluates its `transform` lambda
+    * INTERPRETED per window position (slice + concat_ws allocations),
+    * the 16x-measured GopherLexical mechanism. FastHashSpec pins
+    * element-for-element equality of the two forms. */
   def wordShingles(textCol: Column, k: Int): Column = {
+    val u = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else graft.core.FastHash.shingleStrings(graft.core.FastHash.tokens(t), k)
+    }
+    u(textCol)
+  }
+
+  /** The original Catalyst rendering of [[wordShingles]] — kept as the
+    * executable spec of the frozen value contract (FastHashSpec asserts
+    * the fused path equals it element-for-element). */
+  private[graft] def wordShinglesCatalyst(textCol: Column, k: Int): Column = {
     val toks = split(trim(textCol), "\\s+")
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - lit(k)),
@@ -362,17 +404,28 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** Deterministic 64-bit hash per shingle (xxhash64, Spark-native).
-    * MEASURED note (round 4): a "token-wise" variant that hashed each
-    * token once and then xxhash64'd the k-token hash SLICE per position
-    * — avoiding the string concatenation entirely — was tried and
-    * REVERTED: in an interleaved same-session A/B over the full
-    * dup-span pipeline at sf0.1, per-position slice allocation +
-    * per-element array hashing lost every round (string 4.3-5.1 s vs
-    * token-wise 5.1-5.2 s, ~10-15%). The concatenated shingle is short
-    * and hashes in one pass; build it. */
-  private[operators] def shingleHashes(textCol: Column, k: Int): Column =
-    transform(wordShingles(textCol, k), s => xxhash64(s))
+  /** Deterministic 64-bit hash per shingle (xxhash64 seed 42, the
+    * Catalyst value) — round-6 FUSED fast path: one scalar UDF per
+    * document assembling each window's UTF-8 bytes in a reusable buffer
+    * and hashing with Catalyst's own XXH64 class, so the values are
+    * structurally identical to `transform(wordShingles, xxhash64)`
+    * (FastHashSpec pins it) with no per-window String allocation and no
+    * interpreted HOF evaluation.
+    * MEASURED note (round 4, still true of CATALYST variants): a
+    * token-wise Catalyst variant hashing per-position hash SLICES lost
+    * to the concat form ~10-15%; the JVM fused form beats both. */
+  private[graft] def shingleHashes(textCol: Column, k: Int): Column = {
+    val u = udf { (t: String) =>
+      if (t == null) Array.emptyLongArray
+      else graft.core.FastHash.shingleXxh(graft.core.FastHash.tokens(t), k)
+    }
+    u(textCol)
+  }
+
+  /** The original Catalyst rendering of [[shingleHashes]] — the
+    * executable value contract for FastHashSpec. */
+  private[graft] def shingleHashesCatalyst(textCol: Column, k: Int): Column =
+    transform(wordShinglesCatalyst(textCol, k), s => xxhash64(s))
 
   /** Frozen per-permutation mix constants (splitmix64 of the index). */
   private def splitmix64(x0: Long): Long = {
@@ -787,28 +840,44 @@ object Dedup {
     * with < k tokens emit no spans and report (0, 0, keep). */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, hashKeys: Boolean = true): DataFrame = {
-    // explicit isNotNull on the key, for two reasons: (a) the final
-    // left-join infers it onto the probe branch only, which would make
-    // the two shared-subtree scans differ and break ReuseExchange;
-    // (b) it is part of the FROZEN semantics — a null-id row's spans do
-    // not contribute to the global duplication counts (the DuckDB twin
+    // FROZEN semantics (unchanged): a null-id row's spans do not
+    // contribute to the global duplication counts (the DuckDB twin
     // filters identically); null-id rows still appear in the output
-    // with (0, 0, keep) via the left join
+    // with (0, 0, keep) via the left join.
+    //
+    // Round-6 shape — the UNIQUE-COMPLEMENT identity: an instance is
+    // duplicated iff its span occurs >= 2 times corpus-wide, so
+    //   dup_spans(doc) = n_spans(doc) − #instances whose span is
+    //                    globally UNIQUE (n == 1),
+    // and a globally-unique span has exactly ONE instance, which lives
+    // in exactly one doc — min(id) over its group IS that doc. That
+    // turns the old pair-count shape (groupBy(span, id) shuffling one
+    // row per DISTINCT (span, doc) pair — ~one per instance, ~1e9 rows
+    // at bench scale — plus a span-keyed join and a second rollup) into
+    // ONE groupBy(span) whose map-side combine collapses hot boilerplate
+    // spans, followed by two doc-keyed aggregations of doc-sized tables.
+    // n_spans(doc) never needs the explode at all: every text yields
+    // max(0, n_tokens − k + 1) window instances by construction, so it
+    // is a narrow tokenize-only projection (no shingle hashing).
     // hashKeys path shuffles 8-byte xxhash64 span keys; the portable
-    // path keeps the raw strings the oracle replays. One shared select
-    // so the id aliasing and the semantics-critical isNotNull filter
-    // exist exactly once.
+    // path keeps the raw strings the oracle replays.
     val spanCol =
       if (hashKeys) shingleHashes(col(textCol), k)
       else wordShingles(col(textCol), k)
     val keyed = df.select(col(idCol).as("id"), explode(spanCol).as("span"))
       .where(col("id").isNotNull)
-    val pairCounts = keyed.groupBy("span", "id").agg(count(lit(1)).as("c"))
-    val global = pairCounts.groupBy("span").agg(sum(col("c")).as("n"))
-    val perDoc = pairCounts.join(global, "span")
-      .groupBy("id")
-      .agg(sum(col("c")).as("n_spans"),
-        sum(when(col("n") >= 2, col("c")).otherwise(0L)).as("dup_spans"))
+    val uniq = keyed.groupBy("span")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("id"))
+      .where(col("n") === 1)
+    val uniqPerDoc = uniq.groupBy("id").agg(count(lit(1)).as("u"))
+    val nTok = size(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+    val perDocN = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        greatest(nTok - lit(k - 1), lit(0)).cast("long").as("ns"))
+      .groupBy("id").agg(sum(col("ns")).as("n_spans"))
+    val perDoc = perDocN.join(uniqPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("u"), lit(0L))).as("dup_spans"))
     df.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_spans", "dup_spans"))
@@ -931,11 +1000,22 @@ object Dedup {
                 concat_ws(" ", slice(col("ts"), i, lit(l))).as("w")))).as("x"))
           .select(col("id"), col("x.s").as("s"), col("x.w").as("w"))
       }
-    // duplicated window starts: ONE exchange (partition by key) + a
-    // partition-wide count; >=2 instances corpus-wide = duplicated
-    val dupStarts = keyed
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("w")))
+    // duplicated window starts (round-6 hot-key fix): the previous
+    // `count(1) over (partition by w)` sent EVERY instance of one
+    // duplicated window key to ONE reducer — a boilerplate header
+    // repeated 1e8 times at web scale becomes a straggler task AQE
+    // cannot split (skew handling applies to joins, not windows). The
+    // count is now a map-side-combined groupBy(w) (a 1e8-instance hot
+    // key sends ONE partial per map task) kept only where cnt >= 2 —
+    // any count >= 2 is equivalent for the coverage predicate — and the
+    // duplicated-key table semi-joins back (AQE broadcasts it when
+    // small; over budget it is a skew-splittable equi join). Costs one
+    // extra tokenize/roll scan of the corpus; removes the unsplittable
+    // reducer and the full positional sort-shuffle.
+    val dupKeys = keyed.groupBy("w").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2)
+      .select("w")
+    val dupStarts = keyed.join(dupKeys, Seq("w"), "left_semi")
       .select("id", "s")
     // maximal-span merge per doc: all windows have length l, so sorted
     // starts merge iff the next start begins at or before prev + l

@@ -52,9 +52,46 @@ object Dsir {
 
   /** Unigram+bigram hash buckets in the frozen 2n-1 layout (unigrams
     * first, then adjacent bigrams joined by one space) — the single
-    * source of the gram definition for DSIR and the classifier. */
+    * source of the gram definition for DSIR and the classifier.
+    *
+    * Round-6 fast path (production/FNV only): FNV-1a is a STREAMING
+    * hash, so the bigram "a b" bucket is computed by continuing token
+    * a's final hash state through one 0x20 byte and token b — no bigram
+    * String concatenation, no per-gram `getBytes` byte-array
+    * (UTF-8 of a concatenation is the concatenation of UTF-8s; the ' '
+    * joiner can never pair with a surrogate, so Java's unpaired-
+    * surrogate '?' replacement is boundary-stable). Each token is
+    * UTF-8-streamed at most twice. DsirSpec pins bucket-for-bucket
+    * equality with [[gramBucketIntsRef]], the allocation-heavy
+    * reference form. The portable/md5 path is unchanged. */
   private[operators] def gramBucketInts(text: String, buckets: Int,
                                         portable: Boolean): Array[Int] = {
+    if (portable) return gramBucketIntsRef(text, buckets, portable)
+    val t = tokensOf(text)
+    val n = t.length
+    val out = new Array[Int](math.max(0, 2 * n - 1))
+    if (n == 0) return out
+    val st = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = fnvUtf8(FnvOffset, t(i))
+      st(i) = h
+      out(i) = toBucket(h, buckets)
+      i += 1
+    }
+    i = 0
+    while (i + 1 < n) {
+      out(n + i) = toBucket(fnvUtf8((st(i) ^ 0x20L) * FnvPrime, t(i + 1)), buckets)
+      i += 1
+    }
+    out
+  }
+
+  /** Reference form of [[gramBucketInts]] (bigram strings + per-gram
+    * hashing) — the executable value contract for the fast path's spec,
+    * and still the implementation behind the portable/md5 variant. */
+  private[operators] def gramBucketIntsRef(text: String, buckets: Int,
+                                           portable: Boolean): Array[Int] = {
     val t = tokensOf(text)
     val out = new Array[Int](math.max(0, 2 * t.length - 1))
     var i = 0
@@ -65,6 +102,47 @@ object Dsir {
       i += 1
     }
     out
+  }
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  @inline private def toBucket(h: Long, buckets: Int): Int = {
+    val m = (h % buckets).toInt
+    if (m < 0) m + buckets else m
+  }
+
+  /** FNV-1a 64 streamed over the UTF-8 encoding of `s`, starting from
+    * state `h0` — byte-identical to hashing `s.getBytes(UTF_8)`
+    * (incl. Java's '?' replacement for unpaired surrogates). */
+  private def fnvUtf8(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i).toInt
+      if (c < 0x80) h = (h ^ c) * FnvPrime
+      else if (c < 0x800) {
+        h = (h ^ (0xC0 | (c >> 6))) * FnvPrime
+        h = (h ^ (0x80 | (c & 0x3F))) * FnvPrime
+      } else if (c >= 0xD800 && c < 0xDC00 && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c.toChar, s.charAt(i + 1))
+        h = (h ^ (0xF0 | (cp >> 18))) * FnvPrime
+        h = (h ^ (0x80 | ((cp >> 12) & 0x3F))) * FnvPrime
+        h = (h ^ (0x80 | ((cp >> 6) & 0x3F))) * FnvPrime
+        h = (h ^ (0x80 | (cp & 0x3F))) * FnvPrime
+        i += 1
+      } else if (c >= 0xD800 && c < 0xE000) {
+        h = (h ^ 0x3F) * FnvPrime // unpaired surrogate -> '?' (Java UTF-8)
+      } else {
+        h = (h ^ (0xE0 | (c >> 12))) * FnvPrime
+        h = (h ^ (0x80 | ((c >> 6) & 0x3F))) * FnvPrime
+        h = (h ^ (0x80 | (c & 0x3F))) * FnvPrime
+      }
+      i += 1
+    }
+    h
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -98,28 +176,39 @@ object Dsir {
   @inline private def bucketOf(g: String, buckets: Int, portable: Boolean): Int =
     if (portable) portableBucket(g, buckets) else fnvBucket(g, buckets)
 
-  /** All hashed gram buckets of a document (unigrams then bigrams) —
-    * one UDF call per document for the fitting explode. */
-  private def gramBucketsUdf(buckets: Int, portable: Boolean) =
-    udf { (text: String) =>
-      val bs = gramBucketInts(text, buckets, portable)
-      val out = new Array[Long](bs.length)
-      var i = 0
-      while (i < bs.length) { out(i) = bs(i).toLong; i += 1 }
-      out
-    }
-
   // ---------------------------------------------------------------
   // Fitting
   // ---------------------------------------------------------------
 
   /** Hashed-gram bucket counts over a corpus: (bucket, n). Shuffle is
-    * bounded by `buckets` rows per map task (partial agg). */
+    * bounded by `buckets` rows per map task.
+    *
+    * Round-6 shape: the per-partition combine is a DENSE long array
+    * updated in a mapPartitions pass (one `gramBucketInts` call per doc,
+    * one array increment per gram), emitting only the non-zero buckets.
+    * The previous explode → HashAggregate form materialized one Tungsten
+    * row PER GRAM INSTANCE (~1.2e9 rows at the 1.6M-row bench) just to
+    * partial-aggregate them back into <= 2^16 groups; the dense-array
+    * combine produces the identical exact integer counts without ever
+    * materializing the gram stream (guide §2.3 "aggregate before you
+    * shuffle", taken to its limit). */
   def bucketCounts(df: DataFrame, textCol: String,
                    buckets: Int = DefaultBuckets,
-                   portable: Boolean = false): DataFrame =
-    df.select(explode(gramBucketsUdf(buckets, portable)(col(textCol))).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
+                   portable: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol)).as[String].mapPartitions { it =>
+      val dense = new Array[Long](buckets)
+      it.foreach { t =>
+        val bs = gramBucketInts(t, buckets, portable)
+        var i = 0
+        while (i < bs.length) { dense(bs(i)) += 1; i += 1 }
+      }
+      Iterator.range(0, buckets).filter(dense(_) > 0L)
+        .map(b => (b.toLong, dense(b)))
+    }.toDF("bucket", "n")
+      .groupBy("bucket").agg(sum(col("n")).as("n"))
+  }
 
   /** Per-bucket importance log-ratio in integer MICRO-NATS:
     * floor((log p̂_target(b) − log p̂_raw(b)) · 1e6 + 0.5) with add-λ
@@ -171,14 +260,32 @@ object Dsir {
                            portable: Boolean = false): Array[Long] = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in (0, 2^20]: $buckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
     val tc = new Array[Long](buckets)
     val rc = new Array[Long](buckets)
+    // dense-array per-partition combine (see bucketCounts): the raw and
+    // target counts accumulate in the SAME pass, still one tokenization
+    // of the corpus, and no per-gram row ever exists
     raw.select(col(textCol), coalesce(targetPred.cast("boolean"), lit(false)).as("_t"))
-      .select(explode(gramBucketsUdf(buckets, portable)(col(textCol))).as("bucket"),
-        col("_t"))
+      .as[(String, Boolean)]
+      .mapPartitions { it =>
+        val rn = new Array[Long](buckets)
+        val tn = new Array[Long](buckets)
+        it.foreach { case (t, isTarget) =>
+          val bs = gramBucketInts(t, buckets, portable)
+          var i = 0
+          while (i < bs.length) {
+            rn(bs(i)) += 1
+            if (isTarget) tn(bs(i)) += 1
+            i += 1
+          }
+        }
+        Iterator.range(0, buckets).filter(rn(_) > 0L)
+          .map(b => (b.toLong, rn(b), tn(b)))
+      }.toDF("bucket", "rn", "tn")
       .groupBy("bucket")
-      .agg(count(lit(1)).as("rn"),
-        sum(when(col("_t"), 1L).otherwise(0L)).as("tn"))
+      .agg(sum(col("rn")).as("rn"), sum(col("tn")).as("tn"))
       .collect().foreach { r =>
         val b = r.getAs[Long]("bucket").toInt
         rc(b) = r.getAs[Long]("rn")
@@ -198,20 +305,16 @@ object Dsir {
                        portable: Boolean = false): DataFrame = {
     val buckets = ratiosMicro.length
     val bc = df.sparkSession.sparkContext.broadcast(ratiosMicro)
+    // one gramBucketInts call per doc — rides the streaming-FNV fast
+    // path (no bigram strings / per-gram byte arrays); gram order and
+    // counts are identical to the previous two-loop form
     val scoreUdf = udf { (text: String) =>
       val rs = bc.value
-      val t = tokensOf(text)
-      var n = 0L
+      val bs = gramBucketInts(text, buckets, portable)
       var s = 0L
       var i = 0
-      while (i < t.length) {
-        s += rs(bucketOf(t(i), buckets, portable)); n += 1; i += 1
-      }
-      i = 0
-      while (i + 1 < t.length) {
-        s += rs(bucketOf(t(i) + " " + t(i + 1), buckets, portable)); n += 1; i += 1
-      }
-      (n, s)
+      while (i < bs.length) { s += rs(bs(i)); i += 1 }
+      (bs.length.toLong, s)
     }
     df.withColumn("_ds", scoreUdf(col(textCol)))
       .withColumn("n_grams", col("_ds._1"))

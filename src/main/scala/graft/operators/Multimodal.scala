@@ -528,36 +528,64 @@ object Multimodal {
     * hamming ≤ 3 over 64 bits forces at least one band equal, the
     * [[Dedup.simhashPairs]] guarantee shape), verified with
     * bit_count(xor) on the candidate pairs only — never all-pairs.
-    * Scale note: near-constant images (all-black frames) concentrate a
-    * band bucket; cap or pre-dedup exact hashes upstream if a corpus is
-    * saturated with them (the hot-band caveat [[Dedup.simhashPairs]]
-    * documents). */
+    *
+    * Round-6 hot-band fix: bands are built over DISTINCT hashes, so a
+    * corpus saturated with near-constant images (1e8 all-black frames =
+    * ONE hash value) contributes ONE row per band bucket instead of 1e8
+    * — the band self-join is bounded by distinct-hash counts. The two
+    * pair families are then re-expanded exactly:
+    *  - different-hash pairs: the banded distinct-hash join (hamming
+    *    verified on hashes), attached back to ids per side — each
+    *    unordered id pair corresponds to exactly one ordered hash pair,
+    *    so no distinct over id pairs is needed;
+    *  - same-hash pairs (hamming 0): an equi self-join on the full
+    *    64-bit hash — keyed far finer than any 16-bit band; its output
+    *    is the pair set itself, which is inherently the caller's
+    *    quadratic surface for exact duplicates (same as before).
+    * Output rows are identical to the per-id banding (spec-pinned). */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding guarantees recall only for maxHamming <= 3, got $maxHamming")
     val hashes = imageHashes(spark, media)
-    val bands = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+    val distinctHashes = hashes.select("hash_hi", "hash_lo").distinct()
+    val bands = distinctHashes.select(col("hash_hi"), col("hash_lo"),
       posexplode(array(
         col("hash_lo").bitwiseAND(lit(65535L)),
         shiftrightunsigned(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
         col("hash_hi").bitwiseAND(lit(65535L)),
         shiftrightunsigned(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
         .as(Seq("band_id", "band_val")))
-    val a = bands.select(col("media_id").as("id_a"),
-      col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"),
-      col("band_id"), col("band_val"))
-    val b = bands.select(col("media_id").as("id_b"),
-      col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"),
-      col("band_id"), col("band_val"))
-    a.join(b, Seq("band_id", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+    val ha = bands.select(col("hash_hi").as("hi_a"),
+      col("hash_lo").as("lo_a"), col("band_id"), col("band_val"))
+    val hb = bands.select(col("hash_hi").as("hi_b"),
+      col("hash_lo").as("lo_b"), col("band_id"), col("band_val"))
+    val hashPairs = ha.join(hb, Seq("band_id", "band_val"))
+      .where(col("hi_a") < col("hi_b") ||
+        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
+      .select("hi_a", "lo_a", "hi_b", "lo_b")
       .distinct()
       .withColumn("hamming",
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val cross = hashPairs
+      .join(hashes.select(col("media_id").as("id_x"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")),
+        Seq("hi_a", "lo_a"))
+      .join(hashes.select(col("media_id").as("id_y"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")),
+        Seq("hi_b", "lo_b"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("hamming"))
+    val same = hashes.alias("x")
+      .join(hashes.alias("y"),
+        col("x.hash_hi") === col("y.hash_hi") &&
+          col("x.hash_lo") === col("y.hash_lo") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(same)
   }
 }

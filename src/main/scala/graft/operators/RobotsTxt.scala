@@ -40,11 +40,11 @@ import org.apache.spark.sql.functions._
   * robots.txt per host). The gate aggregates rules to one array row per
   * host (tiny: rules-per-host is a small constant) and equi-joins URLs
   * on host — AQE broadcasts the rule-set side when it fits, so the URL
-  * corpus never shuffles; the per-URL verdict is a fold over the
-  * O(rules-per-host) array (interpreted HOF per element is fine HERE
-  * because the array is bounded by the robots file, not by the
-  * document — the GopherLexical 16× lesson applies to per-token
-  * lambdas, not per-rule ones). */
+  * corpus never shuffles; the per-URL verdict is one fused scalar UDF
+  * folding the O(rules-per-host) array in a tight JVM loop (round 6 —
+  * the earlier interpreted filter+aggregate HOF pair multiplied an
+  * interpreter dispatch per rule per URL, which a hostile 5k-rule host
+  * × millions of its URLs turns into the GopherLexical 16× mechanism). */
 object RobotsTxt {
 
   private val UA = "user-agent"
@@ -88,25 +88,42 @@ object RobotsTxt {
   /** URL gate: adds `allowed` (no matching rule → true) and `match_len`
     * (length of the winning prefix; -1 = no rule matched) to `urls`.
     * One equi-join on host; the longest-prefix / tie-allow decision is
-    * exactly max-by (prefix-length, allow) over the matching rules. */
+    * exactly max-by (prefix-length, allow) over the matching rules.
+    *
+    * Round-6: the decision is ONE fused scalar UDF per URL row (the
+    * filter + aggregate HOF pair evaluated its lambdas INTERPRETED per
+    * RULE per URL — fine for a 5-rule host, a multiplied interpreter
+    * loop for a hostile 5k-rule host × millions of its URLs: the
+    * GopherLexical 16× mechanism). Same fold, same tie-break
+    * (`plen > best || (plen == best && allow)` replaces), and prefix
+    * length measured in CODE POINTS — the Catalyst `length` semantics —
+    * so `match_len` is byte-identical to the HOF form and to the DuckDB
+    * twin. */
   def allowedGate(urls: DataFrame, rulesDf: DataFrame,
                   hostCol: String, pathCol: String): DataFrame = {
     val ruleSets = rulesDf.groupBy(col("host").as("_rg_host"))
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("_rules"))
-    val matching = filter(col("_rules"),
-      r => startswith(col(pathCol), r("prefix")))
-    val best = aggregate(matching,
-      struct(lit(-1).as("plen"), lit(true).as("allow")),
-      (acc, r) => {
-        val plen = length(r("prefix"))
-        when(plen > acc("plen") || (plen === acc("plen") && r("allow")),
-          struct(plen.as("plen"), r("allow").as("allow"))).otherwise(acc)
-      })
+    val gate = udf { (path: String, rules: Seq[org.apache.spark.sql.Row]) =>
+      var bp = -1
+      var ba = true
+      if (rules != null && path != null) {
+        val it = rules.iterator
+        while (it.hasNext) {
+          val r = it.next()
+          val prefix = r.getString(0)
+          if (path.startsWith(prefix)) {
+            val pl = prefix.codePointCount(0, prefix.length)
+            val allow = r.getBoolean(1)
+            if (pl > bp || (pl == bp && allow)) { bp = pl; ba = allow }
+          }
+        }
+      }
+      (bp, ba)
+    }
     urls.join(ruleSets, col(hostCol) === col("_rg_host"), "left_outer")
-      .withColumn("_best", best)
-      .withColumn("allowed", coalesce(col("_best.allow"), lit(true)))
-      .withColumn("match_len",
-        coalesce(col("_best.plen"), lit(-1)).cast("int"))
+      .withColumn("_best", gate(col(pathCol), col("_rules")))
+      .withColumn("allowed", col("_best._2"))
+      .withColumn("match_len", col("_best._1"))
       .drop("_rg_host", "_rules", "_best")
   }
 

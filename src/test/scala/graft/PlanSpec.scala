@@ -199,14 +199,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("dup-span stats: one tokenization (ReusedExchange), partial agg, no cartesian") {
+  test("dup-span stats: single span-keyed agg, partial agg, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = operators.Dedup.duplicatedSpanStats(docs, "doc_id", "text")
-    df.collect() // under AQE, exchange reuse lands in the FINAL plan
-    val p = plan(df)
-    // global span count and per-doc rollup must share the pair-count
-    // exchange — the explode/tokenize runs once, not twice
-    assert(p.contains("ReusedExchange"), p)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // round-6 unique-complement shape: exactly ONE span-keyed exchange
+    // (the old pair-count form shuffled the instance stream twice —
+    // groupBy(span, id) plus the span-keyed join back); all remaining
+    // exchanges are doc-keyed aggregations of doc-sized tables
+    assert(p.split(java.util.regex.Pattern.quote(
+      "Exchange hashpartitioning(span")).length - 1 == 1, p)
     // hot boilerplate spans must combine map-side before the shuffle
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -221,16 +224,21 @@ class PlanSpec extends AnyFunSuite {
     // exchanges only in the final (executed) one
     val p = plan(df).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the whole operator is 2 hash exchanges: position rows by window
-    // key (the ONE corpus-sized shuffle — a count-then-join design
-    // would pay it twice) and duplicated survivors by doc for the
+    // the whole operator is 2 hash exchanges: the map-side-combined
+    // groupBy(w) duplicate-key count (round-6 hot-key fix — a windowed
+    // count sent every instance of one duplicated key to a single
+    // reducer AQE cannot split) and duplicated survivors by doc for the
     // island merge (whose groupBy(id, g) and groupBy(id) reuse the id
-    // partitioning); the merged-span aggregate is tiny, so the rebuild
-    // join broadcasts it and the tokenized docs never shuffle at all
+    // partitioning); the dup-key table and the merged-span aggregate
+    // are tiny, so their joins broadcast and the tokenized docs never
+    // shuffle at all
     val exchanges = p.split("Exchange hashpartitioning").length - 1
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
-    // corpus-wide occurrence counting must be the single-pass windowed
-    // count, not an aggregate+join re-shuffle
+    // corpus-wide occurrence counting is a partial-agg groupBy — the
+    // hot key collapses map-side (one partial per map task)
+    assert(p.contains("partial_count"), p)
+    // the island merge still runs as a per-doc window (bounded by
+    // document length, never by key popularity)
     assert(p.contains("Window"), p)
   }
 

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Identity contract of the [[FastHash]] JVM twins vs the Catalyst
+  * expressions they replace on the hot paths — element-for-element,
+  * including the adversarial token shapes (leading/trailing whitespace
+  * mixes, non-space whitespace, unicode, surrogate pairs, empties). */
+class FastHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("fasthash-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val adversarial = Seq(
+    "", " ", "   ", "a", " a ", "a b c d e f", "  a  b\tc\nd  ",
+    "\na b c d e", "\t\ta b c d e f g", "a b c d e f", // nbsp is NOT \s
+    "héllo wörld çà ünïcode tokens here", "日本 語 の 分 かち 書き",
+    "emoji 😀 pair 🎉 tokens here now",
+    "trailing spaces here      ", "x\n", "　ideographic space a b c d e",
+    "a  b   c    d     e", "one", "one two", "one two three four",
+    ("tok " * 200).trim)
+
+  private def catalystTokens(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(split(trim(col("t")), "\\s+").as("ts"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("tokens == Catalyst split(trim(s), \"\\\\s+\")") {
+    adversarial.foreach { s =>
+      assert(FastHash.tokens(s).toSeq == catalystTokens(s), s"input=<$s>")
+    }
+  }
+
+  test("xxh64 == Catalyst xxhash64(string)") {
+    import spark.implicits._
+    val strs = adversarial.filter(_.nonEmpty) ++ Seq("a b c d e", "x")
+    val cat = strs.toDF("t").select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s => assert(FastHash.xxh64(s) == cat(s), s"input=<$s>") }
+  }
+
+  test("shingleStrings / shingleXxh == Catalyst wordShingles / shingleHashes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = adversarial.toDF("t")
+    for (k <- Seq(2, 5)) {
+      val rows = df.select(col("t"),
+          Dedup.wordShinglesCatalyst(col("t"), k).as("ws"),
+          Dedup.shingleHashesCatalyst(col("t"), k).as("hs"))
+        .collect()
+      rows.foreach { r =>
+        val t = r.getString(0)
+        val toks = FastHash.tokens(t)
+        assert(FastHash.shingleStrings(toks, k).toSeq == r.getSeq[String](1),
+          s"k=$k input=<$t>")
+        assert(FastHash.shingleXxh(toks, k).toSeq == r.getSeq[Long](2),
+          s"k=$k input=<$t>")
+      }
+    }
+  }
+
+  test("fast-path wordShingles / shingleHashes columns match the Catalyst originals on the fixture") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(3, 5)) {
+      val n = docs.select(
+          Dedup.wordShingles(col("text"), k).as("fast_s"),
+          Dedup.wordShinglesCatalyst(col("text"), k).as("cat_s"),
+          Dedup.shingleHashes(col("text"), k).as("fast_h"),
+          Dedup.shingleHashesCatalyst(col("text"), k).as("cat_h"))
+        .where(!(col("fast_s") <=> col("cat_s")) ||
+          !(col("fast_h") <=> col("cat_h")))
+        .count()
+      assert(n == 0, s"k=$k: $n fixture rows diverge")
+    }
+  }
+}

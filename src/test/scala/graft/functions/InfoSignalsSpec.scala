@@ -69,8 +69,22 @@ class InfoSignalsSpec extends AnyFunSuite {
     val texts = Seq(rep, "the quick brown fox", "日本語のテキスト😀",
       (1 to 500).map(_ => rnd.nextPrintableChar()).mkString)
     for (t <- texts) {
-      // determinism
+      // determinism — and, since deflateRatioMicro now reuses one
+      // reset() Deflater per thread, this also pins reuse == fresh
+      // instance (the fresh-Deflater twin is computed inline below)
       assert(InfoSignals.deflateRatioMicro(t) === InfoSignals.deflateRatioMicro(t))
+      locally {
+        val raw0 = t.getBytes("UTF-8")
+        val fresh = new java.util.zip.Deflater(6)
+        fresh.setInput(raw0); fresh.finish()
+        val b = new Array[Byte](8192)
+        var tot = 0L
+        while (!fresh.finished()) tot += fresh.deflate(b)
+        fresh.end()
+        val expect = (2L * tot * 1000000L + raw0.length) / (2L * raw0.length)
+        assert(InfoSignals.deflateRatioMicro(t) === expect,
+          s"reused Deflater diverges from fresh instance on ${t.take(30)}")
+      }
       // round-trip: re-deflate with the frozen settings and inflate back
       val raw = t.getBytes("UTF-8")
       val d = new java.util.zip.Deflater(6)

@@ -138,4 +138,26 @@ class DsirSpec extends AnyFunSuite {
       assert(onePass.sameElements(twoPass))
     }
   }
+
+  test("streaming-FNV gramBucketInts == reference form (adversarial unicode incl. surrogates)") {
+    val rnd = new scala.util.Random(7)
+    val adversarial = Seq(
+      "", " ", "plain ascii words here", "héllo wörld çà ünïcode",
+      "日本 語 の 分 かち 書き", "emoji 😀 pair 🎉 boundary",
+      "🎉start endx\uD83C", // leading pair, trailing unpaired high
+      "\uDF89 lone low surrogate", "a\uD800b c d", "mixed 😀x\uDC00 tail",
+      "  spaced   out\ttokens\nnewline  ") ++
+      (1 to 50).map { _ =>
+        (1 to rnd.nextInt(8)).map { _ =>
+          new String((1 to (1 + rnd.nextInt(6))).map { _ =>
+            rnd.nextInt(0xE000).toChar // includes surrogate-range chars
+          }.toArray)
+        }.mkString(" ")
+      }
+    for (buckets <- Seq(64, 1 << 16); t <- adversarial) {
+      assert(Dsir.gramBucketInts(t, buckets, portable = false).sameElements(
+        Dsir.gramBucketIntsRef(t, buckets, portable = false)),
+        s"buckets=$buckets input=<$t>")
+    }
+  }
 }

@@ -103,6 +103,31 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(collectStats(hashKeys = true) == collectStats(hashKeys = false))
   }
 
+  test("planted hot window key: correct coverage, no per-key window partition") {
+    // round-6 hot-key fix: 5,000 instances of ONE duplicated 50-token
+    // window (the boilerplate-header-at-web-scale shape). The old
+    // `count over (partition by w)` concentrated all instances on one
+    // reducer; the groupBy(w) partial agg sends one candidate per map
+    // partition, and the coverage verdict is unchanged.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hot = j((0 until 50).map(i => s"hot$i"))
+    val docs = (1L to 5000L).map(i => i -> s"$hot unique$i tail$i")
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, "doc_id", "text", minTokens = 50,
+      hashKeys = true)
+    val rows = out.select(col("doc_id"), col("dup_tokens"), col("n_spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5000)
+    assert(rows.forall { case (_, dup, ns) => dup == 50L && ns == 1L },
+      rows.take(3).mkString(","))
+    // plan shape: no Window partitioned by the span key — the only
+    // window operator is the per-doc island merge
+    val p = out.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windowLines.contains("windowspecdefinition(w#"), windowLines)
+  }
+
   test("null ids are dropped (rebuild needs a key), non-null rows unaffected") {
     import spark.implicits._
     val withNull = Seq(Option(1L) -> j(U1 ++ S), Option(2L) -> j(S ++ U2),

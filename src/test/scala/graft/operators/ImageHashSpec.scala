@@ -90,4 +90,18 @@ class ImageHashSpec extends AnyFunSuite {
     assert(banded == brute, s"banded=$banded brute=$brute")
     assert(brute.nonEmpty) // the plants guarantee the property is non-vacuous
   }
+
+  test("saturated same-hash group: all intra-group pairs at hamming 0 (distinct-hash banding)") {
+    // round-6 hot-band shape: 6 identical images = ONE distinct hash in
+    // the band join; the pair surface C(6,2) comes from the exact-hash
+    // self-join, not from a 16-bit band bucket
+    val g = Array.fill(64)(7)
+    val rows = (1L to 6L).map(i => bmp(i, g))
+    val pairs = Multimodal.imageNearDupPairs(spark, rows.toDF())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(pairs.length == 15, pairs.toSeq)
+    assert(pairs.forall(_._2 == 0))
+    assert(pairs.map(_._1).toSet ==
+      (for { a <- 1L to 6L; b <- 1L to 6L; if a < b } yield (a, b)).toSet)
+  }
 }
