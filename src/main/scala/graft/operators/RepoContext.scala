@@ -86,10 +86,19 @@ object RepoContext {
       concat(lit(FileHeader), coalesce(col(pathCol), lit("")), lit("\n"),
         coalesce(col(contentCol), lit(""))).as("_r"))
     // metadata-only assignment: content does not ride the ordered window
+    // — and (round 6) the cost is computed WITHOUT building the rendered
+    // string in this branch: length(header + path + "\n" + content) + 2
+    // == len(header) + len(path) + 3 + len(content) exactly (code-point
+    // lengths are additive under concat), so the assignment pass reads
+    // lengths only instead of re-concatenating every file's bytes
     val w = Window.partitionBy("repo").orderBy("path")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val asn = rendered
-      .select(col("repo"), col("path"), (length(col("_r")) + 2L).cast("long").as("_cost"))
+    val asn = files
+      .select(col(repoCol).as("repo"),
+        coalesce(col(pathCol), lit("")).as("path"),
+        (length(coalesce(col(pathCol), lit(""))) +
+          length(coalesce(col(contentCol), lit(""))) +
+          lit(FileHeader.length + 3L)).cast("long").as("_cost"))
       .withColumn("_cum", coalesce(sum(col("_cost")).over(w), lit(0L)))
       .select(col("repo"), col("path"),
         expr(s"_cum div ${budgetChars}L").as("chunk_id"))
