@@ -39,9 +39,42 @@ object FastHash {
     if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
+  /** Java-regex `\s` (no UNICODE_CHARACTER_CLASS): exactly the six
+    * ASCII whitespace chars. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** `Pattern("\\s+").split(s, -1)` twin as a hand-rolled scanner (no
+    * regex engine): segments between maximal whitespace runs, keeping
+    * the leading/trailing empty segment a boundary run produces and the
+    * [""], ["", ""] degenerate shapes — spec-pinned equal to the regex
+    * form ([[tokensRegex]]) on adversarial and fuzzed inputs. */
+  private def wsSplit(s: String): Array[String] = {
+    if (s.isEmpty) return Array("")
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    val n = s.length
+    var i = 0
+    var start = 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) {
+        out += s.substring(start, i)
+        i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.toArray
+  }
+
   /** Catalyst `split(trim(s), "\\s+")` twin — keeps the leading empty
     * token a non-space leading separator produces (spec-pinned). */
-  def tokens(s: String): Array[String] = Ws.split(sqlTrim(s), -1)
+  def tokens(s: String): Array[String] = wsSplit(sqlTrim(s))
+
+  /** The regex rendering of [[tokens]] — the executable contract the
+    * scanner is spec-pinned against. */
+  private[graft] def tokensRegex(s: String): Array[String] =
+    Ws.split(sqlTrim(s), -1)
 
   /** Catalyst-identical xxhash64 of one string (seed 42 over UTF-8). */
   def xxh64(s: String): Long = {

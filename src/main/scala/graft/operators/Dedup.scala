@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // precompiled: String.split("\n\n") misses the JDK single-char fast
+  // path (two literal chars), so it compiled a fresh Pattern per
+  // DOCUMENT on the paragraph probe/rewrite hot paths before round 6
+  private val ParaSplit = java.util.regex.Pattern.compile("\n\n")
+
   /** Exact dedup by content hash: one row per distinct text with the
     * minimal id as representative and the duplicate count.
     * Map-side partial agg (HashAggregate) → single shuffle of hashes. */
@@ -175,7 +180,7 @@ object Dedup {
             // para -> (minId, minPos, count)
             val m = new java.util.HashMap[String, Array[Long]]()
             it.foreach { case (id, t) =>
-              val ps = t.split("\n\n", -1)
+              val ps = ParaSplit.split(t, -1)
               var pos = 0
               while (pos < ps.length) {
                 val p = ps(pos)
@@ -236,7 +241,7 @@ object Dedup {
     // Passthrough columns (e.g. lang) are untouched projection columns.
     val rewrite = udf { (id: String, t: String) =>
       val m = bc.value
-      val ps = t.split("\n\n", -1)
+      val ps = ParaSplit.split(t, -1)
       val kept = new scala.collection.mutable.ArrayBuffer[String](ps.length)
       var pos = 0
       while (pos < ps.length) {

@@ -46,7 +46,35 @@ object Dsir {
     * [[QualityClassifier]] — the two operators' oracles replay ONE
     * frozen gram definition ([[graft.SparkEntry]] gramBucketCtes), so
     * there must be exactly one JVM implementation of it. */
-  private[operators] def tokensOf(text: String): Array[String] =
+  private[operators] def tokensOf(text: String): Array[String] = {
+    // round-6 scanner form of `text.trim.split("\\s+").filter(_.nonEmpty)`
+    // (the regex twin below): Java trim strips every char <= 0x20 — a
+    // superset of regex \s's six ASCII whitespace chars — so the trimmed
+    // string has no boundary whitespace and tokens are exactly the
+    // maximal runs between \s chars; no regex engine, no empty-segment
+    // filtering pass. DsirSpec pins scanner == regex on fuzzed input.
+    if (text == null) return Array.empty
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    val n = t.length
+    var i = 0
+    var start = 0
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (i > start) out += t.substring(start, i)
+        i += 1
+        start = i
+      } else i += 1
+    }
+    if (n > start) out += t.substring(start)
+    out.toArray
+  }
+
+  /** Regex rendering of [[tokensOf]] — the executable contract the
+    * scanner form is spec-pinned against. */
+  private[operators] def tokensOfRegex(text: String): Array[String] =
     if (text == null) Array.empty
     else text.trim.split("\\s+").filter(_.nonEmpty)
 

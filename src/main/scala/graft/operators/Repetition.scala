@@ -107,23 +107,28 @@ object Repetition {
     (total, top, dup, totalCh, topCh, dupCh)
   }
 
-  /** SQL `trim` strips ONLY the space character (Spark and DuckDB agree);
-    * Java's String.trim strips all ctrl chars <= U+0020 and would desync
-    * the tokenizer from the wordShingles/oracle contract. */
-  private def spaceTrim(s: String): String = {
-    var from = 0; var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    s.substring(from, to)
-  }
+  // (the former private spaceTrim helper moved to FastHash.sqlTrim —
+  // SQL trim strips ONLY the space character; Java's String.trim strips
+  // all ctrl chars <= U+0020 and would desync the tokenizer from the
+  // wordShingles/oracle contract)
+
+  // precompiled: String.split("\n\n") misses the single-char fast path
+  // (two literal chars, not an escape), so it compiled a fresh Pattern
+  // per DOCUMENT before round 6
+  private val ParaSplit = java.util.regex.Pattern.compile("\n\n")
 
   /** One pass over a document. Splits keep trailing empty segments
-    * (limit -1) — Spark's `split` and DuckDB's split functions both do. */
+    * (limit -1) — Spark's `split` and DuckDB's split functions both do.
+    * The token array is [[graft.core.FastHash.tokens]] (round 6): its
+    * contract — 0x20-only trim, then regex-\s+ split keeping boundary
+    * empties — is exactly the previous
+    * `spaceTrim(text).split("\\s+", -1)`, and FastHashSpec pins the
+    * scanner form against both the regex and the Catalyst renderings. */
   def repStats(text0: String): RepStats = {
     val text = if (text0 == null) "" else text0
     val (nl, dl, dlc, lc) = groupCounts(text.split("\n", -1))
-    val (np, dp, dpc, pc) = groupCounts(text.split("\n\n", -1))
-    val toks = spaceTrim(text).split("\\s+", -1)
+    val (np, dp, dpc, pc) = groupCounts(ParaSplit.split(text, -1))
+    val toks = graft.core.FastHash.tokens(text)
     val (n2, top2, _, g2ch, top2ch, _) = gramCounts(toks, 2)
     val (n5, _, dup5, g5ch, _, dup5ch) = gramCounts(toks, 5)
     RepStats(nl, dl, dlc, lc, np, dp, dpc, pc,

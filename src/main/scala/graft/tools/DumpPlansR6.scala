@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-6 deliverable: writes `plans/r06/<query>_after.txt` — the
+  * `.explain("formatted")` plan of every query the optimization round
+  * touched — so plan-shape claims in OPTIMIZATION_r06.md are checkable
+  * without running Spark. The `_before.txt` twins are extracted verbatim
+  * from PLANS.md at the round-5 tip (commit e72c728), i.e. the identical
+  * generator at the pre-optimization code state. */
+object DumpPlansR6 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val targets = Seq(
+      "q_dup_spans", "q_exact_substr", "q_decon_report", "q_ngram_jaccard",
+      "q_line_dedup", "q_para_dedup", "q_robots_allow", "q_image_neardup",
+      "q_repo_context", "q_curation", "q_dsir", "q_bpe", "q_bpe_vocab",
+      "q_quality_classifier", "q_info_quality")
+    val dir = java.nio.file.Paths.get("plans/r06")
+    java.nio.file.Files.createDirectories(dir)
+    targets.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(dir.resolve(s"${name}_after.txt"),
+        s"# $name — AFTER (round-6 optimized; sf0.001, local[4];\n" +
+          "# regenerate: sbt \"runMain graft.tools.DumpPlansR6\")\n\n```\n" +
+          p + "```\n")
+      println(s"wrote $name")
+    }
+    spark.stop()
+  }
+}

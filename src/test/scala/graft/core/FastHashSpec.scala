@@ -39,6 +39,17 @@ class FastHashSpec extends AnyFunSuite {
     }
   }
 
+  test("tokens scanner == regex twin on whitespace-heavy fuzz") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = " \t\n\u000B\f\r \u3000abcX7\u00e9" + "\ud83d\ude00"
+    (1 to 300).foreach { _ =>
+      val s = new String((1 to rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).toArray)
+      assert(FastHash.tokens(s).toSeq == FastHash.tokensRegex(s).toSeq,
+        s"input=<${s.replace("\n", "\\n")}>")
+    }
+  }
+
   test("xxh64 == Catalyst xxhash64(string)") {
     import spark.implicits._
     val strs = adversarial.filter(_.nonEmpty) ++ Seq("a b c d e", "x")

@@ -160,4 +160,18 @@ class DsirSpec extends AnyFunSuite {
         s"buckets=$buckets input=<$t>")
     }
   }
+
+  test("tokensOf scanner == regex twin on whitespace/control fuzz") {
+    val rnd = new scala.util.Random(13)
+    // includes all six regex-\s chars, sub-0x20 control chars (which
+    // Java trim strips at the BOUNDARIES only) and multibyte text
+    val alphabet = " \t\n\u000B\f\r\u0001\u0002abc\u00e9\u65e5"
+    (1 to 300).foreach { _ =>
+      val s = new String((1 to rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).toArray)
+      assert(Dsir.tokensOf(s).toSeq == Dsir.tokensOfRegex(s).toSeq,
+        s"input=<${s.getBytes("UTF-8").map("%02x".format(_)).mkString}>")
+    }
+    assert(Dsir.tokensOf(null).isEmpty && Dsir.tokensOf("").isEmpty)
+  }
 }
