@@ -136,9 +136,14 @@ object WarcIO {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
     val d = java.nio.file.Paths.get(dir)
+    // overwrite = remove ONLY previously written shards (round-6 advice
+    // fix): a recursive tree delete here meant one wrong `dir` argument
+    // wiped an arbitrary directory. Unexpected entries are left alone —
+    // stale part files beyond nFiles are still cleared.
     if (java.nio.file.Files.exists(d)) {
-      val walk = java.nio.file.Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.list(d)
+      try walk
+        .filter(p => p.getFileName.toString.matches("part-\\d{5}\\.warc"))
         .forEach(p => { java.nio.file.Files.delete(p); () })
       finally walk.close()
     }

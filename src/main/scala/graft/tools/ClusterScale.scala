@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-JVM scaling evidence (round-6; round-5 verdict "Next #1"): the
+  * flagship pair (shuffled + narrow `Pipeline.scoreAndDecide`) timed under
+  * `spark-submit --master local-cluster[N,cores,mem]` — real separate
+  * executor JVMs, real closure/broadcast serialization, real shuffle
+  * transport over the block manager — the costs the in-process
+  * `local[N]` thread bench structurally cannot see.
+  *
+  * Run (after `sbt package`; input staged by a prior `graft.Bench` run):
+  *
+  *   /opt/spark/bin/spark-submit \
+  *     --master 'local-cluster[2,4,4096]' --driver-memory 4g \
+  *     --class graft.tools.ClusterScale \
+  *     target/scala-2.13/ldigspark_2.13-0.1.0.jar
+  *
+  * vs `local-cluster[8,4,4096]` for the N-vs-4N executor-JVM pair.
+  * Methodology mirrors ScalingBench: cached input, warmup pass, min-of-N
+  * probed samples (driver-side pure-CPU probe — executors share the box,
+  * so driver steal == executor steal), JSON line with min/median/probe. */
+object ClusterScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft-cluster-scale")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val master = spark.sparkContext.master
+    // defaultParallelism lies before executors register; the master
+    // string is authoritative for local-cluster[n,cores,mem]
+    val cores = "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r
+      .findFirstMatchIn(master)
+      .map(m => m.group(1).toInt * m.group(2).toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
+    val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
+    val inputPath = s"/tmp/graft_bench_filerows_${rows}_x$bodyScale"
+    require(graft.sources.ParquetTableIO.exists(spark, inputPath),
+      s"staged input missing: $inputPath — run graft.Bench once first")
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
+
+    def probeOnce(): Double = {
+      val th = (0 until 32).map(_ =>
+        new Thread(() => { ThreadScale.burn(8000000); () }))
+      val t0 = System.nanoTime()
+      th.foreach(_.start()); th.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce()
+    var probeRef = (1 to 5).map(_ => probeOnce()).min
+    System.err.println(f"[cluster] master=$master cores=$cores probeRef=${probeRef}%.3fs")
+
+    val input = spark.read.parquet(inputPath).cache()
+    val n = input.count()
+
+    def job(physicalRepartition: Boolean): Unit = {
+      graft.operators.Pipeline.scoreAndDecide(spark, input,
+          graft.operators.Pipeline.Config(physicalRepartition = physicalRepartition))
+        .agg(sum(length(col("content_sha256"))), sum(when(col("keep"), 1L).otherwise(0L)))
+        .collect()
+      ()
+    }
+
+    def cell(label: String, physicalRepartition: Boolean): (Double, Double, Double) = {
+      job(physicalRepartition) // warmup (JIT/codegen/broadcast build)
+      val samples = (1 to repeats).map { i =>
+        val p = probeOnce(); if (p < probeRef) probeRef = p
+        val t0 = System.nanoTime()
+        job(physicalRepartition)
+        val s = ((System.nanoTime() - t0) / 1e9, p)
+        System.err.println(f"[cluster] $label[$i/$repeats] ${s._1}%7.2fs @probe $p%.3fs")
+        s
+      }
+      val times = samples.map(_._1)
+      (times.min, times.sorted.apply(times.size / 2), samples.minBy(_._1)._2)
+    }
+
+    val (sMin, sMed, sProbe) = cell("shuffled", physicalRepartition = true)
+    val (nMin, nMed, nProbe) = cell("narrow", physicalRepartition = false)
+    input.unpersist()
+    println(f"""{"metric":"cluster_scale","master":"$master","cores":$cores,"rows":$n,"shuffled_min":$sMin%.3f,"shuffled_median":$sMed%.3f,"shuffled_probe_at_min":${sProbe / probeRef}%.3f,"narrow_min":$nMin%.3f,"narrow_median":$nMed%.3f,"narrow_probe_at_min":${nProbe / probeRef}%.3f,"probe_ref_sec":$probeRef%.3f,"rows_per_sec_narrow":${n / nMin}%.1f,"rows_per_sec_shuffled":${n / sMin}%.1f}""")
+    spark.stop()
+  }
+}

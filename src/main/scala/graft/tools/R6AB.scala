@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 interleaved A/B harness over the staged 1.6M FileRow table.
+  * Each experiment times its variants alternately in ONE JVM (same
+  * page-cache / JIT state, steal bursts hit both sides) with the same
+  * forceAll action Bench uses. Select with R6AB_EXP=cc|ex (default both),
+  * R6AB_ROUNDS=n. */
+object R6AB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("r6-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+    val path = sys.env.getOrElse("CAP_INPUT", "/tmp/graft_bench_filerows_1600000_x8")
+    val rounds = sys.env.getOrElse("R6AB_ROUNDS", "3").toInt
+    val exp = sys.env.getOrElse("R6AB_EXP", "cc,ex").split(',').map(_.trim).toSet
+
+    def forceAll(df: DataFrame): Long = {
+      val all = struct(df.columns.map(col): _*)
+      df.select(xxhash64(all).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("double")))
+        .collect()(0).getLong(0)
+    }
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"[r6ab] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+
+    // ---- cc: q_ccnet_scale shapes -------------------------------------
+    if (exp("cc")) {
+      def files = spark.read.parquet(path).select(
+        xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"), col("lang"))
+      // C: one UDF pass emitting a NARROW (doc_id, ppl_micro) checkpoint,
+      // re-attached to the text rows by broadcast join — text is scanned
+      // twice but scored once and never checkpointed.
+      def variantC(docs: DataFrame): DataFrame = {
+        val narrow = CcnetBucket.withPplMicro(docs, "text", "lang")
+          .select(col("doc_id"), col("lang").as("_nl"), col("ppl_micro"))
+          .localCheckpoint(true)
+        val qs = Seq(1, 2).map(i => i / 3.0)
+        val cuts = narrow.groupBy(col("_nl"))
+          .agg(percentile_approx(col("ppl_micro"), array(qs.map(lit): _*),
+            lit(10000)).as("cuts"))
+          .withColumnRenamed("_nl", "_cb_lang")
+        docs.join(broadcast(narrow.select(col("doc_id"), col("ppl_micro"))),
+            Seq("doc_id"))
+          .join(broadcast(cuts), col("lang") <=> col("_cb_lang"))
+          .drop("_cb_lang")
+          .withColumn("bucket_id",
+            (size(filter(col("cuts"), c => col("ppl_micro") > c)) + 1))
+          .withColumn("bucket",
+            when(col("bucket_id") === 1, "head")
+              .when(col("bucket_id") === 2, "middle").otherwise(lit("tail")))
+          .drop("cuts")
+      }
+      (1 to rounds).foreach { r =>
+        t(s"cc[$r] A identity (udf twice)") { forceAll(
+          CcnetBucket.bucketsApprox(files, "doc_id", "text", "lang",
+            barrier = identity)) }
+        t(s"cc[$r] B localCheckpoint (default)") { forceAll(
+          CcnetBucket.bucketsApprox(files, "doc_id", "text", "lang")) }
+        t(s"cc[$r] C narrow ckpt + bcast join") { forceAll(variantC(files)) }
+      }
+    }
+
+    // ---- ex: exact-dedup group key ------------------------------------
+    if (exp("ex")) {
+      def docs = spark.read.parquet(path).select(
+        xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"), col("lang"))
+      def byText(df: DataFrame): DataFrame = {
+        val cols = df.columns
+        val rest = cols.filterNot(_ == "text")
+        df.groupBy(col("text"))
+          .agg(min_by(struct(rest.map(col): _*), col("doc_id")).as("row"))
+          .select(cols.map(c => if (c == "text") col("text") else col(s"row.$c")): _*)
+      }
+      (1 to rounds).foreach { r =>
+        t(s"ex[$r] A sha2-key min_by (default)") { forceAll(
+          Dedup.dropExactDuplicates(docs, "doc_id", "text")) }
+        t(s"ex[$r] B text-key min_by") { forceAll(byText(docs)) }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming-ingest scale bench (round-6; round-5 verdict "Next #7"):
+  * the [[graft.streaming.CurateStream]] gate chain — encoding repair →
+  * watermark exact dedup → repetition gate → comment gate → lexical
+  * gate → hash sample — over the staged 1.6M-row FileRow table, ingested
+  * through the REAL streaming machinery (file source microbatches,
+  * state store, checkpoint) with a noop sink, so ingest throughput is a
+  * recorded number instead of a parity-spec'd assumption.
+  *
+  * Each sample is a FRESH query over a fresh checkpoint dir (state
+  * rebuild is part of honest ingest cost); Trigger.AvailableNow drains
+  * the directory and terminates. Min-of-N with the Bench probe
+  * discipline; one JSON line. NOT part of graft.Bench (frozen harness) —
+  * cite from OPTIMIZATION_r06.md / BENCH notes. */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1600000").toInt
+    val bodyScale = sys.env.getOrElse("SPARK_GRAFT_BODY_SCALE", "8").toInt
+    val inputPath = s"/tmp/graft_bench_filerows_${rows}_x$bodyScale"
+    require(graft.sources.ParquetTableIO.exists(spark, inputPath),
+      s"staged input missing: $inputPath — run graft.Bench once first")
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "3").toInt)
+
+    val cpuN = cpus.toInt
+    def probeOnce(): Double = {
+      val th = (0 until cpuN).map(_ =>
+        new Thread(() => { ThreadScale.burn(8000000); () }))
+      val t0 = System.nanoTime()
+      th.foreach(_.start()); th.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce()
+    var probeRef = (1 to 5).map(_ => probeOnce()).min
+
+    def sample(i: Int): (Double, Double) = {
+      val p = probeOnce(); if (p < probeRef) probeRef = p
+      val ckpt = s"/dev/shm/graft-stream-scale-ckpt-$i-${System.nanoTime()}"
+      val src = spark.readStream
+        .schema(graft.streaming.StreamingScore.fileRowSchema)
+        .parquet(inputPath)
+        .select(
+          xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"), col("lang"),
+          // deterministic synthetic event time spread over one hour —
+          // keeps the watermark machinery honest without a clock
+          timestamp_seconds(lit(1700000000L) +
+            pmod(xxhash64(col("path")), lit(3600L))).as("ts"))
+      val gated = graft.streaming.CurateStream.filtered(
+        src, "text", "ts", num = 1, den = 1,
+        lexicalGate = true, fixEncoding = true, commentGate = true)
+      val t0 = System.nanoTime()
+      val q = gated.writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      System.err.println(f"[stream] sample[$i] ${sec}%7.2fs @probe $p%.3fs")
+      (sec, p)
+    }
+    sample(0) // warmup (JIT/codegen/file listing)
+    val samples = (1 to repeats).map(sample)
+    val times = samples.map(_._1)
+    val mn = times.min
+    val med = times.sorted.apply(times.size / 2)
+    println(f"""{"metric":"stream_scale","rows":$rows,"min_sec":$mn%.3f,"median_sec":$med%.3f,"probe_at_min":${samples.minBy(_._1)._2 / probeRef}%.3f,"probe_ref_sec":$probeRef%.3f,"rows_per_sec":${rows / mn}%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
