@@ -58,11 +58,16 @@ object Curate {
     val ex = barrier(Dedup.dropExactDuplicates(docs, idCol, textCol))
     val pd = Dedup.dropDuplicateParagraphs(ex, idCol, textCol,
       passthroughCols = Seq(langCol))
-    val keepIds = Repetition.signals(
-        pd.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol)
-      .where(col("rep_keep"))
-      .select(col(idCol))
-    val kept = barrier(pd.join(keepIds, Seq(idCol), "left_semi"))
+    // repetition gate as a NARROW filter (round 6): the former
+    // signals → where(rep_keep) → left_semi join back evaluated the
+    // paragraph-rewrite UDF TWICE from the ex barrier (once under
+    // signals' typed map, once for the join's left side) and paid a
+    // semi exchange; Repetition.keepColumn is the same frozen verdict
+    // (repKeep ∘ repStats — the streaming gate's rendering) applied
+    // in-place, so ONE rewrite pass and no join. Same kept set: ids are
+    // unique post-dedup, so the semi-join was row-for-row this filter
+    // (R6AB `rep`: 9.03 → 5.65 s min interleaved at 1.6M rows).
+    val kept = barrier(pd.where(Repetition.keepColumn(col("text_dedup"))))
     // inter-document duplicated-span gate over the repetition-kept,
     // paragraph-deduped corpus (ExactSubstr-lite: docs that are mostly
     // corpus-boilerplate spans leave the pool before sampling)

@@ -75,6 +75,39 @@ object R6AB {
       }
     }
 
+    // ---- rep: capstone repetition gate shape --------------------------
+    // OLD: keepIds = signals(pd).where(rep_keep) → pd ⋈ left_semi (the
+    // paragraph rewrite UDF runs TWICE from the ex checkpoint — once
+    // under signals, once for the join's left side — plus the semi
+    // exchange). NEW: pd.where(Repetition.keepColumn) — one rewrite
+    // pass, no join. Same rows by construction (ids unique, keepColumn
+    // == signals.rep_keep, both repKeep(repStats(t))).
+    if (exp("rep")) {
+      val docs = spark.read.parquet(path).select(
+        xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"), col("lang"))
+      val ex = Dedup.dropExactDuplicates(docs, "doc_id", "text").localCheckpoint(true)
+      ex.count()
+      def pd = Dedup.dropDuplicateParagraphs(ex, "doc_id", "text",
+        passthroughCols = Seq("lang"))
+      (1 to rounds).foreach { r =>
+        t(s"rep[$r] A signals+semi-join (old)") {
+          val keepIds = Repetition.signals(
+              pd.select(col("doc_id"), col("text_dedup").as("text")),
+              "doc_id", "text")
+            .where(col("rep_keep")).select(col("doc_id"))
+          val k = pd.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+          val n = k.count(); k.unpersist(true); n
+        }
+        t(s"rep[$r] B keepColumn filter (new)") {
+          val k = pd.where(Repetition.keepColumn(col("text_dedup")))
+            .localCheckpoint(true)
+          val n = k.count(); k.unpersist(true); n
+        }
+      }
+      ex.unpersist(true)
+    }
+
     // ---- ex: exact-dedup group key ------------------------------------
     if (exp("ex")) {
       def docs = spark.read.parquet(path).select(
