@@ -70,12 +70,19 @@ object Curate {
     val kept = barrier(pd.where(Repetition.keepColumn(col("text_dedup"))))
     // inter-document duplicated-span gate over the repetition-kept,
     // paragraph-deduped corpus (ExactSubstr-lite: docs that are mostly
-    // corpus-boilerplate spans leave the pool before sampling)
-    val spanIds = Dedup.duplicatedSpanStats(
+    // corpus-boilerplate spans leave the pool before sampling).
+    // spanIds is BARRIERED (round 6): quotaSample evaluates spanKept
+    // TWICE (winners aggregation + final semi-join), and left lazy the
+    // whole shingle aggregation re-ran under each — the barrier goes on
+    // the ~|docs|-row ID LIST (tiny), not on the content frame, so the
+    // expensive side runs once and both evaluations pay only a
+    // checkpoint read + broadcast semi-join (R6AB `span`: 3.48 → 2.12 s
+    // min interleaved at 1.6M rows).
+    val spanIds = barrier(Dedup.duplicatedSpanStats(
         kept.select(col(idCol), col("text_dedup").as(textCol)), idCol, textCol,
         hashKeys = !portable)
       .where(col("span_keep"))
-      .select(col(idCol))
+      .select(col(idCol)))
     val spanKept = kept.join(spanIds, Seq(idCol), "left_semi")
     Sampling.quotaSample(spanKept, langCol, idCol, quota, portable = portable)
   }

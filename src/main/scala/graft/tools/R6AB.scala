@@ -108,6 +108,44 @@ object R6AB {
       ex.unpersist(true)
     }
 
+    // ---- span: capstone span-gate double evaluation under quotaSample --
+    // quotaSample(df) evaluates df TWICE (winners agg + final semi-join);
+    // with df = kept ⋈ spanIds and spanIds an expensive shingle
+    // aggregation over all of kept, the span gate runs twice. NEW:
+    // checkpoint the ~1.3M-row spanIds ID LIST (tiny) so the aggregation
+    // runs once and both evaluations of df are checkpoint-read + join.
+    if (exp("span")) {
+      val docs = spark.read.parquet(path).select(
+        xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"), col("lang"))
+      val ex = Dedup.dropExactDuplicates(docs, "doc_id", "text").localCheckpoint(true)
+      ex.count()
+      val kept = Dedup.dropDuplicateParagraphs(ex, "doc_id", "text",
+          passthroughCols = Seq("lang"))
+        .where(Repetition.keepColumn(col("text_dedup")))
+        .localCheckpoint(true)
+      kept.count()
+      def spanIdsDf = Dedup.duplicatedSpanStats(
+          kept.select(col("doc_id"), col("text_dedup").as("text")),
+          "doc_id", "text", hashKeys = true)
+        .where(col("span_keep")).select(col("doc_id"))
+      (1 to rounds).foreach { r =>
+        t(s"span[$r] A lazy spanIds (old)") {
+          val spanKept = kept.join(spanIdsDf, Seq("doc_id"), "left_semi")
+          forceAll(Sampling.quotaSample(spanKept, "lang", "doc_id", 20000,
+            portable = false))
+        }
+        t(s"span[$r] B ckpt spanIds (new)") {
+          val ids = spanIdsDf.localCheckpoint(true)
+          val spanKept = kept.join(ids, Seq("doc_id"), "left_semi")
+          val n = forceAll(Sampling.quotaSample(spanKept, "lang", "doc_id",
+            20000, portable = false))
+          ids.unpersist(true); n
+        }
+      }
+      ex.unpersist(true); kept.unpersist(true)
+    }
+
     // ---- ex: exact-dedup group key ------------------------------------
     if (exp("ex")) {
       def docs = spark.read.parquet(path).select(
